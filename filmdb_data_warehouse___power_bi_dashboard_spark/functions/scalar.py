@@ -1,0 +1,60 @@
+"""Scalar expression helpers shared by ETL, queries, and metrics.
+
+Each helper encodes a semantic the reference relies on
+(SURVEY.md §2.8), expressed as built-in Column expressions so they
+stay inside whole-stage codegen — no Python UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..schemas import MONEY
+
+
+def money(col: Column | str) -> Column:
+    """Cast to the engine's money decimal.
+
+    The reference declares all money as numeric(p,2)
+    (sql/datawarehouse/creationdatwareh.sql:83,109). Decimal keeps
+    SUM exact and order-independent — a double SUM differs between
+    engines by summation order, which would break value-hash parity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def net_revenue(price: Column | str = "l_extendedprice", discount: Column | str = "l_discount") -> Column:
+    """Line revenue = extendedprice * (1 - discount), as money."""
+    p = F.col(price) if isinstance(price, str) else price
+    d = F.col(discount) if isinstance(discount, str) else discount
+    return (money(p) * (F.lit(1) - d.cast(MONEY))).cast(MONEY)
+
+
+def date_key(col: Column | str) -> Column:
+    """yyyymmdd smart integer key: EXTRACT(YEAR)*10000 + MONTH*100 + DAY
+    (sql/datawarehouse/insertion_dataware.sql:27,175)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)).cast("int")
+
+
+def interval_days(later: Column | str, earlier: Column | str) -> Column:
+    """Whole elapsed days between two timestamps.
+
+    Postgres `EXTRACT(DAY FROM a - b)` counts *elapsed whole days* of
+    the interval — NOT `datediff`, which counts midnight boundaries
+    (sql/vues.sql:226; SURVEY.md §2.8 F6). floor((unix(a)-unix(b))/86400).
+    """
+    a = F.col(later) if isinstance(later, str) else later
+    b = F.col(earlier) if isinstance(earlier, str) else earlier
+    return F.floor((a.cast("long") - b.cast("long")) / F.lit(86400)).cast("int")
+
+
+def months_since(later: Column | str, earlier: Column | str) -> Column:
+    """Whole calendar months between two dates — Postgres
+    `age(a,b)` year*12+month semantics (sql/datawarehouse/
+    requetes_clees.sql:159-160). months_between is calendar-aware."""
+    a = F.col(later) if isinstance(later, str) else later
+    b = F.col(earlier) if isinstance(earlier, str) else earlier
+    return F.floor(F.months_between(a, b)).cast("int")

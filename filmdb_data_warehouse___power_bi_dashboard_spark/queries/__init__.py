@@ -1,0 +1,38 @@
+"""Query registry: every implemented operator family from SURVEY.md §2
+exposed as (spark, sf_dir) -> DataFrame, each paired with an ANSI-SQL
+oracle string for the DuckDB correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import corpus
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def registry() -> dict[str, QueryFn]:
+    reg: dict[str, QueryFn] = {}
+    reg.update(corpus.QUERIES)
+    from ..operators import QUERIES as OP_QUERIES
+
+    reg.update(OP_QUERIES)
+    from ..plans.metrics import QUERIES as METRIC_QUERIES
+
+    reg.update(METRIC_QUERIES)
+    return reg
+
+
+def oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(corpus.ORACLES)
+    from ..operators import ORACLES as OP_ORACLES
+
+    out.update(OP_ORACLES)
+    from ..plans.metrics import ORACLES as METRIC_ORACLES
+
+    out.update(METRIC_ORACLES)
+    return out

@@ -1,0 +1,1004 @@
+"""The analytic corpus: the reference's 21-query surface re-expressed
+over the synthetic star (SURVEY.md §2, §5). Entity mapping from the
+reference's film-rental schema to the test corpus:
+
+    payment/rental → lineitem+orders   film → part      store → supplier
+    customer       → customer          category → p_brand
+    city/country   → nation/region     payment_date → o_orderdate/l_shipdate
+
+Every query is written twice — a DataFrame builder (this file) and an
+ANSI-SQL oracle (``ORACLES``) — and engineered for cross-engine
+determinism:
+
+- money flows through DecimalType (exact, order-independent sums);
+- ratios/averages/stddev are computed from exact decimal sums in
+  double and rounded to a fixed scale;
+- every top-k ORDER BY carries a unique tiebreaker;
+- month/day bucketing happens on naive timestamps under a UTC session.
+
+Reference citations (file:line under /root/reference/) are on each
+query for parity checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import date_key, interval_days, money, net_revenue
+from ..schemas import MONEY
+from ..sources.catalog import read_table
+
+# Revenue in DuckDB SQL — decimal-exact twin of functions.scalar.net_revenue:
+# rounded to money scale PER ROW (reference keeps payment amounts in
+# numeric(x,2) — creationdatwareh.sql:109), so both engines sum identical
+# cent-exact values. Positive-value HALF_UP rounding agrees across engines.
+SQL_REV = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — flagship: Top-10 parts by revenue.
+# Reference: "Top 10 films par revenu" README.md:91-99 (J1 A1 O1 O4).
+# Scale: join on l_partkey; `part` is dim-sized → broadcast; top-k is
+# TakeOrderedAndProject (no full sort at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum(net_revenue()).cast(MONEY).alias("revenue"),
+            F.count("*").alias("nb_ventes"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT p_partkey, p_name,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS revenue,
+       COUNT(*) AS nb_ventes
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — KPI by store × month: CA / payments / distinct orders / basket.
+# Reference: dw requetes_clees.sql:1-14 (A1 A2 A3 P8 A9 A10 J2 F4).
+# ---------------------------------------------------------------------------
+
+
+def q_kpi_supplier_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+    )
+    agg = (
+        joined.groupBy(
+            F.col("s_name").alias("nom_magasin"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mois"),
+        )
+        .agg(
+            F.sum(net_revenue()).cast(MONEY).alias("ca"),
+            F.count("*").alias("nb_paiements"),
+            F.countDistinct("l_orderkey").alias("nb_commandes"),
+        )
+        .withColumn(
+            "panier_moyen",
+            F.round(
+                F.col("ca").cast("double") / F.nullif(F.col("nb_commandes"), F.lit(0)),
+                4,
+            ),
+        )
+    )
+    return agg
+
+
+ORACLE_Q2 = f"""
+SELECT s_name AS nom_magasin,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       COUNT(*) AS nb_paiements,
+       COUNT(DISTINCT l_orderkey) AS nb_commandes,
+       ROUND(CAST(CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE)
+             / NULLIF(COUNT(DISTINCT l_orderkey), 0), 4) AS panier_moyen
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — category (brand) revenue + share of total.
+# Reference: dw requetes_clees.sql:17-33 "CA par catégorie" (A1 A9 W4-lite).
+# The share uses an empty-frame window (grand total) — Catalyst plans a
+# single-partition window over the tiny aggregated set, not the fact.
+# ---------------------------------------------------------------------------
+
+
+def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    by_brand = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("categorie"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"), F.count("*").alias("nb"))
+    )
+    total = Window.partitionBy()
+    return by_brand.withColumn(
+        "part_ca",
+        F.round(F.col("ca").cast("double") / F.sum(F.col("ca").cast("double")).over(total), 6),
+    )
+
+
+ORACLE_Q3 = f"""
+WITH by_brand AS (
+  SELECT p_brand AS categorie,
+         CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+         COUNT(*) AS nb
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT categorie, ca, nb,
+       ROUND(CAST(ca AS DOUBLE) / SUM(CAST(ca AS DOUBLE)) OVER (), 6) AS part_ca
+FROM by_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — loyal clients: HAVING on COUNT(DISTINCT).
+# Reference: dw requetes_clees.sql:55-69 "clients fidèles" (A3 A11 J1).
+# ---------------------------------------------------------------------------
+
+
+def q_loyal_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("nb_commandes"),
+            F.sum(money("o_totalprice")).cast(MONEY).alias("ca"),
+        )
+        .filter(F.col("nb_commandes") >= 15)
+        .orderBy(F.desc("nb_commandes"), F.desc("ca"), F.asc("c_custkey"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT c_custkey, c_name,
+       COUNT(DISTINCT o_orderkey) AS nb_commandes,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ca
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+HAVING COUNT(DISTINCT o_orderkey) >= 15
+ORDER BY nb_commandes DESC, ca DESC, c_custkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — new vs returning clients over the trailing 12 months.
+# Reference: dw requetes_clees.sql:73-103 (A12 J4 P6 A3 F8).
+# The 1-row bounds side is cross-joined (broadcast nested loop) — the
+# reference's `JOIN ref r ON TRUE` shape.
+# ---------------------------------------------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("maxd")).select(
+        F.add_months(F.date_trunc("month", "maxd").cast("date"), -11).alias("d_debut"),
+        F.col("maxd"),
+    )
+    premier = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("premier_achat"))
+    periode = orders.crossJoin(F.broadcast(ref)).filter(
+        (F.col("o_orderdate") >= F.col("d_debut")) & (F.col("o_orderdate") <= F.col("maxd"))
+    )
+    return (
+        periode.join(premier, "o_custkey")
+        .withColumn(
+            "segment",
+            F.when(F.col("premier_achat") >= F.col("d_debut"), F.lit("Nouveau")).otherwise(
+                F.lit("Récurrent")
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.countDistinct("o_custkey").alias("nb_clients"),
+            F.sum(money("o_totalprice")).cast(MONEY).alias("ca"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_Q5 = """
+WITH ref AS (
+  SELECT CAST(date_trunc('month', MAX(o_orderdate)) - INTERVAL 11 MONTH AS DATE) AS d_debut,
+         MAX(o_orderdate) AS maxd
+  FROM orders
+),
+premier AS (
+  SELECT o_custkey, MIN(o_orderdate) AS premier_achat FROM orders GROUP BY o_custkey
+)
+SELECT CASE WHEN p.premier_achat >= r.d_debut THEN 'Nouveau' ELSE 'Récurrent' END AS segment,
+       COUNT(DISTINCT o.o_custkey) AS nb_clients,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ca
+FROM orders o
+CROSS JOIN ref r
+JOIN premier p ON p.o_custkey = o.o_custkey
+WHERE o.o_orderdate >= r.d_debut AND o.o_orderdate <= r.maxd
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — monthly revenue trend.
+# Reference: dw requetes_clees.sql:107-117 "évolution mensuelle" (A9 F4).
+# ---------------------------------------------------------------------------
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("mois"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"), F.count("*").alias("nb"))
+        .orderBy("mois")
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       COUNT(*) AS nb
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — store × category heatmap (multi-key group-by over a 3-way join).
+# Reference: dw requetes_clees.sql:121-134 (A10 J3).
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_brand_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_name").alias("nom_magasin"), F.col("p_brand").alias("categorie"))
+        .agg(
+            F.sum(net_revenue()).cast(MONEY).alias("ca"),
+            F.sum("l_quantity").cast("double").alias("quantite"),
+        )
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT s_name AS nom_magasin, p_brand AS categorie,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       CAST(SUM(l_quantity) AS DOUBLE) AS quantite
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — acquisition cohorts: first-purchase month × months-since.
+# Reference: dw requetes_clees.sql:138-165 (J7 F7 A3).
+# Two aggregations of the same base, joined — the reference's shared-CTE
+# self-join. months_since uses calendar months (age() semantics).
+# ---------------------------------------------------------------------------
+
+
+def q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    first_buy = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohorte")
+    )
+    activity = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mois"),
+        money("o_totalprice").alias("montant"),
+    )
+    return (
+        activity.join(first_buy, "o_custkey")
+        .withColumn("anciennete_mois", F.floor(F.months_between("mois", "cohorte")).cast("int"))
+        .groupBy("cohorte", "anciennete_mois")
+        .agg(
+            F.countDistinct("o_custkey").alias("nb_clients"),
+            F.sum("montant").cast(MONEY).alias("ca"),
+        )
+        .filter(F.col("anciennete_mois") <= 11)
+        .orderBy("cohorte", "anciennete_mois")
+    )
+
+
+ORACLE_Q8 = """
+WITH first_buy AS (
+  SELECT o_custkey, CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohorte
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.cohorte,
+       CAST(datediff('month', f.cohorte, CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS INT)
+         AS anciennete_mois,
+       COUNT(DISTINCT o.o_custkey) AS nb_clients,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ca
+FROM orders o JOIN first_buy f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+HAVING anciennete_mois <= 11
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — RFM quintile scoring with NTILE(5).
+# Reference: dw requetes_clees.sql:168-196 (W1 A5 A12).
+# NTILE ordering carries the custkey tiebreaker so bucket assignment is
+# total-order deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("maxd"), F.max("o_orderdate")).alias("recence_jours"),
+            F.countDistinct("o_orderkey").alias("frequence"),
+            F.sum(money("o_totalprice")).cast(MONEY).alias("monetaire"),
+        )
+    )
+    w_r = Window.orderBy(F.desc("recence_jours"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.asc("frequence"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.asc("monetaire"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recence_jours",
+        "frequence",
+        "monetaire",
+        F.ntile(5).over(w_r).cast("int").alias("score_r"),
+        F.ntile(5).over(w_f).cast("int").alias("score_f"),
+        F.ntile(5).over(w_m).cast("int").alias("score_m"),
+    ).withColumn(
+        "rfm", (F.col("score_r") * 100 + F.col("score_f") * 10 + F.col("score_m")).cast("int")
+    )
+
+
+ORACLE_Q9 = """
+WITH ref AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE), CAST(MAX(maxd) AS DATE)) AS INT)
+           AS recence_jours,
+         COUNT(DISTINCT o_orderkey) AS frequence,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetaire
+  FROM orders CROSS JOIN ref
+  GROUP BY o_custkey
+)
+SELECT o_custkey, recence_jours, frequence, monetaire,
+       CAST(NTILE(5) OVER (ORDER BY recence_jours DESC, o_custkey ASC) AS INT) AS score_r,
+       CAST(NTILE(5) OVER (ORDER BY frequence ASC, o_custkey ASC) AS INT) AS score_f,
+       CAST(NTILE(5) OVER (ORDER BY monetaire ASC, o_custkey ASC) AS INT) AS score_m,
+       CAST(NTILE(5) OVER (ORDER BY recence_jours DESC, o_custkey ASC) * 100
+          + NTILE(5) OVER (ORDER BY frequence ASC, o_custkey ASC) * 10
+          + NTILE(5) OVER (ORDER BY monetaire ASC, o_custkey ASC) AS INT) AS rfm
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — daily revenue z-score outliers.
+# Reference: dw requetes_clees.sql:199-223 (A6 A13 J4 O3 P6).
+# Mean/stddev are derived from exact decimal sums (sum, sum of squares)
+# so the doubles fed to the z-score are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    daily = lineitem.groupBy(F.col("l_shipdate").cast("date").alias("jour")).agg(
+        F.sum(net_revenue()).cast(MONEY).alias("ca")
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("ca").cast(MONEY).alias("s1"),
+        F.sum(F.col("ca") * F.col("ca")).cast("decimal(38,4)").alias("s2"),
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("moyenne", F.col("s1").cast("double") / F.col("n"))
+        .withColumn(
+            "ecart_type",
+            F.sqrt(F.col("s2").cast("double") / F.col("n") - F.col("moyenne") * F.col("moyenne")),
+        )
+        .withColumn(
+            "zscore",
+            F.when(F.col("ecart_type") > 0, (F.col("ca").cast("double") - F.col("moyenne")) / F.col("ecart_type")).otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        scored.select("jour", "ca", F.round("zscore", 4).alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), F.asc("jour"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS jour,
+         CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(ca) AS DECIMAL(18,2)) AS s1,
+         CAST(SUM(ca * ca) AS DECIMAL(38,4)) AS s2
+  FROM daily
+),
+scored AS (
+  SELECT d.jour, d.ca,
+         CAST(s.s1 AS DOUBLE) / s.n AS moyenne,
+         sqrt(CAST(s.s2 AS DOUBLE) / s.n
+              - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)) AS ecart_type
+  FROM daily d CROSS JOIN stats s
+)
+SELECT jour, ca,
+       ROUND(CASE WHEN ecart_type > 0
+                  THEN (CAST(ca AS DOUBLE) - moyenne) / ecart_type ELSE 0.0 END, 4) AS zscore
+FROM scored
+ORDER BY abs(CASE WHEN ecart_type > 0
+                  THEN (CAST(ca AS DOUBLE) - moyenne) / ecart_type ELSE 0.0 END) DESC, jour ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — month-over-month / year-over-year deltas via LAG(1)/LAG(12).
+# Reference: dw requetes_clees.sql:226-248 (W2 P6 P8).
+# The monthly series is joined to a generated month spine first so
+# LAG(12) is calendar-aligned even when months are missing (SURVEY §7).
+# ---------------------------------------------------------------------------
+
+
+def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    monthly = lineitem.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mois")
+    ).agg(F.sum(net_revenue()).cast(MONEY).alias("ca"))
+    bounds = monthly.agg(F.min("mois").alias("lo"), F.max("mois").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("mois")
+    )
+    filled = spine.join(monthly, "mois", "left").select(
+        "mois", F.coalesce(F.col("ca"), F.lit(0).cast(MONEY)).alias("ca")
+    )
+    w = Window.orderBy("mois")
+    return (
+        filled.withColumn("ca_m1", F.lag("ca", 1).over(w).cast(MONEY))
+        .withColumn("ca_m12", F.lag("ca", 12).over(w).cast(MONEY))
+        .withColumn(
+            "mom_pct",
+            F.round(
+                (F.col("ca") - F.col("ca_m1")).cast("double")
+                / F.nullif(F.col("ca_m1").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "yoy_pct",
+            F.round(
+                (F.col("ca") - F.col("ca_m12")).cast("double")
+                / F.nullif(F.col("ca_m12").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+        .orderBy("mois")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+         CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca
+  FROM lineitem GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(mois) FROM monthly),
+           (SELECT MAX(mois) FROM monthly),
+           INTERVAL 1 MONTH)) AS DATE) AS mois
+),
+filled AS (
+  SELECT s.mois, CAST(COALESCE(m.ca, 0) AS DECIMAL(18,2)) AS ca
+  FROM spine s LEFT JOIN monthly m ON s.mois = m.mois
+),
+lagged AS (
+  SELECT mois, ca,
+         CAST(LAG(ca, 1) OVER (ORDER BY mois) AS DECIMAL(18,2)) AS ca_m1,
+         CAST(LAG(ca, 12) OVER (ORDER BY mois) AS DECIMAL(18,2)) AS ca_m12
+  FROM filled
+)
+SELECT mois, ca, ca_m1, ca_m12,
+       ROUND(CAST(ca - ca_m1 AS DOUBLE) / NULLIF(CAST(ca_m1 AS DOUBLE), 0.0), 4) AS mom_pct,
+       ROUND(CAST(ca - ca_m12 AS DOUBLE) / NULLIF(CAST(ca_m12 AS DOUBLE), 0.0), 4) AS yoy_pct
+FROM lagged ORDER BY mois
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — 30-day rolling revenue per region (physical ROWS frame over a
+# daily pre-aggregation). Reference: dw requetes_clees.sql:251-265 (W3).
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    daily = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("l_shipdate").cast("date").alias("jour"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca_jour"))
+    )
+    w = Window.partitionBy("region").orderBy("jour").rowsBetween(-29, 0)
+    return daily.select(
+        "region",
+        "jour",
+        "ca_jour",
+        F.sum("ca_jour").over(w).cast(MONEY).alias("ca_30j"),
+    ).orderBy("region", "jour")
+
+
+ORACLE_Q12 = f"""
+WITH daily AS (
+  SELECT r_name AS region, CAST(l_shipdate AS DATE) AS jour,
+         CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca_jour
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, jour, ca_jour,
+       CAST(SUM(ca_jour) OVER (PARTITION BY region ORDER BY jour
+            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_30j
+FROM daily ORDER BY region, jour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — Pareto 80/20: cumulative revenue share across categories.
+# Reference: DAX `CA cumul catégories` / `% cumul CA catégories`
+# (pbix page "Produits & clients"; SURVEY §2.5 W4).
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    by_brand = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("categorie"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"))
+    )
+    w_cum = Window.orderBy(F.desc("ca"), F.asc("categorie")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return (
+        by_brand.withColumn("ca_cumul", F.sum("ca").over(w_cum).cast(MONEY))
+        .withColumn(
+            "pct_cumul",
+            F.round(F.col("ca_cumul").cast("double") / F.sum(F.col("ca").cast("double")).over(w_all), 6),
+        )
+        .orderBy(F.desc("ca"), F.asc("categorie"))
+    )
+
+
+ORACLE_Q13 = f"""
+WITH by_brand AS (
+  SELECT p_brand AS categorie, CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT categorie, ca,
+       CAST(SUM(ca) OVER (ORDER BY ca DESC, categorie ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul,
+       ROUND(CAST(SUM(ca) OVER (ORDER BY ca DESC, categorie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / SUM(CAST(ca AS DOUBLE)) OVER (), 6) AS pct_cumul
+FROM by_brand ORDER BY ca DESC, categorie ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — top part per brand (rank-1 per group).
+# Reference: DAX Top Film / Top Catégorie measures (SURVEY §2.5 W5).
+# ---------------------------------------------------------------------------
+
+
+def q_top_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    by_part = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("ca"), F.asc("p_partkey"))
+    return (
+        by_part.withColumn("rang", F.row_number().over(w))
+        .filter(F.col("rang") == 1)
+        .select(
+            F.col("p_brand").alias("categorie"),
+            F.col("p_name").alias("top_produit"),
+            "ca",
+        )
+        .orderBy("categorie")
+    )
+
+
+ORACLE_Q14 = f"""
+WITH by_part AS (
+  SELECT p_brand, p_partkey, p_name, CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT p_brand, p_name, ca,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY ca DESC, p_partkey ASC) AS rang
+  FROM by_part
+)
+SELECT p_brand AS categorie, p_name AS top_produit, ca
+FROM ranked WHERE rang = 1 ORDER BY categorie
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — shipping-delay stats: elapsed-day semantics, GREATEST clamp,
+# exact median. Reference: vues.sql:217-247 late-returns views
+# (F6 P9 A4 A7 A5). interval_days = EXTRACT(DAY FROM a-b), not datediff.
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    base = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("pays"),
+            interval_days("l_shipdate", "o_orderdate").alias("delai_jours"),
+        )
+        .withColumn("retard_jours", F.greatest(F.col("delai_jours") - F.lit(60), F.lit(0)))
+    )
+    return (
+        base.groupBy("pays")
+        .agg(
+            F.count("*").alias("nb_lignes"),
+            F.round(F.sum("delai_jours").cast("double") / F.count("*"), 4).alias("delai_moyen"),
+            F.round(F.expr("percentile(retard_jours, 0.5)"), 4).alias("retard_median"),
+            F.max("retard_jours").alias("retard_max"),
+            F.sum(F.when(F.col("retard_jours") > 0, 1).otherwise(0)).alias("nb_en_retard"),
+        )
+        .orderBy("pays")
+    )
+
+
+ORACLE_Q15 = """
+WITH base AS (
+  SELECT n_name AS pays,
+         CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) AS delai_jours,
+         GREATEST(CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) - 60, 0)
+           AS retard_jours
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+SELECT pays,
+       COUNT(*) AS nb_lignes,
+       ROUND(CAST(SUM(delai_jours) AS DOUBLE) / COUNT(*), 4) AS delai_moyen,
+       ROUND(CAST(quantile_cont(retard_jours, 0.5) AS DOUBLE), 4) AS retard_median,
+       MAX(retard_jours) AS retard_max,
+       SUM(CASE WHEN retard_jours > 0 THEN 1 ELSE 0 END) AS nb_en_retard
+FROM base GROUP BY pays ORDER BY pays
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts never ordered (anti-join).
+# Reference: vues.sql:308-315 "films jamais loués" (J6). The Spark plan
+# uses a true left_anti (broadcast on the keys side); the oracle keeps
+# the reference's outer-join + IS NULL spelling — same rows.
+# ---------------------------------------------------------------------------
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.join(lineitem.select("l_partkey"), part.p_partkey == lineitem.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_partkey, p_name, p_brand
+FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+WHERE l_partkey IS NULL
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — ordered, distinct string aggregation per group.
+# Reference: vues.sql:7-13, 31, 50-52 STRING_AGG actor lists (A8).
+# Spark's collect_set is order-nondeterministic → sort_array before
+# array_join makes it total-order deterministic (SURVEY §7 hard parts).
+# ---------------------------------------------------------------------------
+
+
+def q_brand_type_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("categorie"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("p_type")), ", ").alias("types"),
+            F.countDistinct("p_type").alias("nb_types"),
+            F.count("*").alias("nb_produits"),
+        )
+        .orderBy("categorie")
+    )
+
+
+ORACLE_Q17 = """
+SELECT p_brand AS categorie,
+       string_agg(DISTINCT p_type, ', ' ORDER BY p_type) AS types,
+       COUNT(DISTINCT p_type) AS nb_types,
+       COUNT(*) AS nb_produits
+FROM part GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — generated month spine with zero-filled revenue.
+# Reference: GENERATE_SERIES date spine (insertion_dataware.sql:20-37,
+# v_calendrier filmdb.sql:403-418; S7 P7 A5 A12).
+# ---------------------------------------------------------------------------
+
+
+def q_month_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mois")
+    ).agg(F.sum(money("o_totalprice")).cast(MONEY).alias("ca"), F.count("*").alias("nb"))
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("mois")
+    )
+    return (
+        spine.join(monthly, "mois", "left")
+        .select(
+            "mois",
+            F.coalesce(F.col("ca"), F.lit(0).cast(MONEY)).alias("ca"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+        )
+        .orderBy("mois")
+    )
+
+
+ORACLE_Q18 = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ca,
+         COUNT(*) AS nb
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders),
+           (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders),
+           INTERVAL 1 MONTH)) AS DATE) AS mois
+)
+SELECT s.mois,
+       CAST(COALESCE(m.ca, 0) AS DECIMAL(18,2)) AS ca,
+       COALESCE(m.nb, 0) AS nb
+FROM spine s LEFT JOIN monthly m ON s.mois = m.mois
+ORDER BY s.mois
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — orders inside a computed window (theta join against 1-row bounds).
+# Reference: source requetes_clees.sql:17,39,59,92 `JOIN borne b ON
+# p.payment_date BETWEEN b.d_debut AND b.d_fin` (J5 A12).
+# Catalyst plans BroadcastNestedLoopJoin — correct for a 1-row side.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_last_full_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    borne = orders.agg(F.max("o_orderdate").alias("maxd")).select(
+        F.date_trunc("month", F.add_months(F.col("maxd"), -1)).cast("date").alias("d_debut"),
+        F.date_sub(F.date_trunc("month", "maxd").cast("date"), 1).alias("d_fin"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(borne))
+        .filter(F.col("o_orderdate").cast("date").between(F.col("d_debut"), F.col("d_fin")))
+        .groupBy(F.col("o_orderpriority").alias("priorite"))
+        .agg(
+            F.count("*").alias("nb_commandes"),
+            F.sum(money("o_totalprice")).cast(MONEY).alias("ca"),
+        )
+        .orderBy("priorite")
+    )
+
+
+ORACLE_Q19 = """
+WITH borne AS (
+  SELECT CAST(date_trunc('month', MAX(o_orderdate) - INTERVAL 1 MONTH) AS DATE) AS d_debut,
+         CAST(date_trunc('month', MAX(o_orderdate)) - INTERVAL 1 DAY AS DATE) AS d_fin
+  FROM orders
+)
+SELECT o_orderpriority AS priorite,
+       COUNT(*) AS nb_commandes,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ca
+FROM orders JOIN borne b
+  ON CAST(o_orderdate AS DATE) BETWEEN b.d_debut AND b.d_fin
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — yyyymmdd smart-date-key rollup (the warehouse date-key formula).
+# Reference: insertion_dataware.sql:27,175; dw requetes_clees.sql:276 (F9).
+# ---------------------------------------------------------------------------
+
+
+def q_date_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(date_key("l_shipdate").alias("date_key"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"), F.count("*").alias("nb"))
+        .orderBy("date_key")
+    )
+
+
+ORACLE_Q20 = f"""
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 10000
+          + EXTRACT(MONTH FROM l_shipdate) * 100
+          + EXTRACT(DAY FROM l_shipdate) AS INT) AS date_key,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       COUNT(*) AS nb
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — CASE segmentation + COALESCE defaults + NULLIF guard, over
+# exact decimal sums. Reference: P6/P7/P8 cluster (dw requetes_clees
+# .sql:95-96, 5, 9; vues.sql:275).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    seg = customer.select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("Inconnu")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("debiteur"))
+        .when(F.col("c_acctbal") < 5000, F.lit("standard"))
+        .otherwise(F.lit("premium"))
+        .alias("tranche"),
+        money("c_acctbal").alias("solde"),
+    )
+    return (
+        seg.groupBy("segment", "tranche")
+        .agg(
+            F.count("*").alias("nb_clients"),
+            F.round(
+                F.sum("solde").cast("double") / F.nullif(F.count("*"), F.lit(0)), 4
+            ).alias("solde_moyen"),
+        )
+        .orderBy("segment", "tranche")
+    )
+
+
+ORACLE_Q21 = """
+SELECT COALESCE(c_mktsegment, 'Inconnu') AS segment,
+       CASE WHEN c_acctbal < 0 THEN 'debiteur'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tranche,
+       COUNT(*) AS nb_clients,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / NULLIF(COUNT(*), 0), 4) AS solde_moyen
+FROM customer
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "kpi_supplier_month": q_kpi_supplier_month,
+    "brand_revenue_share": q_brand_revenue_share,
+    "loyal_clients": q_loyal_clients,
+    "new_vs_returning": q_new_vs_returning,
+    "monthly_revenue": q_monthly_revenue,
+    "supplier_brand_heatmap": q_supplier_brand_heatmap,
+    "cohorts": q_cohorts,
+    "rfm": q_rfm,
+    "daily_zscore": q_daily_zscore,
+    "mom_yoy": q_mom_yoy,
+    "rolling_30d": q_rolling_30d,
+    "pareto_brands": q_pareto_brands,
+    "top_part_per_brand": q_top_part_per_brand,
+    "shipping_delays": q_shipping_delays,
+    "parts_never_ordered": q_parts_never_ordered,
+    "brand_type_list": q_brand_type_list,
+    "month_spine_coverage": q_month_spine_coverage,
+    "orders_last_full_month": q_orders_last_full_month,
+    "date_key_rollup": q_date_key_rollup,
+    "customer_segments": q_customer_segments,
+}
+
+ORACLES = {
+    "top_parts_by_revenue": ORACLE_Q1,
+    "kpi_supplier_month": ORACLE_Q2,
+    "brand_revenue_share": ORACLE_Q3,
+    "loyal_clients": ORACLE_Q4,
+    "new_vs_returning": ORACLE_Q5,
+    "monthly_revenue": ORACLE_Q6,
+    "supplier_brand_heatmap": ORACLE_Q7,
+    "cohorts": ORACLE_Q8,
+    "rfm": ORACLE_Q9,
+    "daily_zscore": ORACLE_Q10,
+    "mom_yoy": ORACLE_Q11,
+    "rolling_30d": ORACLE_Q12,
+    "pareto_brands": ORACLE_Q13,
+    "top_part_per_brand": ORACLE_Q14,
+    "shipping_delays": ORACLE_Q15,
+    "parts_never_ordered": ORACLE_Q16,
+    "brand_type_list": ORACLE_Q17,
+    "month_spine_coverage": ORACLE_Q18,
+    "orders_last_full_month": ORACLE_Q19,
+    "date_key_rollup": ORACLE_Q20,
+    "customer_segments": ORACLE_Q21,
+}

@@ -1,0 +1,51 @@
+"""Source catalog: schema-pinned parquet readers + session views.
+
+Analog of the reference's two-catalog layout (source filmdb vs
+warehouse, bridged by dblink — sql/datawarehouse/
+insertion_dataware.sql:4-10): here "source" and "warehouse" are
+separate parquet roots and the federation hop disappears — Spark
+reads both directly (SURVEY.md §2.1 S4).
+
+Scans stay declarative (`spark.read.parquet`) so Catalyst gets
+predicate pushdown, column pruning, and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import SOURCE_TABLES
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one source table with its declared schema.
+
+    Passing the explicit schema (instead of relying on parquet footer
+    inference) both documents the contract and fails fast on drift —
+    the reference's `AS t(col type, ...)` discipline
+    (insertion_dataware.sql:69-72).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = SOURCE_TABLES.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_source_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    names = names or list(SOURCE_TABLES)
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each source table as a temp view so the SQL API form
+    of every query (SURVEY.md §3.2 requires both forms) works:
+    ``spark.sql("SELECT ... FROM lineitem ...")``.
+    """
+    for name, df in load_source_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,64 @@
+"""Local twin of the driver's correctness gate: run a Spark query and
+its DuckDB oracle on the same parquet tables, compare row count, column
+names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return f"{v:.6f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:19]
+    return str(v)
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(oracle_sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    s_set = _rowset(s_cols, s_rows)
+    d_set = _rowset(d_cols, d_rows)
+    if s_set != d_set:
+        diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
+        return False, f"values differ; first diffs (spark vs duck): {diffs}"
+    return True, "ok"
