@@ -51,6 +51,28 @@ def interval_days(later: Column | str, earlier: Column | str) -> Column:
     return F.floor((a.cast("long") - b.cast("long")) / F.lit(86400)).cast("int")
 
 
+def round_half_up(col: Column, scale: int) -> Column:
+    """Cross-engine-deterministic rounding of a double ratio.
+
+    Spark's ``F.round(double, s)`` goes through ``Double.toString``
+    (shortest decimal repr) then HALF_UP, while DuckDB rounds the
+    binary value — ties at the round digit diverge (e.g.
+    303879.91/8 = 37984.98875 → Spark .9888, DuckDB .9887). Instead
+    both the Spark side (this helper) and the DuckDB oracle
+    (``sql_round_half_up``) compute floor(x*10^s + 0.5)/10^s with the
+    identical IEEE-754 op sequence, so the resulting doubles are
+    bit-identical across engines. (Semantics: half-toward-+inf.)
+    """
+    factor = float(10**scale)
+    return F.floor(col.cast("double") * F.lit(factor) + F.lit(0.5)) / F.lit(factor)
+
+
+def sql_round_half_up(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`round_half_up` — same IEEE op sequence."""
+    factor = float(10**scale)
+    return f"FLOOR(CAST(({expr}) AS DOUBLE) * {factor!r} + 0.5) / {factor!r}"
+
+
 def months_since(later: Column | str, earlier: Column | str) -> Column:
     """Whole calendar months between two dates — Postgres
     `age(a,b)` year*12+month semantics (sql/datawarehouse/

@@ -25,17 +25,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import date_key, interval_days, money, net_revenue
+from ..functions.scalar import (
+    date_key,
+    interval_days,
+    money,
+    net_revenue,
+    round_half_up,
+    sql_round_half_up,
+)
 from ..schemas import MONEY
 from ..sources.catalog import read_table
 
 # Revenue in DuckDB SQL — decimal-exact twin of functions.scalar.net_revenue:
 # rounded to money scale PER ROW (reference keeps payment amounts in
 # numeric(x,2) — creationdatwareh.sql:109), so both engines sum identical
-# cent-exact values. Positive-value HALF_UP rounding agrees across engines.
+# cent-exact values. NOTE: the per-row downscale must be an explicit
+# ROUND, not a bare CAST — Spark's decimal cast rounds HALF_UP while
+# DuckDB's decimal CAST truncates (.xx50 ties go down), which drifted
+# sums by cents. DuckDB ROUND is half-away-from-zero, which equals
+# Spark HALF_UP on positive money.
 SQL_REV = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))"
 )
 
 
@@ -102,7 +113,7 @@ def q_kpi_supplier_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "panier_moyen",
-            F.round(
+            round_half_up(
                 F.col("ca").cast("double") / F.nullif(F.col("nb_commandes"), F.lit(0)),
                 4,
             ),
@@ -111,14 +122,19 @@ def q_kpi_supplier_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+_Q2_RATIO = sql_round_half_up(
+    f"CAST(CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE)"
+    " / NULLIF(COUNT(DISTINCT l_orderkey), 0)",
+    4,
+)
+
 ORACLE_Q2 = f"""
 SELECT s_name AS nom_magasin,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
        CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
        COUNT(*) AS nb_paiements,
        COUNT(DISTINCT l_orderkey) AS nb_commandes,
-       ROUND(CAST(CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE)
-             / NULLIF(COUNT(DISTINCT l_orderkey), 0), 4) AS panier_moyen
+       {_Q2_RATIO} AS panier_moyen
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -145,9 +161,15 @@ def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     return by_brand.withColumn(
         "part_ca",
-        F.round(F.col("ca").cast("double") / F.sum(F.col("ca").cast("double")).over(total), 6),
+        round_half_up(
+            F.col("ca").cast("double") / F.sum("ca").over(total).cast("double"), 6
+        ),
     )
 
+
+# The grand total is summed in exact decimal and only then cast to
+# double, so the denominator is order-independent on both engines.
+_Q3_SHARE = sql_round_half_up("CAST(ca AS DOUBLE) / CAST(SUM(ca) OVER () AS DOUBLE)", 6)
 
 ORACLE_Q3 = f"""
 WITH by_brand AS (
@@ -158,7 +180,7 @@ WITH by_brand AS (
   GROUP BY 1
 )
 SELECT categorie, ca, nb,
-       ROUND(CAST(ca AS DOUBLE) / SUM(CAST(ca AS DOUBLE)) OVER (), 6) AS part_ca
+       {_Q3_SHARE} AS part_ca
 FROM by_brand
 """
 
@@ -444,11 +466,17 @@ def q_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.select("jour", "ca", F.round("zscore", 4).alias("zscore"))
+        scored.select("jour", "ca", round_half_up(F.col("zscore"), 4).alias("zscore"))
         .orderBy(F.abs(F.col("zscore")).desc(), F.asc("jour"))
         .limit(20)
     )
 
+
+_Q10_Z = sql_round_half_up(
+    "CASE WHEN ecart_type > 0"
+    " THEN (CAST(ca AS DOUBLE) - moyenne) / ecart_type ELSE 0.0 END",
+    4,
+)
 
 ORACLE_Q10 = f"""
 WITH daily AS (
@@ -468,13 +496,14 @@ scored AS (
          sqrt(CAST(s.s2 AS DOUBLE) / s.n
               - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)) AS ecart_type
   FROM daily d CROSS JOIN stats s
+),
+final AS (
+  SELECT jour, ca, {_Q10_Z} AS zscore
+  FROM scored
 )
-SELECT jour, ca,
-       ROUND(CASE WHEN ecart_type > 0
-                  THEN (CAST(ca AS DOUBLE) - moyenne) / ecart_type ELSE 0.0 END, 4) AS zscore
-FROM scored
-ORDER BY abs(CASE WHEN ecart_type > 0
-                  THEN (CAST(ca AS DOUBLE) - moyenne) / ecart_type ELSE 0.0 END) DESC, jour ASC
+SELECT jour, ca, zscore
+FROM final
+ORDER BY abs(zscore) DESC, jour ASC
 LIMIT 20
 """
 
@@ -505,7 +534,7 @@ def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ca_m12", F.lag("ca", 12).over(w).cast(MONEY))
         .withColumn(
             "mom_pct",
-            F.round(
+            round_half_up(
                 (F.col("ca") - F.col("ca_m1")).cast("double")
                 / F.nullif(F.col("ca_m1").cast("double"), F.lit(0.0)),
                 4,
@@ -513,7 +542,7 @@ def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "yoy_pct",
-            F.round(
+            round_half_up(
                 (F.col("ca") - F.col("ca_m12")).cast("double")
                 / F.nullif(F.col("ca_m12").cast("double"), F.lit(0.0)),
                 4,
@@ -522,6 +551,13 @@ def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mois")
     )
 
+
+_Q11_MOM = sql_round_half_up(
+    "CAST(ca - ca_m1 AS DOUBLE) / NULLIF(CAST(ca_m1 AS DOUBLE), 0.0)", 4
+)
+_Q11_YOY = sql_round_half_up(
+    "CAST(ca - ca_m12 AS DOUBLE) / NULLIF(CAST(ca_m12 AS DOUBLE), 0.0)", 4
+)
 
 ORACLE_Q11 = f"""
 WITH monthly AS (
@@ -546,8 +582,8 @@ lagged AS (
   FROM filled
 )
 SELECT mois, ca, ca_m1, ca_m12,
-       ROUND(CAST(ca - ca_m1 AS DOUBLE) / NULLIF(CAST(ca_m1 AS DOUBLE), 0.0), 4) AS mom_pct,
-       ROUND(CAST(ca - ca_m12 AS DOUBLE) / NULLIF(CAST(ca_m12 AS DOUBLE), 0.0), 4) AS yoy_pct
+       {_Q11_MOM} AS mom_pct,
+       {_Q11_YOY} AS yoy_pct
 FROM lagged ORDER BY mois
 """
 
@@ -619,25 +655,34 @@ def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_brand.withColumn("ca_cumul", F.sum("ca").over(w_cum).cast(MONEY))
         .withColumn(
             "pct_cumul",
-            F.round(F.col("ca_cumul").cast("double") / F.sum(F.col("ca").cast("double")).over(w_all), 6),
+            round_half_up(
+                F.col("ca_cumul").cast("double") / F.sum("ca").over(w_all).cast("double"),
+                6,
+            ),
         )
         .orderBy(F.desc("ca"), F.asc("categorie"))
     )
 
+
+_Q13_PCT = sql_round_half_up(
+    "CAST(ca_cumul AS DOUBLE) / CAST(SUM(ca) OVER () AS DOUBLE)", 6
+)
 
 ORACLE_Q13 = f"""
 WITH by_brand AS (
   SELECT p_brand AS categorie, CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1
+),
+cum AS (
+  SELECT categorie, ca,
+         CAST(SUM(ca) OVER (ORDER BY ca DESC, categorie ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul
+  FROM by_brand
 )
-SELECT categorie, ca,
-       CAST(SUM(ca) OVER (ORDER BY ca DESC, categorie ASC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul,
-       ROUND(CAST(SUM(ca) OVER (ORDER BY ca DESC, categorie ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / SUM(CAST(ca AS DOUBLE)) OVER (), 6) AS pct_cumul
-FROM by_brand ORDER BY ca DESC, categorie ASC
+SELECT categorie, ca, ca_cumul,
+       {_Q13_PCT} AS pct_cumul
+FROM cum ORDER BY ca DESC, categorie ASC
 """
 
 
@@ -710,8 +755,12 @@ def q_shipping_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("pays")
         .agg(
             F.count("*").alias("nb_lignes"),
-            F.round(F.sum("delai_jours").cast("double") / F.count("*"), 4).alias("delai_moyen"),
-            F.round(F.expr("percentile(retard_jours, 0.5)"), 4).alias("retard_median"),
+            round_half_up(F.sum("delai_jours").cast("double") / F.count("*"), 4).alias(
+                "delai_moyen"
+            ),
+            round_half_up(F.expr("percentile(retard_jours, 0.5)"), 4).alias(
+                "retard_median"
+            ),
             F.max("retard_jours").alias("retard_max"),
             F.sum(F.when(F.col("retard_jours") > 0, 1).otherwise(0)).alias("nb_en_retard"),
         )
@@ -719,7 +768,10 @@ def q_shipping_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q15 = """
+_Q15_MOYEN = sql_round_half_up("CAST(SUM(delai_jours) AS DOUBLE) / COUNT(*)", 4)
+_Q15_MEDIAN = sql_round_half_up("CAST(quantile_cont(retard_jours, 0.5) AS DOUBLE)", 4)
+
+ORACLE_Q15 = f"""
 WITH base AS (
   SELECT n_name AS pays,
          CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) AS delai_jours,
@@ -732,8 +784,8 @@ WITH base AS (
 )
 SELECT pays,
        COUNT(*) AS nb_lignes,
-       ROUND(CAST(SUM(delai_jours) AS DOUBLE) / COUNT(*), 4) AS delai_moyen,
-       ROUND(CAST(quantile_cont(retard_jours, 0.5) AS DOUBLE), 4) AS retard_median,
+       {_Q15_MOYEN} AS delai_moyen,
+       {_Q15_MEDIAN} AS retard_median,
        MAX(retard_jours) AS retard_max,
        SUM(CASE WHEN retard_jours > 0 THEN 1 ELSE 0 END) AS nb_en_retard
 FROM base GROUP BY pays ORDER BY pays
@@ -934,7 +986,7 @@ def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("segment", "tranche")
         .agg(
             F.count("*").alias("nb_clients"),
-            F.round(
+            round_half_up(
                 F.sum("solde").cast("double") / F.nullif(F.count("*"), F.lit(0)), 4
             ).alias("solde_moyen"),
         )
@@ -942,14 +994,17 @@ def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q21 = """
+_Q21_MOYEN = sql_round_half_up(
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)", 4
+)
+
+ORACLE_Q21 = f"""
 SELECT COALESCE(c_mktsegment, 'Inconnu') AS segment,
        CASE WHEN c_acctbal < 0 THEN 'debiteur'
             WHEN c_acctbal < 5000 THEN 'standard'
             ELSE 'premium' END AS tranche,
        COUNT(*) AS nb_clients,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-             / NULLIF(COUNT(*), 0), 4) AS solde_moyen
+       {_Q21_MOYEN} AS solde_moyen
 FROM customer
 GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -29,5 +29,15 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Queries whose semantics are not SQL-expressible (custom stateful /
+# hash-dependent ops) — the driver gives these a rows-only check; every
+# other registered query MUST carry an oracle or this gate fails loudly.
+NON_SQL_WHITELIST: set[str] = set()
+
+
 def test_all_queries_have_entries():
     assert len(_REG) >= 20
+    missing = set(_REG) - set(_ORACLES) - NON_SQL_WHITELIST
+    assert not missing, f"queries registered without oracle or whitelist: {sorted(missing)}"
+    orphans = set(_ORACLES) - set(_REG)
+    assert not orphans, f"oracles without a registered query: {sorted(orphans)}"
