@@ -1,0 +1,63 @@
+"""Benchmark harness: run the full query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall times.
+
+The metric is total wall seconds across all registered queries (each
+executed once, results fully materialized via a count-collect so the
+whole plan runs but driver memory stays flat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import registry
+    from filmdb_data_warehouse___power_bi_dashboard_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    reg = registry()
+    times: dict[str, float] = {}
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch overheads.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    t_all = time.perf_counter()
+    for name, fn in sorted(reg.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Materialize every result row JVM-side (no driver collect, no
+        # Python per-row hop); the noop sink runs the full plan.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
