@@ -20,6 +20,9 @@ def registry() -> dict[str, QueryFn]:
     from ..operators import QUERIES as OP_QUERIES
 
     reg.update(OP_QUERIES)
+    from ..plans.etl import QUERIES as ETL_QUERIES
+
+    reg.update(ETL_QUERIES)
     from ..plans.metrics import QUERIES as METRIC_QUERIES
 
     reg.update(METRIC_QUERIES)
@@ -32,6 +35,9 @@ def oracles() -> dict[str, str]:
     from ..operators import ORACLES as OP_ORACLES
 
     out.update(OP_ORACLES)
+    from ..plans.etl import ORACLES as ETL_ORACLES
+
+    out.update(ETL_ORACLES)
     from ..plans.metrics import ORACLES as METRIC_ORACLES
 
     out.update(METRIC_ORACLES)

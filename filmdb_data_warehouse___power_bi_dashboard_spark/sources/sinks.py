@@ -58,10 +58,16 @@ def stage_and_swap_write(
     final_path: str,
     partition_by: list[str] | None = None,
 ) -> None:
-    """Write parquet to a staging dir, then atomically swap into place.
+    """Write parquet to a staging dir, then swap into place.
 
     All-or-nothing like the reference's single-transaction refresh:
-    readers never observe a half-written table.
+    the data is fully written before the live path changes, and a
+    failure during the swap restores the previous table from backup.
+
+    LOCAL-FS ONLY: the swap uses POSIX ``os.rename``. On HDFS/S3 the
+    transactional analog is a metastore pointer swap or a table format
+    with commit semantics (Delta/Iceberg) — this sandbox has neither,
+    and the rest of the engine never assumes this sink's atomicity.
     """
     parent = os.path.dirname(final_path.rstrip("/"))
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
@@ -72,9 +78,16 @@ def stage_and_swap_write(
     backup = final_path.rstrip("/") + ".old"
     if os.path.exists(backup):
         shutil.rmtree(backup)
-    if os.path.exists(final_path):
+    had_previous = os.path.exists(final_path)
+    if had_previous:
         os.rename(final_path, backup)
-    os.rename(staging, final_path)
+    try:
+        os.rename(staging, final_path)
+    except BaseException:
+        # Restore the previous table so readers never see a void.
+        if had_previous and not os.path.exists(final_path):
+            os.rename(backup, final_path)
+        raise
     if os.path.exists(backup):
         shutil.rmtree(backup)
 

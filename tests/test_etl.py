@@ -1,0 +1,82 @@
+"""Warehouse ETL write-path tests: idempotency (the reference's
+ON CONFLICT semantics — run the refresh twice, identical star), merge
+semantics, and partition layout.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.plans.etl import build_warehouse
+from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+    merge_upsert,
+    read_warehouse_table,
+)
+
+
+@pytest.fixture(scope="module")
+def dw_root():
+    d = tempfile.mkdtemp(prefix="dw-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_build_warehouse_idempotent(spark, sf_small, dw_root):
+    counts1 = build_warehouse(spark, sf_small, dw_root)
+    keys1 = {
+        name: sorted(
+            r[0]
+            for r in read_warehouse_table(spark, dw_root, name)
+            .select(key)
+            .collect()
+        )
+        for name, key in [
+            ("dim_client", "client_key"),
+            ("dim_film", "film_key"),
+            ("fact_paiement", "source_paiement_id"),
+        ]
+    }
+    counts2 = build_warehouse(spark, sf_small, dw_root)
+    assert counts1 == counts2
+    for name, key in [
+        ("dim_client", "client_key"),
+        ("dim_film", "film_key"),
+        ("fact_paiement", "source_paiement_id"),
+    ]:
+        keys2 = sorted(
+            r[0]
+            for r in read_warehouse_table(spark, dw_root, name).select(key).collect()
+        )
+        assert keys1[name] == keys2, f"{name} surrogate keys drifted across re-runs"
+
+
+def test_fact_partitioned_by_month(spark, sf_small, dw_root):
+    fact_dir = os.path.join(dw_root, "fact_paiement")
+    parts = [p for p in os.listdir(fact_dir) if p.startswith("pay_month=")]
+    assert len(parts) >= 2, f"expected monthly partition dirs, got {parts[:5]}"
+    # Partition pruning: reading one month must only touch that dir.
+    df = spark.read.parquet(fact_dir)
+    one_month = sorted(p.split("=")[1] for p in parts)[0]
+    plan = df.filter(df.pay_month == one_month)._jdf.queryExecution().executedPlan().toString()
+    assert "pay_month" in plan
+
+
+def test_merge_upsert_do_update(spark):
+    existing = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    incoming = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")
+    out = {r["k"]: r["v"] for r in merge_upsert(existing, incoming, "k").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_upsert_do_nothing(spark):
+    existing = spark.createDataFrame([(1, "old")], "k int, v string")
+    incoming = spark.createDataFrame([(1, "new"), (2, "ins")], "k int, v string")
+    out = {
+        r["k"]: r["v"]
+        for r in merge_upsert(existing, incoming, "k", do_update=False).collect()
+    }
+    assert out == {1: "old", 2: "ins"}
