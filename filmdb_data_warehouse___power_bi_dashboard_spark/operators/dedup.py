@@ -1,0 +1,421 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables — the large-scale training-data-pipeline surface (beyond the
+reference; BASELINE north star).
+
+Five families, all expressed with built-in JVM-side expressions (no
+Python UDFs on any hot path):
+
+- exact (content-hash groupBy)
+- n-gram Jaccard (exact, block-bounded self-join)
+- MinHash + LSH banding (candidate pairs without all-pairs)
+- SimHash (64-bit fingerprint + pigeonhole banding)
+- embedding cosine near-dup
+
+Scale design: the only all-pairs computation is inside an LSH bucket
+or an explicit block (lang); everything else is linear scans +
+hash-shuffles on derived keys. At 100 TB the bucket/band joins shuffle
+only (key, doc_id) pairs, never the documents themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+# Mersenne prime 2^31-1: modulus for the minhash permutation family.
+# Kept below 2^31 so a*h+b stays inside a long under ANSI arithmetic.
+_P = (1 << 31) - 1
+_SEED = 42
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles, built with transform/sequence —
+    whole-stage-codegen friendly, no UDF."""
+    w = _tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(gram)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Group documents by content hash; keeper = min doc_id.
+
+    One hash-shuffle on the 32-hex md5 — the canonical exact-dedup at
+    any scale (hash first so the shuffle never moves full texts).
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("nb_copies"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup_clusters(docs).orderBy("content_hash")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS nb_copies
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (block-bounded)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFrame:
+    """Word n-gram Jaccard over pairs within a block (lang).
+
+    Blocking bounds the quadratic term: pairs are only formed inside a
+    block, so cost is sum(block²) not N². At scale the block key would
+    be an LSH band (see minhash) — this operator is the *exact* oracle
+    against which approximate dedup recall is measured.
+    """
+    d = docs.select("doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            round_half_up(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.6, n=3)
+
+
+_JAC = sql_round_half_up(
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(a.sh, b.sh)))",
+    6,
+)
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, lang AS block,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {_JAC} AS jaccard
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE {_JAC} >= 0.6
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _hash_params(num_hashes: int, seed: int = _SEED) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _P - 1)), int(rng.randint(0, _P - 1)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """num_hashes minhash values per doc from (a*h+b) mod p over
+    xxhash64 shingle hashes — all array expressions, one pass, no
+    shuffle, no UDF."""
+    params = _hash_params(num_hashes)
+    sh = _shingles(n=n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    def _perm(a: int, b: int):
+        # Closure factory: PySpark's higher-order binder reads the
+        # lambda arity, so default-arg capture would look 3-ary.
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    sig = F.array(*[F.array_min(F.transform(hashed, _perm(a, b))) for a, b in params])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by estimated
+    Jaccard (fraction of agreeing minhashes).
+
+    Pipeline: signature → explode into ``bands`` band-hashes →
+    group doc_ids per (band, hash) bucket → pairs WITHIN buckets only
+    (never all-pairs) → distinct → estimate ≥ threshold.
+
+    At 100 TB only (band_hash, doc_id) pairs shuffle; bucket joins are
+    bounded by bucket size, and AQE's skew-join splits any hot bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (
+        cand.select("doc_a", "doc_b", round_half_up(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (hash-family not reproducible in ANSI SQL);
+    recall vs the exact Jaccard operator is asserted in pytest."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per bit position, sum +1/-1 over token
+    hashes; bit set where the sum is positive. Pure array expressions
+    (aggregate + zip_with) — one scan, no shuffle."""
+    tokens = _tokens()
+    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def token_bits(t):
+        # shiftright's bit count must be a Python int — unroll the
+        # bit positions at plan-build time (bits is small and fixed).
+        return F.array(
+            *[
+                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    sums = F.aggregate(tokens, acc0, lambda acc, t: F.zip_with(acc, token_bits(t), lambda x, y: x + y))
+    fp = None
+    for b in range(bits):
+        term = F.when(F.element_at(sums, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found via
+    pigeonhole banding: split the fingerprint into max_hamming+1
+    chunks — any pair within the radius agrees on ≥1 chunk, so pairs
+    are only formed inside chunk-equality buckets (no all-pairs)."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    fps = simhash_fingerprints(docs, bits)
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    banded = fps.select("doc_id", "simhash", F.explode(chunk_arr).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 not reproducible in DuckDB); the
+    hamming-radius property is asserted in pytest."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=32, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a, b):
+    """Deterministic double-precision cosine: element-wise products
+    folded left in index order — the same op sequence the DuckDB
+    oracle spells out, so values are bit-identical."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Pairs with cosine >= threshold.
+
+    Norms are precomputed per vector BEFORE the pair join (halves the
+    per-pair arithmetic). This is the exact variant (self-join); the
+    scale path buckets by LSH hyperplane signature first
+    (operators/similarity.py) so only same-bucket pairs are scored.
+    """
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(
+        "vec_id",
+        ed.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(ed, ed, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("norm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_half_up(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+_SQL_COS = sql_round_half_up(
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    "          for i in range(1, len(a.embedding) + 1)])"
+    " / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    "                   for i in range(1, len(a.embedding) + 1)]))"
+    "    * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    "                     for i in range(1, len(b.embedding) + 1)])))",
+    6,
+)
+
+ORACLE_EMBEDDING_PAIRS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SQL_COS} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.4
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
+}

@@ -1,0 +1,208 @@
+"""Text analysis over the ``documents`` table: language ID (marker-
+word heuristic), quality scoring, token counting (whitespace + a
+BPE-ish regex), and canonical document fingerprinting.
+
+Everything is built-in Column expressions — no Python UDF anywhere —
+so the whole profile runs inside whole-stage codegen in one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+# Marker-word sets per language for the n-gram/stopword heuristic.
+# Fixed precedence order breaks score ties deterministically.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr"]
+
+# The BPE-ish token regex: word pieces, digit runs, or single
+# non-space symbols — a coarse stand-in for byte-pair pretokenization.
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+_EN_STOP = _LANG_MARKERS["en"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _marker_hits(words, lang: str):
+    """Occurrences (with repeats) of the language's marker words."""
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Detected language = argmax marker-hit count, ties broken by
+    the fixed _LANG_ORDER precedence, 'und' when nothing matches."""
+    words = _words()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[_marker_hits(words, lg).alias(f"s_{lg}") for lg in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    detect = F.when(best == 0, F.lit("und"))
+    for lg in _LANG_ORDER:
+        detect = detect.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", "lang_declared", detect.alias("lang_detected"))
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Per-document quality profile: token counts (whitespace and
+    BPE-ish), char stats, stopword/punct ratios, mean word length,
+    and a composite quality score in [0,1]."""
+    words = _words()
+    n_ws = F.size(words)
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    n_chars = F.length("text")
+    stop = F.array(*[F.lit(m) for m in _EN_STOP])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+    mean_wlen = (n_chars - (n_ws - 1)).cast("double") / n_ws
+    stop_ratio = n_stop.cast("double") / n_ws
+    punct_ratio = n_punct.cast("double") / n_chars
+    # Quality: long enough, low punctuation noise, some but not all
+    # stopwords — each clause in [0,1], averaged.
+    q_len = F.least(n_ws.cast("double") / F.lit(20.0), F.lit(1.0))
+    q_punct = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
+    q_stop = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))
+    quality = (q_len + q_punct + q_stop) / F.lit(3.0)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        n_chars.alias("n_chars"),
+        round_half_up(mean_wlen, 4).alias("mean_word_len"),
+        round_half_up(stop_ratio, 4).alias("stopword_ratio"),
+        round_half_up(punct_ratio, 4).alias("punct_ratio"),
+        round_half_up(quality, 4).alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Canonical fingerprint: md5 over the sorted distinct token set —
+    invariant to token order and repetition (catches shuffled/
+    re-sampled copies that exact hashing misses)."""
+    canon = F.array_join(F.sort_array(F.array_distinct(_words())), " ")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+def fingerprint_clusters(docs: DataFrame) -> DataFrame:
+    return (
+        fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("nb_docs"))
+        .filter(F.col("nb_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id")
+
+
+def _sql_hits(lang: str) -> str:
+    arr = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> list_contains([{arr}], w)))"
+
+
+_SQL_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
+_SQL_DETECT = "CASE WHEN " + _SQL_BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lg} = {_SQL_BEST} THEN '{lg}'" for lg in _LANG_ORDER
+) + " END"
+
+ORACLE_LANGUAGE_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_declared,
+         {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, lang_declared, {_SQL_DETECT} AS lang_detected
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return text_profile(docs).orderBy("doc_id")
+
+
+_STOP_ARR = ", ".join(f"'{m}'" for m in _EN_STOP)
+_P_MEAN_WLEN = sql_round_half_up(
+    "CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)"
+    " / len(string_split(text,' '))",
+    4,
+)
+_P_STOP = sql_round_half_up(
+    f"CAST(len(list_filter(string_split(text,' '), w -> list_contains([{_STOP_ARR}], w))) AS DOUBLE)"
+    " / len(string_split(text,' '))",
+    4,
+)
+_P_PUNCT = sql_round_half_up(
+    "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)", 4
+)
+_P_QUALITY = sql_round_half_up(
+    "(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 20.0, 1.0)"
+    " + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
+    "                / length(text) * 10.0, 1.0))"
+    f" + (1.0 - abs(CAST(len(list_filter(string_split(text,' '), w -> list_contains([{_STOP_ARR}], w))) AS DOUBLE)"
+    "              / len(string_split(text,' ')) - 0.3))) / 3.0",
+    4,
+)
+
+ORACLE_TEXT_PROFILE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens_bpe,
+       length(text) AS n_chars,
+       {_P_MEAN_WLEN} AS mean_word_len,
+       {_P_STOP} AS stopword_ratio,
+       {_P_PUNCT} AS punct_ratio,
+       {_P_QUALITY} AS quality_score
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint_clusters(docs).orderBy("fingerprint")
+
+
+ORACLE_FINGERPRINT = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS nb_docs
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "text_language_id": q_text_language_id,
+    "text_profile": q_text_profile,
+    "text_fingerprint_clusters": q_text_fingerprint_clusters,
+}
+
+ORACLES = {
+    "text_language_id": ORACLE_LANGUAGE_ID,
+    "text_profile": ORACLE_TEXT_PROFILE,
+    "text_fingerprint_clusters": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,118 @@
+"""Quality properties for the hash-based operators that have no SQL
+oracle: MinHash-LSH recall vs exact Jaccard, SimHash hamming radius,
+and (once similarity lands) ANN recall vs brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return read_table(spark, sf_small, "documents")
+
+
+def test_minhash_recall_vs_exact(docs):
+    """Banded LSH (32 hashes, 8 bands of 4) must recover the high-
+    similarity pairs the exact operator finds: recall >= 0.8 at
+    Jaccard >= 0.7 (banding theory: P(candidate) = 1-(1-s^4)^8,
+    ~0.97 at s=0.7)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.0).collect()
+    }
+    assert exact, "fixture should contain at least one near-dup pair"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_minhash_estimate_tracks_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    common = set(exact) & set(est)
+    assert common
+    for pair in common:
+        assert abs(exact[pair] - est[pair]) < 0.35, (
+            f"{pair}: exact={exact[pair]:.2f} est={est[pair]:.2f}"
+        )
+
+
+def test_simhash_pairs_within_radius(docs):
+    pairs = simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    for r in pairs:
+        assert r["hamming"] <= 3
+    # Deterministic across runs.
+    again = simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_bruteforce,
+        q_ann_topk_lsh,
+    )
+
+    exact = q_ann_topk_bruteforce(spark, sf_small).collect()
+    approx = q_ann_topk_lsh(spark, sf_small).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ANN recall@10 {mean_recall:.2f} (per-query {recalls})"
+
+
+def test_multimodal_features_match_sql_twin(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        q_multimodal_byte_stats,
+        q_multimodal_features,
+    )
+
+    sql_side = {
+        r["media_id"]: (r["kind"], r["byte_len"], r["payload_md5"])
+        for r in q_multimodal_byte_stats(spark, sf_small).collect()
+    }
+    pandas_side = q_multimodal_features(spark, sf_small).collect()
+    assert len(pandas_side) == len(sql_side)
+    for r in pandas_side:
+        kind, blen, md5 = sql_side[r["media_id"]]
+        assert (r["kind"], r["byte_len"], r["payload_md5"]) == (kind, blen, md5)
+        assert 0.0 < r["byte_entropy"] <= 8.0
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, docs):
+    """The known near-dup pairs (trigram Jaccard >= 0.9) must land
+    within a small hamming distance of each other."""
+    import pyspark.sql.functions as F
+
+    near = jaccard_pairs(docs, threshold=0.9).collect()
+    assert near, "fixture should contain >=1 strong near-dup"
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, bits=32).collect()}
+    for r in near:
+        ham = bin(fps[r["doc_a"]] ^ fps[r["doc_b"]]).count("1")
+        assert ham <= 6, f"pair {r['doc_a']},{r['doc_b']} hamming {ham}"

@@ -32,7 +32,12 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
 # Queries whose semantics are not SQL-expressible (custom stateful /
 # hash-dependent ops) — the driver gives these a rows-only check; every
 # other registered query MUST carry an oracle or this gate fails loudly.
-NON_SQL_WHITELIST: set[str] = set()
+NON_SQL_WHITELIST: set[str] = {
+    "dedup_minhash_pairs",    # hash family not reproducible in ANSI SQL
+    "dedup_simhash_pairs",    # xxhash64-based fingerprint
+    "ann_topk_lsh",           # seeded hyperplanes; recall tested in pytest
+    "multimodal_features",    # mapInPandas path; equality tested in pytest
+}
 
 
 def test_all_queries_have_entries():
