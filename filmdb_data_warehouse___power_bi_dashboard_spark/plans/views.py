@@ -1,0 +1,354 @@
+"""View layer: the reference's 20 source views + 3 warehouse summary
+views (sql/vues.sql:2-315; sql/datawarehouse/requetes_clees.sql:
+270-313) re-expressed as Spark SQL temporary views over the source
+tables and the built star.
+
+This is the engine's *SQL-text* surface (SURVEY §3.2 requires both
+API forms): after :func:`register_all_views`, ``spark.sql("SELECT …
+FROM v_…")`` works verbatim. The SQL below is Spark dialect — the
+PG→Spark shims the reference needs (``::`` casts → CAST, STRING_AGG →
+array_join(sort_array(collect_set)), GENERATE_SERIES → explode/
+sequence, INITCAP kept, NULLS LAST kept) are applied in place.
+
+Views are virtual (no materialization) except the three ``v_agg_*`` /
+``v_dim_mois`` summaries, which the ETL also persists (plans/etl.py) —
+the registered temp views here read the same definitions so SQL-text
+users and the BI import model see identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.scalar import sql_round_half_up
+from ..sources.catalog import register_views
+from .etl import (
+    build_agg_mensuel_categorie,
+    build_agg_mensuel_magasin,
+    build_dim_mois,
+    build_star_frames,
+)
+
+# Spark-SQL view definitions, in dependency order. Reference view per
+# entry in the comment (vues.sql / dw requetes_clees.sql line).
+_VIEW_SQL: dict[str, str] = {
+    # v_calendrier (filmdb.sql:403-418): generated day spine.
+    "v_calendrier": """
+        SELECT date, annee, trimestre, mois, jour, jour_semaine,
+               debut_mois, debut_trimestre, debut_annee
+        FROM dim_date
+    """,
+    # v_clients (vues.sql:95-112): labeled client directory —
+    # INITCAP + || concat (F1/F2/P2).
+    "v_clients": """
+        SELECT client_key,
+               source_client_id,
+               INITCAP(LOWER(nom_client)) || ' [' || COALESCE(segment, 'Inconnu') || ']'
+                 AS libelle_client,
+               segment, pays, region
+        FROM dim_client
+    """,
+    # v_produits (vues.sql:22-39): film/part catalog with category.
+    "v_produits": """
+        SELECT f.film_key, f.source_film_id, f.titre_film, f.type_film,
+               f.taille, f.prix_catalogue, c.nom_categorie
+        FROM dim_film f LEFT JOIN dim_categorie c ON f.categorie_key = c.categorie_key
+    """,
+    # v_magasins (vues.sql:77-93).
+    "v_magasins": """
+        SELECT magasin_key, source_magasin_id, nom_magasin, pays, region
+        FROM dim_magasin
+    """,
+    # v_fait_paiement (vues.sql:131-155): the 8-way denormalized fact.
+    "v_fait_paiement": """
+        SELECT p.paiement_key, p.source_paiement_id, d.date,
+               d.debut_mois AS mois, cl.nom_client, cl.segment,
+               m.nom_magasin, m.pays AS pays_magasin,
+               f.titre_film, cat.nom_categorie,
+               p.montant, p.quantite
+        FROM fact_paiement p
+        LEFT JOIN dim_date d      ON p.date_key = d.date_key
+        LEFT JOIN dim_client cl   ON p.client_key = cl.client_key
+        LEFT JOIN dim_magasin m   ON p.magasin_key = m.magasin_key
+        LEFT JOIN dim_film f      ON p.film_key = f.film_key
+        LEFT JOIN dim_categorie cat ON p.categorie_key = cat.categorie_key
+    """,
+    # v_ca_mensuel (dw requetes_clees.sql:107-117).
+    "v_ca_mensuel": """
+        SELECT mois, CAST(SUM(montant) AS DECIMAL(18,2)) AS ca, COUNT(*) AS nb
+        FROM v_fait_paiement GROUP BY mois
+    """,
+    # v_ca_par_categorie (vues.sql:157-167).
+    "v_ca_par_categorie": """
+        SELECT COALESCE(nom_categorie, 'Inconnu') AS nom_categorie,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb_paiements
+        FROM v_fait_paiement GROUP BY 1
+    """,
+    # v_kpi_magasin_mois (dw requetes_clees.sql:1-14).
+    "v_kpi_magasin_mois": """
+        SELECT nom_magasin, mois,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb_paiements,
+               COUNT(DISTINCT nom_client) AS nb_clients
+        FROM v_fait_paiement GROUP BY nom_magasin, mois
+    """,
+    # v_retard_par_magasin (vues.sql:232-247): late-days stats per
+    # store — elapsed-day semantics + GREATEST clamp + exact median.
+    "v_retard_par_magasin": """
+        SELECT s.s_name AS nom_magasin,
+               COUNT(*) AS nb_lignes,
+               MAX(GREATEST(CAST(floor((CAST(l.l_shipdate AS LONG) - CAST(o.o_orderdate AS LONG)) / 86400) AS INT) - 60, 0)) AS retard_max,
+               percentile(GREATEST(CAST(floor((CAST(l.l_shipdate AS LONG) - CAST(o.o_orderdate AS LONG)) / 86400) AS INT) - 60, 0), 0.5) AS retard_median
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    """,
+    # v_films_jamais_loues (vues.sql:308-315): anti-join spelled as
+    # outer join + HAVING COUNT = 0, the reference's exact shape.
+    "v_films_jamais_loues": """
+        SELECT p.p_partkey, p.p_name, p.p_brand
+        FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey, p.p_name, p.p_brand
+        HAVING COUNT(l.l_orderkey) = 0
+    """,
+    # v_rotation_stock (vues.sql:284-306): ranking with NULLS LAST
+    # (O2) over a nullable aggregate.
+    "v_rotation_stock": """
+        SELECT p.p_partkey, p.p_name,
+               COUNT(l.l_orderkey) AS nb_ventes,
+               MAX(CAST(l.l_shipdate AS DATE)) AS derniere_vente
+        FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey, p.p_name
+    """,
+    # v_top_clients (vues.sql:169-179).
+    "v_top_clients": """
+        SELECT nom_client,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb_paiements
+        FROM v_fait_paiement GROUP BY nom_client
+    """,
+    # v_actifs_12m (dw requetes_clees.sql:87-93 window shape).
+    "v_actifs_12m": """
+        SELECT COUNT(DISTINCT nom_client) AS clients_actifs
+        FROM v_fait_paiement
+        WHERE date >= add_months((SELECT MAX(date) FROM v_fait_paiement), -12)
+    """,
+    # v_panier_moyen_magasin (dw requetes_clees.sql:9 P8 guard).
+    "v_panier_moyen_magasin": """
+        SELECT nom_magasin,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb,
+               CAST(SUM(montant) AS DOUBLE) / NULLIF(COUNT(*), 0) AS panier_moyen
+        FROM v_fait_paiement GROUP BY nom_magasin
+    """,
+    # v_repartition_segment (vues.sql:191-200).
+    "v_repartition_segment": """
+        SELECT COALESCE(segment, 'Inconnu') AS segment,
+               COUNT(DISTINCT nom_client) AS nb_clients,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca
+        FROM v_fait_paiement GROUP BY 1
+    """,
+    # v_types_par_categorie (vues.sql:7-13): deterministic STRING_AGG.
+    "v_types_par_categorie": """
+        SELECT p_brand AS nom_categorie,
+               array_join(sort_array(collect_set(p_type)), ', ') AS types,
+               COUNT(DISTINCT p_type) AS nb_types
+        FROM part GROUP BY p_brand
+    """,
+    # v_heatmap_magasin_categorie (dw requetes_clees.sql:121-134).
+    "v_heatmap_magasin_categorie": """
+        SELECT nom_magasin, COALESCE(nom_categorie, 'Inconnu') AS nom_categorie,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca
+        FROM v_fait_paiement GROUP BY 1, 2
+    """,
+    # v_paiements_recents (source requetes_clees.sql:17-43 bounds join).
+    "v_paiements_recents": """
+        SELECT f.*
+        FROM v_fait_paiement f
+        WHERE f.date >= (SELECT date_sub(MAX(date), 30) FROM v_fait_paiement)
+    """,
+    # v_pareto_categories (pbix Pareto combo visual, W4).
+    "v_pareto_categories": """
+        SELECT nom_categorie, ca,
+               CAST(SUM(ca) OVER (ORDER BY ca DESC, nom_categorie
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul
+        FROM v_ca_par_categorie
+    """,
+    # v_profil_jour_semaine (pbix box-plot, dim_date weekday column).
+    "v_profil_jour_semaine": """
+        SELECT d.jour_semaine,
+               CAST(SUM(p.montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb
+        FROM fact_paiement p JOIN dim_date d ON p.date_key = d.date_key
+        GROUP BY d.jour_semaine
+    """,
+}
+
+
+def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register source tables, the star, the 3 summary views, and the
+    20 SQL views above. Returns the registered view names."""
+    register_views(spark, sf_dir)
+    star = build_star_frames(spark, sf_dir)
+    for name, df in star.items():
+        df.createOrReplaceTempView(name)
+    build_agg_mensuel_magasin(star).createOrReplaceTempView("v_agg_mensuel_magasin")
+    build_agg_mensuel_categorie(star).createOrReplaceTempView("v_agg_mensuel_categorie")
+    build_dim_mois(star).createOrReplaceTempView("v_dim_mois")
+    names = ["v_agg_mensuel_magasin", "v_agg_mensuel_categorie", "v_dim_mois"]
+    for name, sql in _VIEW_SQL.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+        names.append(name)
+    return names
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked spot queries over the view layer (SQL-text form).
+# ---------------------------------------------------------------------------
+
+_SQL_REV = (
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))"
+)
+
+
+def q_view_kpi_magasin_mois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_magasin, mois, ca, nb_paiements, nb_clients"
+        " FROM v_kpi_magasin_mois ORDER BY nom_magasin, mois"
+    )
+
+
+ORACLE_VIEW_KPI = f"""
+SELECT s_name AS nom_magasin,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+       CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       COUNT(*) AS nb_paiements,
+       COUNT(DISTINCT c_name) AS nb_clients
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_view_clients_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INITCAP + || concat + COUNT(col) non-null + NULLS LAST ordering
+    (F1/F2/A14/O2) in one SQL-text query over the view layer."""
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT pays,
+               COUNT(*) AS nb_clients,
+               COUNT(segment) AS nb_avec_segment,
+               MIN(libelle_client) AS premier_libelle,
+               MAX(CASE WHEN segment = 'BUILDING' THEN libelle_client END) AS exemple_building
+        FROM v_clients
+        GROUP BY pays
+        ORDER BY exemple_building DESC NULLS LAST, pays
+        """
+    )
+
+
+ORACLE_VIEW_CLIENTS = """
+WITH labeled AS (
+  SELECT n_name AS pays, c_mktsegment AS segment,
+         upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2)
+           || ' [' || COALESCE(c_mktsegment, 'Inconnu') || ']' AS libelle_client
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT pays,
+       COUNT(*) AS nb_clients,
+       COUNT(segment) AS nb_avec_segment,
+       MIN(libelle_client) AS premier_libelle,
+       MAX(CASE WHEN segment = 'BUILDING' THEN libelle_client END) AS exemple_building
+FROM labeled
+GROUP BY pays
+ORDER BY exemple_building DESC NULLS LAST, pays
+"""
+
+
+def q_view_films_jamais_loues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT p_partkey, p_name, p_brand FROM v_films_jamais_loues ORDER BY p_partkey"
+    )
+
+
+ORACLE_VIEW_JAMAIS = """
+SELECT p.p_partkey, p.p_name, p.p_brand
+FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2, 3
+HAVING COUNT(l.l_orderkey) = 0
+ORDER BY 1
+"""
+
+
+def q_view_rotation_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, nb_ventes, derniere_vente
+        FROM v_rotation_stock
+        ORDER BY derniere_vente DESC NULLS LAST, p_partkey
+        LIMIT 50
+        """
+    )
+
+
+ORACLE_VIEW_ROTATION = """
+SELECT p.p_partkey, p.p_name,
+       COUNT(l.l_orderkey) AS nb_ventes,
+       MAX(CAST(l.l_shipdate AS DATE)) AS derniere_vente
+FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+ORDER BY derniere_vente DESC NULLS LAST, p_partkey
+LIMIT 50
+"""
+
+
+def q_view_retard_par_magasin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT nom_magasin, nb_lignes, retard_max,
+               CAST(retard_median AS DOUBLE) AS retard_median
+        FROM v_retard_par_magasin ORDER BY nom_magasin
+        """
+    )
+
+
+ORACLE_VIEW_RETARD = """
+WITH base AS (
+  SELECT s_name AS nom_magasin,
+         GREATEST(CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) - 60, 0)
+           AS retard
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT nom_magasin, COUNT(*) AS nb_lignes, MAX(retard) AS retard_max,
+       CAST(quantile_cont(retard, 0.5) AS DOUBLE) AS retard_median
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
+    "view_clients_directory": q_view_clients_directory,
+    "view_films_jamais_loues": q_view_films_jamais_loues,
+    "view_rotation_stock": q_view_rotation_stock,
+    "view_retard_par_magasin": q_view_retard_par_magasin,
+}
+
+ORACLES = {
+    "view_kpi_magasin_mois": ORACLE_VIEW_KPI,
+    "view_clients_directory": ORACLE_VIEW_CLIENTS,
+    "view_films_jamais_loues": ORACLE_VIEW_JAMAIS,
+    "view_rotation_stock": ORACLE_VIEW_ROTATION,
+    "view_retard_par_magasin": ORACLE_VIEW_RETARD,
+}

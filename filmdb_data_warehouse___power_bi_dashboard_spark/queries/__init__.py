@@ -26,6 +26,9 @@ def registry() -> dict[str, QueryFn]:
     from ..plans.metrics import QUERIES as METRIC_QUERIES
 
     reg.update(METRIC_QUERIES)
+    from ..plans.views import QUERIES as VIEW_QUERIES
+
+    reg.update(VIEW_QUERIES)
     return reg
 
 
@@ -41,4 +44,7 @@ def oracles() -> dict[str, str]:
     from ..plans.metrics import ORACLES as METRIC_ORACLES
 
     out.update(METRIC_ORACLES)
+    from ..plans.views import ORACLES as VIEW_ORACLES
+
+    out.update(VIEW_ORACLES)
     return out

@@ -43,7 +43,9 @@ def _norm(v):
 
 def _rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    # None-safe total order: NULLs sort before any string.
+    return sorted(normed, key=lambda t: tuple(("", "") if v is None else ("v", v) for v in t))
 
 
 def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
