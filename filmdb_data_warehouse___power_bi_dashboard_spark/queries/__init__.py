@@ -29,6 +29,9 @@ def registry() -> dict[str, QueryFn]:
     from ..plans.views import QUERIES as VIEW_QUERIES
 
     reg.update(VIEW_QUERIES)
+    from ..streaming.jobs import QUERIES as STREAM_QUERIES
+
+    reg.update(STREAM_QUERIES)
     return reg
 
 
@@ -47,4 +50,7 @@ def oracles() -> dict[str, str]:
     from ..plans.views import ORACLES as VIEW_ORACLES
 
     out.update(VIEW_ORACLES)
+    from ..streaming.jobs import ORACLES as STREAM_ORACLES
+
+    out.update(STREAM_ORACLES)
     return out

@@ -85,6 +85,18 @@ EVENTS = T.StructType([
     T.StructField("props", T.StringType(), True),
 ])
 
+# On-disk shape of events.parquet: ts is TIMESTAMP(NANOS,false), which
+# Spark reads only as int64 (spark.sql.legacy.parquet.nanosAsLong).
+# The reader converts ns → µs timestamp to deliver the EVENTS contract.
+EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.LongType(), False),
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
 DOCUMENTS = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("text", T.StringType(), True),

@@ -15,8 +15,15 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..schemas import SOURCE_TABLES
+from ..schemas import EVENTS_RAW, SOURCE_TABLES
+
+
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """ns-int64 → µs timestamp with exact integer division (a double
+    division would lose precision above 2^53 ns)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -28,6 +35,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (insertion_dataware.sql:69-72).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # Stored as TIMESTAMP(NANOS): read raw int64, convert.
+        return convert_event_ts(spark.read.schema(EVENTS_RAW).parquet(path))
     schema = SOURCE_TABLES.get(name)
     reader = spark.read
     if schema is not None:

@@ -1,0 +1,324 @@
+"""Streaming jobs over the ``events`` table.
+
+- :func:`stream_tumbling_agg` — the canonical ingestion shape:
+  ``readStream`` (file source, pinned schema) → ``withWatermark`` →
+  tumbling ``window()`` aggregation → memory sink, driven to
+  completion with ``Trigger.AvailableNow`` so the result is a normal
+  DataFrame. On a cluster the same code points at an arriving-files
+  directory (or Kafka) and a parquet/Delta sink, and runs forever —
+  the watermark bounds state for late data.
+
+- :func:`sessionize_batch` — gap-based sessionization as plain window
+  functions (LAG + cumulative sum of new-session flags). This is the
+  batch/oracle twin.
+
+- :func:`sessionize_stream` — the same semantics as a CUSTOM STATEFUL
+  operator via ``applyInPandasWithState`` (GroupStateTimeout on the
+  event-time watermark): per-user open-session state carried across
+  micro-batches. Streaming≡batch equivalence is pytest-asserted.
+
+Scale: the tumbling agg shuffles once on (window, event_type);
+sessionization shuffles once on user_id — state per user is O(1)
+(last ts + open-session accumulator), so total state is bounded by
+the active-user cardinality, not the event volume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..schemas import EVENTS_RAW
+from ..sources.catalog import convert_event_ts
+
+_GAP_MINUTES = 30
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # File-source stream over the events parquet; schema pinned
+    # (streams never infer), one file per micro-batch at most. The
+    # on-disk ts is int64 nanos — converted to the timestamp contract.
+    # The file stream source requires a DIRECTORY; select just the
+    # events file from the sf dir with a glob filter. In production
+    # this is the arriving-files landing directory.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return convert_event_ts(raw)
+
+
+def stream_tumbling_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run the watermarked tumbling aggregation to completion and
+    return the result as a batch DataFrame.
+
+    Output: one row per (window_start, event_type) with event count
+    and value sum — the streaming twin of a GROUP BY date_trunc.
+    Complete output mode: every window is emitted at the final commit,
+    so a bounded input yields exactly the batch answer.
+    """
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "nb_events",
+            "total_value",
+        )
+    )
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = _GAP_MINUTES) -> DataFrame:
+    """Gap-based sessions per user with window functions: a session
+    breaks when the inter-event gap exceeds ``gap_minutes``.
+
+    Windows are PARTITIONED BY user_id — parallel across users, never
+    a global sort. Output: one row per session.
+    """
+    gap = float(gap_minutes * 60)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional-second epochs: gap tests must see microseconds, or
+    # boundary events land in different sessions than the oracle's.
+    epoch = F.col("ts").cast("double")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(epoch - F.lag(epoch, 1).over(w) > gap, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_no", F.sum("new_session").over(w) + 1
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.floor(F.col("session_end").cast("double"))
+                - F.floor(F.col("session_start").cast("double"))
+            ).cast("int"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_no", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("nb_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+        T.StructField("duration_sec", T.IntegerType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),  # epoch µs, exact
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("nb_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def _sessionize_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (user_id,) = key
+        if state.exists:
+            session_no, start_us, last_us, nb, total = state.get
+        else:
+            session_no, start_us, last_us, nb, total = 0, None, None, 0, 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                # Exact integer microseconds — float epoch seconds
+                # would carry ~0.2 µs of noise at 2024 magnitudes.
+                t = ts.value // 1000
+                v = float(value) if pd.notna(value) else 0.0
+                if start_us is None:
+                    session_no, start_us, last_us, nb, total = 1, t, t, 1, v
+                elif t - last_us > gap_us:
+                    out.append((user_id, session_no, start_us, last_us, nb, total))
+                    session_no, start_us, last_us, nb, total = session_no + 1, t, t, 1, v
+                else:
+                    last_us, nb, total = t, nb + 1, total + v
+        state.update((session_no, start_us, last_us, nb, total))
+        # Bounded input (availableNow): flush the open session too so
+        # the result equals the batch answer. An unbounded deployment
+        # would instead emit it on state timeout.
+        if start_us is not None:
+            out.append((user_id, session_no, start_us, last_us, nb, total))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_no": s,
+                    "session_start": pd.Timestamp(st * 1000).tz_localize("UTC"),
+                    "session_end": pd.Timestamp(lt * 1000).tz_localize("UTC"),
+                    "nb_events": n,
+                    # Same floor(x*100+0.5)/100 + floor-second duration
+                    # as the batch twin, for exact equivalence.
+                    "total_value": math.floor(tv * 100.0 + 0.5) / 100.0,
+                    "duration_sec": int(lt // 1_000_000 - st // 1_000_000),
+                }
+                for (u, s, st, lt, n, tv) in out
+            ],
+            columns=[f.name for f in _SESSION_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = _GAP_MINUTES
+) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    applyInPandasWithState, driven to completion with availableNow."""
+    events = _read_events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_minutes),
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+from ..sources.catalog import read_table  # noqa: E402
+
+
+def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-hour aggregation — oracle-checked against a
+    plain GROUP BY date_trunc('hour'): the stream must produce the
+    batch answer on bounded input."""
+    return stream_tumbling_agg(spark, sf_dir, window="1 hour", watermark="1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+ORACLE_STREAM_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=_GAP_MINUTES)
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value,
+       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS INT) AS duration_sec
+FROM sessions
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "stream_tumbling_hour": q_stream_tumbling_hour,
+    "sessionize_events": q_sessionize_events,
+}
+
+ORACLES = {
+    "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
+    "sessionize_events": ORACLE_SESSIONIZE,
+}
