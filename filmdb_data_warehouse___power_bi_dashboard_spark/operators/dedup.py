@@ -88,26 +88,42 @@ GROUP BY 1 ORDER BY 1
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFrame:
-    """Word n-gram Jaccard over pairs within a block (lang).
+    """Word n-gram Jaccard via an INVERTED INDEX, not an all-pairs
+    self-join: explode (block, shingle, doc) postings, join postings
+    on (block, shingle) so only documents that SHARE a shingle ever
+    meet, count shared shingles per pair (|A∩B|), and derive
+    |A∪B| = |A| + |B| − |A∩B| from the per-doc sizes.
 
-    Blocking bounds the quadratic term: pairs are only formed inside a
-    block, so cost is sum(block²) not N². At scale the block key would
-    be an LSH band (see minhash) — this operator is the *exact* oracle
-    against which approximate dedup recall is measured.
+    Cost is Σ df(shingle)² over shared shingles — bounded by shingle
+    document-frequency, not block², which is what survives a 100×
+    scale-up (pairs with zero overlap, i.e. jaccard 0, are never
+    materialized; any positive threshold keeps output identical to
+    the all-pairs formulation).
     """
-    d = docs.select("doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh"))
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter.cast("double") / union
-    return (
-        pairs.select(
+    d = docs.select(
+        "doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh")
+    ).select("doc_id", "block", F.col("sh"), F.size("sh").alias("sz"))
+    post = d.select("block", "doc_id", "sz", F.explode("sh").alias("s"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            round_half_up(jac, 6).alias("jaccard"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -154,17 +170,33 @@ def _hash_params(num_hashes: int, seed: int = _SEED) -> list[tuple[int, int]]:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
     """num_hashes minhash values per doc from (a*h+b) mod p over
-    xxhash64 shingle hashes — all array expressions, one pass, no
-    shuffle, no UDF."""
+    xxhash64 shingle hashes — all array expressions, no shuffle, no
+    UDF.
+
+    Built as ONE fold over the shingle array (aggregate + zip_with
+    against literal coefficient arrays): the naive spelling — 32
+    separate ``array_min(transform(shingles, ...))`` columns —
+    re-inlines the whole shingle-construction expression 32x, which
+    blew the expression tree up ~30x in wall time."""
     params = _hash_params(num_hashes)
+    coef_a = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    coef_b = F.array(*[F.lit(b).cast("long") for _, b in params])
+    idx = F.array(*[F.lit(i) for i in range(1, num_hashes + 1)])
     sh = _shingles(n=n)
     hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    def _perm(a: int, b: int):
-        # Closure factory: PySpark's higher-order binder reads the
-        # lambda arity, so default-arg capture would look 3-ary.
-        return lambda h: F.pmod(a * h + b, F.lit(_P))
-
-    sig = F.array(*[F.array_min(F.transform(hashed, _perm(a, b))) for a, b in params])
+    acc0 = F.array_repeat(F.lit(_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashed,
+        acc0,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda x, i: F.least(
+                x,
+                F.pmod(F.element_at(coef_a, i) * h + F.element_at(coef_b, i), F.lit(_P)),
+            ),
+        ),
+    )
     return docs.select("doc_id", sig.alias("sig"))
 
 
@@ -204,8 +236,14 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select("doc_id", "sig", F.explode(band_arr).alias("bb"))
+        .select(
+            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        # Both sides of the bucket self-join read this frame: persist
+        # so the signature computation runs once, not twice.
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -296,8 +334,13 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
             for i in range(chunks)
         ]
     )
-    banded = fps.select("doc_id", "simhash", F.explode(chunk_arr).alias("c")).select(
-        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    banded = (
+        fps.select("doc_id", "simhash", F.explode(chunk_arr).alias("c"))
+        .select(
+            "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+        )
+        # Self-joined on both sides: persist to hash the tokens once.
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -332,15 +375,27 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cosine(a, b):
-    """Deterministic double-precision cosine: element-wise products
+def dot_product(a, b):
+    """Deterministic double-precision dot product: element products
     folded left in index order — the same op sequence the DuckDB
-    oracle spells out, so values are bit-identical."""
+    oracle spells out, so values are bit-identical.
+
+    Measured note: this zip_with/aggregate form beats a fully
+    unrolled 64-term sum by ~4× — the unrolled expression tree
+    overflows whole-stage codegen's method budget and falls back to
+    slower interpretation, while the higher-order ops use a tight
+    specialized loop."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b):
+    dot = dot_product(a, b)
+    na = F.sqrt(dot_product(a, a))
+    nb = F.sqrt(dot_product(b, b))
     return dot / (na * nb)
 
 
@@ -352,15 +407,10 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
     scale path buckets by LSH hyperplane signature first
     (operators/similarity.py) so only same-bucket pairs are scored.
     """
-    ed = F.transform("embedding", lambda x: x.cast("double"))
     e = emb.select(
         "vec_id",
-        ed.alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(ed, ed, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ).alias("norm"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.sqrt(dot_product("embedding", "embedding")).alias("norm"),
     )
     a = e.alias("a")
     b = e.alias("b")

@@ -195,14 +195,71 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-text search approximation (the reference's tsvector column +
+# GiST index, filmdb.sql:143/47576 — SURVEY §2.8 F12): tokenized
+# arrays + containment, ranked by term frequency. No index structure
+# exists in Spark; at scale the analog is a pre-tokenized array
+# column + partition/file pruning on any leading filter.
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ["spark", "join", "stream"]
+
+
+def full_text_search(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Docs containing ALL terms (tsquery `a & b & c` semantics),
+    ranked by total term frequency (ts_rank approximation)."""
+    words = _words()
+
+    def _eq(term: str):
+        # Closure factory: a default-arg lambda would read as 2-ary
+        # to the higher-order binder (index overload).
+        return lambda w: w == F.lit(term)
+
+    cond = None
+    score = None
+    for t in terms:
+        has = F.array_contains(words, t)
+        cond = has if cond is None else (cond & has)
+        freq = F.size(F.filter(words, _eq(t)))
+        score = freq if score is None else (score + freq)
+    return (
+        docs.filter(cond)
+        .select("doc_id", "lang", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return full_text_search(docs, _SEARCH_TERMS)
+
+
+_SQL_FREQ = " + ".join(
+    f"len(list_filter(string_split(text, ' '), w -> w = '{t}'))" for t in _SEARCH_TERMS
+)
+_SQL_HAS = " AND ".join(
+    f"list_contains(string_split(text, ' '), '{t}')" for t in _SEARCH_TERMS
+)
+
+ORACLE_TEXT_SEARCH = f"""
+SELECT doc_id, lang, {_SQL_FREQ} AS score
+FROM documents
+WHERE {_SQL_HAS}
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES = {
     "text_language_id": q_text_language_id,
     "text_profile": q_text_profile,
     "text_fingerprint_clusters": q_text_fingerprint_clusters,
+    "text_search": q_text_search,
 }
 
 ORACLES = {
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_profile": ORACLE_TEXT_PROFILE,
     "text_fingerprint_clusters": ORACLE_FINGERPRINT,
+    "text_search": ORACLE_TEXT_SEARCH,
 }

@@ -246,8 +246,21 @@ def build_fact_paiement(
     )
 
 
+_STAR_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All six star tables as lazy DataFrames (no writes)."""
+    """All six star tables as lazy DataFrames (no writes).
+
+    Memoized per (session, sf_dir): the dim builds persist their
+    range-partitioned inputs (functions/ranking.py), so rebuilding the
+    star for every metrics/view query both re-paid that materialization
+    and leaked cached RDDs.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STAR_CACHE.get(key)
+    if cached is not None:
+        return cached
     dim_categorie = build_dim_categorie(spark, sf_dir)
     dim_film = build_dim_film(spark, sf_dir, dim_categorie)
     dims = {
@@ -258,6 +271,7 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "dim_film": dim_film,
     }
     dims["fact_paiement"] = build_fact_paiement(spark, sf_dir, dims)
+    _STAR_CACHE[key] = dims
     return dims
 
 

@@ -378,14 +378,21 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Q9 — RFM quintile scoring with NTILE(5).
+# Q9 — RFM quintile scoring, NTILE(5) semantics WITHOUT the window.
 # Reference: dw requetes_clees.sql:168-196 (W1 A5 A12).
-# NTILE ordering carries the custkey tiebreaker so bucket assignment is
+# A bare `NTILE(5) OVER (ORDER BY …)` forces the whole customer base
+# through one partition — the canonical window anti-pattern at scale.
+# Instead each metric gets a global rank via a range-partitioned sort
+# (functions/ranking.global_row_number) and the exact NTILE bucket is
+# computed from (rank, n) — identical output (same oracle), parallel
+# plan. The ordering carries the custkey tiebreaker so assignment is
 # total-order deterministic in both engines.
 # ---------------------------------------------------------------------------
 
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_row_number, ntile_from_rank
+
     orders = _t(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("maxd"))
     base = (
@@ -396,20 +403,33 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("frequence"),
             F.sum(money("o_totalprice")).cast(MONEY).alias("monetaire"),
         )
+        .persist()
     )
-    w_r = Window.orderBy(F.desc("recence_jours"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.asc("frequence"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.asc("monetaire"), F.asc("o_custkey"))
-    return base.select(
+    n = base.count()
+    metrics = {
+        "score_r": [F.desc("recence_jours"), F.asc("o_custkey")],
+        "score_f": [F.asc("frequence"), F.asc("o_custkey")],
+        "score_m": [F.asc("monetaire"), F.asc("o_custkey")],
+    }
+    out = base
+    for score, order in metrics.items():
+        ranked = global_row_number(
+            base.select("o_custkey", "recence_jours", "frequence", "monetaire"),
+            order,
+            alias="__rn",
+        ).select(
+            "o_custkey", ntile_from_rank(F.col("__rn"), n, 5).alias(score)
+        )
+        out = out.join(ranked, "o_custkey")
+    return out.select(
         "o_custkey",
         "recence_jours",
         "frequence",
         "monetaire",
-        F.ntile(5).over(w_r).cast("int").alias("score_r"),
-        F.ntile(5).over(w_f).cast("int").alias("score_f"),
-        F.ntile(5).over(w_m).cast("int").alias("score_m"),
-    ).withColumn(
-        "rfm", (F.col("score_r") * 100 + F.col("score_f") * 10 + F.col("score_m")).cast("int")
+        "score_r",
+        "score_f",
+        "score_m",
+        (F.col("score_r") * 100 + F.col("score_f") * 10 + F.col("score_m")).cast("int").alias("rfm"),
     )
 
 
@@ -803,8 +823,12 @@ FROM base GROUP BY pays ORDER BY pays
 def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # Pre-aggregating to DISTINCT keys shrinks the anti-join's build
+    # side from the full fact to |part| keys (map-side combine before
+    # the shuffle) — orders of magnitude less data moved at scale.
+    ordered_keys = lineitem.select("l_partkey").distinct()
     return (
-        part.join(lineitem.select("l_partkey"), part.p_partkey == lineitem.l_partkey, "left_anti")
+        part.join(ordered_keys, part.p_partkey == ordered_keys.l_partkey, "left_anti")
         .select("p_partkey", "p_name", "p_brand")
         .orderBy("p_partkey")
     )
@@ -1010,7 +1034,53 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q22 — ROLLUP subtotals: region → store → grand total.
+# Reference: the "Chiffre d'affaire total des 2 magasins" pivotTable
+# with subtotals (pbix page "Magasins & territoires"; SURVEY §2.4 note
+# — rollup is the natural Spark spelling of pivot subtotal rows).
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_region_magasin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name"), F.col("s_name"))
+        .agg(F.sum(net_revenue()).cast(MONEY).alias("ca"), F.count("*").alias("nb"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("TOTAL")).alias("region"),
+            F.coalesce(F.col("s_name"), F.lit("TOTAL")).alias("magasin"),
+            "ca",
+            "nb",
+        )
+        .orderBy("region", "magasin")
+    )
+
+
+ORACLE_Q22 = f"""
+SELECT COALESCE(r_name, 'TOTAL') AS region,
+       COALESCE(s_name, 'TOTAL') AS magasin,
+       CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       COUNT(*) AS nb
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, s_name)
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "rollup_region_magasin": q_rollup_region_magasin,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "kpi_supplier_month": q_kpi_supplier_month,
     "brand_revenue_share": q_brand_revenue_share,
@@ -1035,6 +1105,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_region_magasin": ORACLE_Q22,
     "top_parts_by_revenue": ORACLE_Q1,
     "kpi_supplier_month": ORACLE_Q2,
     "brand_revenue_share": ORACLE_Q3,

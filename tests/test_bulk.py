@@ -1,0 +1,50 @@
+"""Bulk COPY-TSV loader: wire-format fidelity (tabs, \\N nulls, pg
+array literals) — the reference's filmdb.sql COPY blocks (S3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import read_copy_tsv
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("film_id", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("rental_rate", T.DoubleType(), True),
+        T.StructField("special_features", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+TSV = (
+    "1\tACADEMY DINOSAUR\t0.99\t{Trailers,\"Deleted Scenes\"}\n"
+    "2\tACE GOLDFINGER\t4.99\t{Trailers}\n"
+    "3\tADAPTATION HOLES\t\\N\t{\"Behind the Scenes\",Commentaries}\n"
+    "4\tAFFAIR PREJUDICE\t2.99\t\\N\n"
+    "5\tEMPTY FEATURES\t1.99\t{}\n"
+)
+
+
+@pytest.fixture(scope="module")
+def tsv_path():
+    d = tempfile.mkdtemp(prefix="copy-")
+    p = os.path.join(d, "film.tsv")
+    with open(p, "w") as fh:
+        fh.write(TSV)
+    yield p
+
+
+def test_copy_tsv_roundtrip(spark, tsv_path):
+    rows = {r["film_id"]: r for r in read_copy_tsv(spark, tsv_path, SCHEMA).collect()}
+    assert len(rows) == 5
+    assert rows[1]["special_features"] == ["Trailers", "Deleted Scenes"]
+    assert rows[2]["special_features"] == ["Trailers"]
+    assert rows[3]["rental_rate"] is None
+    assert rows[3]["special_features"] == ["Behind the Scenes", "Commentaries"]
+    assert rows[4]["special_features"] is None
+    assert rows[5]["special_features"] == []
+    assert rows[2]["title"] == "ACE GOLDFINGER"
