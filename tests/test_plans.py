@@ -1,0 +1,68 @@
+"""Physical-plan audits: the plan properties the engine's 100 TB story
+depends on, asserted so a regression (lost broadcast, lost pushdown,
+reintroduced single-partition window) fails CI loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.queries import corpus
+from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_small):
+    plan = _plan(corpus.q_top_parts_by_revenue(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    plan = _plan(corpus.q_supplier_brand_heatmap(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    lineitem = read_table(spark, sf_small, "lineitem")
+    df = lineitem.filter(lineitem.l_quantity > 40).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    plan = _plan(corpus.q_monthly_revenue(spark, sf_small))
+    # The scan must read only the three referenced columns, not the
+    # 11-column lineitem schema.
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_shipdate" in read_schema
+    assert "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema, read_schema
+
+
+def test_rfm_has_no_single_partition_window(spark, sf_small):
+    plan = _plan(corpus.q_rfm(spark, sf_small))
+    # The quintile ranks ride on range-partitioned local windows; a
+    # regression to NTILE OVER (ORDER BY …) would plan a window over
+    # SinglePartition.
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or (
+        "Window" not in plan or "RangePartitioning" in plan
+    )
+    assert "rangepartitioning" in plan.lower(), "expected a range-partitioned sort"
+
+
+def test_agg_has_partial_combine(spark, sf_small):
+    plan = _plan(corpus.q_monthly_revenue(spark, sf_small))
+    # Map-side combine: HashAggregate appears twice (partial + final).
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_no_cartesian_products_in_star_queries(spark, sf_small):
+    for name in ("q_kpi_supplier_month", "q_supplier_brand_heatmap", "q_cohorts"):
+        plan = _plan(getattr(corpus, name)(spark, sf_small))
+        assert "CartesianProduct" not in plan, name
