@@ -1079,7 +1079,51 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q23 — semi-structured props extraction over the events stream table.
+# Beyond-reference (no JSON exists in the reference — SURVEY §2.8),
+# but a training-data pipeline reads JSON sidecars constantly; the
+# extraction stays JVM-side (get_json_object, no UDF).
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            # try_cast: a malformed sidecar value must yield NULL, not
+            # kill the job under ANSI arithmetic (probed: bare cast
+            # throws CAST_INVALID_INPUT).
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("nb"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("nb_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q23 = """
+SELECT event_type,
+       COUNT(*) AS nb,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nb_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "events_json_props": q_events_json_props,
     "rollup_region_magasin": q_rollup_region_magasin,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "kpi_supplier_month": q_kpi_supplier_month,
@@ -1105,6 +1149,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_json_props": ORACLE_Q23,
     "rollup_region_magasin": ORACLE_Q22,
     "top_parts_by_revenue": ORACLE_Q1,
     "kpi_supplier_month": ORACLE_Q2,
