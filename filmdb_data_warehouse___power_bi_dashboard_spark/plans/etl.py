@@ -169,6 +169,19 @@ def build_dim_film(spark: SparkSession, sf_dir: str, dim_categorie: DataFrame | 
 # Fact build
 # ---------------------------------------------------------------------------
 
+# Total order over lineitem for the deterministic payment surrogate —
+# the full tuple is unique in the corpus ((orderkey, linenumber) alone
+# is NOT), so the rank is reproducible across refreshes.
+_FACT_ORDER = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_shipdate",
+    "l_quantity",
+    "l_extendedprice",
+]
+
 
 def build_fact_paiement(
     spark: SparkSession,
@@ -182,10 +195,14 @@ def build_fact_paiement(
     guard) + 3 LEFT dim lookups + denormalized df.categorie_key +
     upsert on source_paiement_id (insertion_dataware.sql:151-192).
 
-    The source payment id is synthesized as
-    ``l_orderkey * 100 + l_linenumber`` (unique: linenumber < 100).
-    ``paiement_key`` equals it — a deterministic surrogate instead of
-    the reference's bigserial, so re-runs are reproducible (§3.1).
+    The payment id is a DETERMINISTIC surrogate — a global row number
+    over the full line total order (the synthetic corpus has no
+    unique natural key: (l_orderkey, l_linenumber) collides). This
+    mirrors the reference's bigserial paiement_key + unique
+    source_paiement_id (creationdatwareh.sql:98-99) while keeping
+    re-runs reproducible for the idempotent merge (§3.1). Cost: one
+    range-partitioned shuffle of the fact per refresh — the price of
+    surrogate assignment at any scale.
     """
     dims = dims or {}
     lineitem = read_table(spark, sf_dir, "lineitem")
@@ -200,13 +217,16 @@ def build_fact_paiement(
     if dim_film is None:
         dim_film = build_dim_film(spark, sf_dir)
 
-    base = lineitem.join(
+    keyed = global_row_number(
+        lineitem,
+        _FACT_ORDER,
+        alias="source_paiement_id",
+    )
+    base = keyed.join(
         orders.select("o_orderkey", "o_custkey"),
-        lineitem.l_orderkey == orders.o_orderkey,
+        keyed.l_orderkey == orders.o_orderkey,
     ).select(
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long").alias(
-            "source_paiement_id"
-        ),
+        "source_paiement_id",
         date_key("l_shipdate").alias("date_key"),
         F.col("o_custkey"),
         F.col("l_suppkey"),
@@ -491,9 +511,16 @@ flm AS (
          p_partkey AS source_film_id,
          c.categorie_key
   FROM part LEFT JOIN cat c ON p_brand = c.nom_categorie
+),
+keyed AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+                                     l_suppkey, l_shipdate, l_quantity,
+                                     l_extendedprice) AS source_paiement_id
+  FROM lineitem
 )
-SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS paiement_key,
-       CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS source_paiement_id,
+SELECT source_paiement_id AS paiement_key,
+       source_paiement_id,
        CAST(EXTRACT(YEAR FROM l_shipdate) * 10000
           + EXTRACT(MONTH FROM l_shipdate) * 100
           + EXTRACT(DAY FROM l_shipdate) AS INT) AS date_key,
@@ -504,7 +531,7 @@ SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS paiement_key,
        {_SQL_REV} AS montant,
        l_quantity AS quantite,
        strftime(l_shipdate, '%Y-%m') AS pay_month
-FROM lineitem
+FROM keyed
 JOIN orders ON l_orderkey = o_orderkey
 LEFT JOIN cli ON o_custkey = cli.source_client_id
 LEFT JOIN mag ON l_suppkey = mag.source_magasin_id

@@ -162,11 +162,50 @@ def _apply_filters(df: DataFrame, filters) -> DataFrame:
     return df
 
 
+# Summary-table routing (SURVEY §4 X6): contexts answerable from the
+# pre-aggregated v_agg_mensuel_* tables. measure -> summary column.
+_SUMMARY_ADDITIVE = {"ca_total": "ca", "nb_paiements": "nb_paiements"}
+_SUMMARY_ATTRS = {
+    "v_agg_mensuel_magasin": {"mois", "nom_magasin"},
+    "v_agg_mensuel_categorie": {"mois", "nom_categorie"},
+}
+
+
+def _route_to_summary(
+    summaries: dict[str, DataFrame] | None,
+    measures: Sequence[str],
+    group_by: Sequence[str],
+    filters: Sequence[tuple],
+) -> DataFrame | None:
+    """If the context is month × store/category with additive
+    measures, answer from the materialized summary instead of the
+    fact — the reference's v_agg_mensuel_* views exist exactly for
+    this (dw requetes_clees.sql:270-299). Returns None when the
+    context needs the fact."""
+    if not summaries:
+        return None
+    if not measures or any(m not in _SUMMARY_ADDITIVE for m in measures):
+        return None
+    attrs = set(group_by) | {f[0] for f in filters}
+    for name, supported in _SUMMARY_ATTRS.items():
+        if name in summaries and attrs <= supported:
+            ctx = _apply_filters(summaries[name], filters)
+            aggs = [
+                F.sum(_SUMMARY_ADDITIVE[m]).cast(MONEY if m == "ca_total" else "long").alias(m)
+                for m in measures
+            ]
+            gcols = list(group_by)
+            out = ctx.groupBy(*gcols).agg(*aggs) if gcols else ctx.agg(*aggs)
+            return out.select(*gcols, *measures)
+    return None
+
+
 def evaluate(
     star: dict[str, DataFrame],
     measures: Sequence[str],
     group_by: Sequence[str] = (),
     filters: Sequence[tuple] = (),
+    summaries: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Evaluate measures under a filter context — one visual query.
 
@@ -174,10 +213,19 @@ def evaluate(
     empty), measure columns named by measure. Ranked measures
     (top_*/record) are only meaningful with empty ``group_by`` (DAX
     evaluates them per-cell; our registered queries use them on cards).
+
+    Pass ``summaries`` (materialized ``v_agg_mensuel_*`` DataFrames,
+    e.g. read from the warehouse written by plans/etl.py) to enable
+    summary routing: month × store/category contexts with additive
+    measures are answered from the pre-aggregate without touching the
+    fact.
     """
     unknown = [m for m in measures if m not in MEASURES]
     if unknown:
         raise ValueError(f"unknown measures: {unknown}")
+    routed = _route_to_summary(summaries, measures, group_by, filters)
+    if routed is not None:
+        return routed
     attrs = _needed_attrs(measures, group_by, filters)
     ctx = _apply_filters(_join_context(star, attrs), filters)
 
@@ -278,8 +326,7 @@ _SQL_REV = (
 )
 
 _SQL_FACT = f"""
-  SELECT l_orderkey * 100 + l_linenumber AS pid,
-         o_custkey,
+  SELECT o_custkey,
          l_suppkey,
          l_partkey,
          CAST(l_shipdate AS DATE) AS jour,
@@ -304,20 +351,20 @@ def q_metrics_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KPI_PANIER = sql_round_half_up(
-    "CAST(SUM(montant) AS DOUBLE) / NULLIF(COUNT(DISTINCT pid), 0)", 4
+    "CAST(SUM(montant) AS DOUBLE) / NULLIF(COUNT(*), 0)", 4
 )
 
 ORACLE_KPI_GLOBAL = f"""
 WITH fact AS ({_SQL_FACT}),
 per_client AS (
-  SELECT o_custkey, COUNT(DISTINCT pid) AS nb FROM fact GROUP BY 1
+  SELECT o_custkey, COUNT(*) AS nb FROM fact GROUP BY 1
 ),
 reachat AS (
   SELECT {sql_round_half_up("CAST(SUM(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100.0", 4)} AS taux_reachat
   FROM per_client
 )
 SELECT CAST(SUM(montant) AS DECIMAL(18,2)) AS ca_total,
-       COUNT(DISTINCT pid) AS nb_paiements,
+       COUNT(*) AS nb_paiements,
        {_KPI_PANIER} AS panier_moyen,
        COUNT(DISTINCT o_custkey) AS clients_actifs,
        (SELECT taux_reachat FROM reachat) AS taux_reachat
@@ -342,7 +389,7 @@ WITH fact AS ({_SQL_FACT}),
 by_cat AS (
   SELECT p.p_brand AS nom_categorie,
          CAST(SUM(f.montant) AS DECIMAL(18,2)) AS ca_total,
-         COUNT(DISTINCT f.pid) AS nb_paiements
+         COUNT(*) AS nb_paiements
   FROM fact f JOIN part p ON f.l_partkey = p.p_partkey
   GROUP BY 1
 ),
@@ -371,7 +418,7 @@ def q_metrics_magasin_mois_europe(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _MAG_PANIER = sql_round_half_up(
-    "CAST(SUM(f.montant) AS DOUBLE) / NULLIF(COUNT(DISTINCT f.pid), 0)", 4
+    "CAST(SUM(f.montant) AS DOUBLE) / NULLIF(COUNT(*), 0)", 4
 )
 
 ORACLE_MAGASIN_MOIS = f"""
@@ -379,7 +426,7 @@ WITH fact AS ({_SQL_FACT})
 SELECT s.s_name AS nom_magasin,
        f.mois,
        CAST(SUM(f.montant) AS DECIMAL(18,2)) AS ca_total,
-       COUNT(DISTINCT f.pid) AS nb_paiements,
+       COUNT(*) AS nb_paiements,
        {_MAG_PANIER} AS panier_moyen,
        COUNT(DISTINCT f.o_custkey) AS clients_actifs
 FROM fact f
@@ -433,7 +480,7 @@ def q_metrics_reachat_par_magasin(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLE_REACHAT_MAGASIN = f"""
 WITH fact AS ({_SQL_FACT}),
 per_client AS (
-  SELECT s.s_name AS nom_magasin, f.o_custkey, COUNT(DISTINCT f.pid) AS nb
+  SELECT s.s_name AS nom_magasin, f.o_custkey, COUNT(*) AS nb
   FROM fact f JOIN supplier s ON f.l_suppkey = s.s_suppkey
   GROUP BY 1, 2
 )
@@ -457,14 +504,14 @@ def q_metrics_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WD_PANIER = sql_round_half_up(
-    "CAST(SUM(montant) AS DOUBLE) / NULLIF(COUNT(DISTINCT pid), 0)", 4
+    "CAST(SUM(montant) AS DOUBLE) / NULLIF(COUNT(*), 0)", 4
 )
 
 ORACLE_WEEKDAY = f"""
 WITH fact AS ({_SQL_FACT})
 SELECT CAST(isodow(jour) AS INT) AS jour_semaine,
        CAST(SUM(montant) AS DECIMAL(18,2)) AS ca_total,
-       COUNT(DISTINCT pid) AS nb_paiements,
+       COUNT(*) AS nb_paiements,
        {_WD_PANIER} AS panier_moyen
 FROM fact
 GROUP BY 1

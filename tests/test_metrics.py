@@ -3,6 +3,8 @@ beyond what the oracle queries cover."""
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 
 from filmdb_data_warehouse___power_bi_dashboard_spark.plans.etl import build_star_frames
@@ -56,6 +58,51 @@ def test_unknown_measure_raises(star):
 def test_ranked_measure_requires_card_context(star):
     with pytest.raises(ValueError, match="card measure"):
         evaluate(star, ["top_film"], group_by=["annee"])
+
+
+def test_summary_routing_matches_fact_path(spark, sf_small, star, tmp_path):
+    """X6: a month × store additive context answered from the
+    materialized summary must equal the fact-path answer, and its plan
+    must scan the summary parquet, not the lineitem fact."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.etl import build_warehouse
+
+    dw = str(tmp_path / "dw")
+    build_warehouse(spark, sf_small, dw)
+    summaries = {
+        "v_agg_mensuel_magasin": spark.read.parquet(f"{dw}/v_agg_mensuel_magasin"),
+        "v_agg_mensuel_categorie": spark.read.parquet(f"{dw}/v_agg_mensuel_categorie"),
+    }
+    kwargs = dict(
+        measures=["ca_total", "nb_paiements"],
+        group_by=["nom_magasin"],
+        filters=[("mois", ">=", datetime.date(1995, 1, 1))],
+    )
+    routed = evaluate(star, summaries=summaries, **kwargs)
+    files = routed.inputFiles()
+    assert files and all("v_agg_mensuel_magasin" in f for f in files), files
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    fact_path = {
+        r["nom_magasin"]: (r["ca_total"], r["nb_paiements"])
+        for r in evaluate(star, **kwargs).collect()
+    }
+    routed_rows = {
+        r["nom_magasin"]: (r["ca_total"], r["nb_paiements"]) for r in routed.collect()
+    }
+    assert routed_rows == fact_path
+
+
+def test_summary_routing_declines_non_additive(star):
+    # clients_actifs is not additive — must fall back to the fact.
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.metrics import (
+        _route_to_summary,
+    )
+
+    assert (
+        _route_to_summary({"v_agg_mensuel_magasin": star["fact_paiement"]},
+                          ["clients_actifs"], ["nom_magasin"], [])
+        is None
+    )
 
 
 def test_pareto_monotone_ends_at_total(star):
