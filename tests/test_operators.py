@@ -116,3 +116,50 @@ def test_simhash_near_dups_have_close_fingerprints(spark, docs):
     for r in near:
         ham = bin(fps[r["doc_a"]] ^ fps[r["doc_b"]]).count("1")
         assert ham <= 6, f"pair {r['doc_a']},{r['doc_b']} hamming {ham}"
+
+
+def test_embedding_pairs_fold_matches_jvm_expression(spark, sf_small):
+    """The filter-refine scorer re-computes candidate cosines with a
+    Python left fold claimed bit-identical to the JVM
+    aggregate(zip_with)/round_half_up expression. Pin that claim:
+    score every pair both ways and require exact (not approximate)
+    double equality."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.functions.scalar import (
+        round_half_up,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        dot_product,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    # threshold -1: every pair survives, so the fold path is exercised
+    # on the full range of cosines, not just near-dups.
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=-1.0).collect()
+    }
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.sqrt(dot_product("embedding", "embedding")).alias("norm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_half_up(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .collect()
+    }
+    assert got == want  # exact double equality, all pairs
