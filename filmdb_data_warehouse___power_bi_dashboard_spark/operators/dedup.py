@@ -35,6 +35,19 @@ _P = (1 << 31) - 1
 _SEED = 42
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer splits
+    than the configured parallelism (the small-file case: one parquet
+    file = one partition, so every downstream per-row expression —
+    shingling, 32-way minhash folds — runs on one core). When the
+    input is already well-split (the 100 TB case) this is a no-op, so
+    the raw text is never shuffled gratuitously."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
@@ -102,28 +115,47 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFr
     scale-up (pairs with zero overlap, i.e. jaccard 0, are never
     materialized; any positive threshold keeps output identical to
     the all-pairs formulation).
+
+    Shape note: pairs are expanded from each shingle's SORTED posting
+    list (collect_list + array pair expansion), not a postings
+    self-join — the shingle construction (the dominant cost) runs
+    exactly once, nothing is persisted, and there is no join at all:
+    one shuffle to group postings, one to count per pair. A
+    df=10^6 stop-shingle would skew the posting list at 100 TB —
+    the standard dial is a df cap dropping ultra-common shingles
+    (cheap to add, changes semantics, so not applied here).
     """
-    d = docs.select(
+    d = _spread(docs).select(
         "doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh")
     ).select("doc_id", "block", F.col("sh"), F.size("sh").alias("sz"))
     post = d.select("block", "doc_id", "sz", F.explode("sh").alias("s"))
-    a = post.alias("a")
-    b = post.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+    # doc_ids are unique per posting list (shingles are distinct per
+    # doc), so sorting the struct list orders by doc_id and every
+    # i<j expansion is already (doc_a < doc_b).
+    grouped = (
+        post.groupBy("block", "s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    pair = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pair.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    ).agg(F.count("*").alias("inter"))
     jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         inter.select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
@@ -200,7 +232,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
             ),
         ),
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return _spread(docs).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -316,7 +348,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
-    return docs.select("doc_id", fp.alias("simhash"))
+    return _spread(docs).select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:

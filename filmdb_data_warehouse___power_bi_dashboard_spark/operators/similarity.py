@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
+from .dedup import _spread
 from ..sources.catalog import read_table
 
 _SEED = 7
@@ -53,7 +54,7 @@ def bruteforce_topk(
     ``queries`` needs (vec_id, embedding); output one row per
     (query_id, rank<=k).
     """
-    base = _with_norm(emb).select("vec_id", "__v", "__norm")
+    base = _with_norm(_spread(emb)).select("vec_id", "__v", "__norm")
     q = (
         _with_norm(queries)
         .select(
@@ -119,7 +120,7 @@ def lsh_topk(
     pairs; tune n_bits so bucket population ~ thousands (recall ↔
     cost dial), and n_tables for recall amplification.
     """
-    base_sig = lsh_signatures(emb, n_tables, n_bits)
+    base_sig = lsh_signatures(_spread(emb), n_tables, n_bits)
     q_sig = lsh_signatures(queries, n_tables, n_bits).select(
         F.col("vec_id").alias("query_id"), "table", "signature"
     )
@@ -130,7 +131,7 @@ def lsh_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("query_id"))
-    base = _with_norm(emb).select("vec_id", "__v", "__norm")
+    base = _with_norm(_spread(emb)).select("vec_id", "__v", "__norm")
     q = _with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("__v").alias("__qv"),
