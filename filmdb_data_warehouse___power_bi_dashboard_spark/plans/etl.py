@@ -39,6 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.ranking import global_row_number
 from ..functions.scalar import date_key, net_revenue, sql_round_half_up
@@ -290,7 +291,14 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "dim_categorie": dim_categorie,
         "dim_film": dim_film,
     }
-    dims["fact_paiement"] = build_fact_paiement(spark, sf_dir, dims)
+    # Persist the assembled fact (SURVEY §4 X10 — the VertiPaq
+    # in-memory-model analog): every metrics/view evaluation starts
+    # from this frame, and without the persist each one re-executes
+    # the orders join + three dim lookups. Columnar-int star rows are
+    # small; MEMORY_AND_DISK spills rather than OOMs on big SFs.
+    dims["fact_paiement"] = build_fact_paiement(spark, sf_dir, dims).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     _STAR_CACHE[key] = dims
     return dims
 
