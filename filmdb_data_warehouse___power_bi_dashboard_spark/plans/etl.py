@@ -463,7 +463,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY p_partkey) AS film_key,
        p_name AS titre_film,
        p_type AS type_film,
        p_size AS taille,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS prix_catalogue,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS prix_catalogue,
        c.categorie_key
 FROM part LEFT JOIN cat c ON p_brand = c.nom_categorie
 """
@@ -536,7 +536,7 @@ SELECT source_paiement_id AS paiement_key,
        mag.magasin_key,
        flm.film_key,
        flm.categorie_key,
-       {_SQL_REV} AS montant,
+       CAST({_SQL_REV} AS DOUBLE) AS montant,
        l_quantity AS quantite,
        strftime(l_shipdate, '%Y-%m') AS pay_month
 FROM keyed
@@ -563,7 +563,7 @@ WITH fact AS (
 SELECT f.mois,
        COALESCE(s.s_suppkey, -1) AS source_magasin_id,
        COALESCE(s.s_name, 'Inconnu') AS nom_magasin,
-       CAST(SUM(f.montant) AS DECIMAL(18,2)) AS ca,
+       CAST(CAST(SUM(f.montant) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
        COUNT(*) AS nb_paiements,
        COUNT(DISTINCT f.o_custkey) AS nb_clients
 FROM fact f LEFT JOIN supplier s ON f.l_suppkey = s.s_suppkey

@@ -363,7 +363,7 @@ reachat AS (
   SELECT {sql_round_half_up("CAST(SUM(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100.0", 4)} AS taux_reachat
   FROM per_client
 )
-SELECT CAST(SUM(montant) AS DECIMAL(18,2)) AS ca_total,
+SELECT CAST(CAST(SUM(montant) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
        COUNT(*) AS nb_paiements,
        {_KPI_PANIER} AS panier_moyen,
        COUNT(DISTINCT o_custkey) AS clients_actifs,
@@ -399,7 +399,8 @@ cum AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul
   FROM by_cat
 )
-SELECT nom_categorie, ca_total, nb_paiements, ca_cumul,
+SELECT nom_categorie, CAST(ca_total AS DOUBLE) AS ca_total,
+       nb_paiements, CAST(ca_cumul AS DOUBLE) AS ca_cumul,
        {_PARETO_PCT} AS pct_cumul
 FROM cum
 """
@@ -425,7 +426,7 @@ ORACLE_MAGASIN_MOIS = f"""
 WITH fact AS ({_SQL_FACT})
 SELECT s.s_name AS nom_magasin,
        f.mois,
-       CAST(SUM(f.montant) AS DECIMAL(18,2)) AS ca_total,
+       CAST(CAST(SUM(f.montant) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
        COUNT(*) AS nb_paiements,
        {_MAG_PANIER} AS panier_moyen,
        COUNT(DISTINCT f.o_custkey) AS clients_actifs
@@ -510,7 +511,7 @@ _WD_PANIER = sql_round_half_up(
 ORACLE_WEEKDAY = f"""
 WITH fact AS ({_SQL_FACT})
 SELECT CAST(isodow(jour) AS INT) AS jour_semaine,
-       CAST(SUM(montant) AS DECIMAL(18,2)) AS ca_total,
+       CAST(CAST(SUM(montant) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
        COUNT(*) AS nb_paiements,
        {_WD_PANIER} AS panier_moyen
 FROM fact

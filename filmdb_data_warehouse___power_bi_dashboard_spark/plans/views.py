@@ -187,6 +187,27 @@ _VIEW_SQL: dict[str, str] = {
 }
 
 
+# Views that read ONLY raw source tables (no star build needed).
+# Registered queries over these use register_source_views so a cold
+# foreign session (the driver's gate) never pays — nor depends on —
+# the full warehouse build just to answer a source-level view.
+_SOURCE_ONLY_VIEWS = (
+    "v_retard_par_magasin",
+    "v_films_jamais_loues",
+    "v_rotation_stock",
+    "v_types_par_categorie",
+)
+
+
+def register_source_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the source tables plus the view definitions that don't
+    reference the star — the cheap subset of :func:`register_all_views`."""
+    register_views(spark, sf_dir)
+    for name in _SOURCE_ONLY_VIEWS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {_VIEW_SQL[name]}")
+    return list(_SOURCE_ONLY_VIEWS)
+
+
 def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register source tables, the star, the 3 summary views, and the
     20 SQL views above. Returns the registered view names."""
@@ -225,7 +246,7 @@ def q_view_kpi_magasin_mois(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VIEW_KPI = f"""
 SELECT s_name AS nom_magasin,
        CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
-       CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS ca,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
        COUNT(*) AS nb_paiements,
        COUNT(DISTINCT c_name) AS nb_clients
 FROM lineitem
@@ -273,7 +294,7 @@ ORDER BY exemple_building DESC NULLS LAST, pays
 
 
 def q_view_films_jamais_loues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_all_views(spark, sf_dir)
+    register_source_views(spark, sf_dir)
     return spark.sql(
         "SELECT p_partkey, p_name, p_brand FROM v_films_jamais_loues ORDER BY p_partkey"
     )
@@ -289,7 +310,7 @@ ORDER BY 1
 
 
 def q_view_rotation_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_all_views(spark, sf_dir)
+    register_source_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT p_partkey, p_name, nb_ventes, derniere_vente
@@ -312,7 +333,7 @@ LIMIT 50
 
 
 def q_view_retard_par_magasin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_all_views(spark, sf_dir)
+    register_source_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT nom_magasin, nb_lignes, retard_max,

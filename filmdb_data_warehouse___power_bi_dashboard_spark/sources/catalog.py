@@ -26,6 +26,28 @@ def convert_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def _pin_session_semantics(spark: SparkSession) -> None:
+    """Pin the session confs that change RESULT VALUES, at read time.
+
+    Registered queries run under the CALLER's session (the driver's
+    correctness gate builds its own SparkSession), so any conf that
+    affects semantics — timestamp→date bucketing via the session
+    timezone above all — must be (re)asserted on the session actually
+    executing the query, not just in our own factory (session.py).
+    Both confs are runtime-settable; failures are swallowed because a
+    session that forbids them is one that already has them right or
+    will fail loudly at read.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one source table with its declared schema.
 
@@ -34,6 +56,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the reference's `AS t(col type, ...)` discipline
     (insertion_dataware.sql:69-72).
     """
+    _pin_session_semantics(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Stored as TIMESTAMP(NANOS): read raw int64, convert.

@@ -296,9 +296,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
-           AS session_no
+           AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
