@@ -41,9 +41,21 @@ def _spread(df: DataFrame) -> DataFrame:
     file = one partition, so every downstream per-row expression —
     shingling, 32-way minhash folds — runs on one core). When the
     input is already well-split (the 100 TB case) this is a no-op, so
-    the raw text is never shuffled gratuitously."""
+    the raw text is never shuffled gratuitously.
+
+    The split estimate is ``inputFiles()`` — plan metadata, no RDD
+    materialization (the previous ``df.rdd.getNumPartitions()`` forced
+    a plan-to-RDD conversion on every operator call). Caveat: one huge
+    splittable file undercounts (Spark would split it by
+    maxPartitionBytes) and costs one redundant repartition —
+    irrelevant at scale, where inputs are many files.
+    """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        splits = len(df.inputFiles())
+    except Exception:
+        splits = 0
+    if splits >= n:
         return df
     return df.repartition(n)
 

@@ -83,24 +83,183 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _SEED) -> lis
     return rng.standard_normal((n_tables, n_bits, dim)).tolist()
 
 
+def _bind(expr, fn):
+    """Evaluate ``expr`` ONCE and pass it to ``fn`` as a lambda
+    variable: ``element_at(transform(array(expr), fn), 1)``.
+
+    Catalyst's CollapseProject inlines projection aliases into every
+    consumer, so an expression used k times is PLANNED k times — for
+    the 32 ``element_at(dots, j)`` reads of a dots array whose
+    expression embeds a 2048-literal plane matrix this produced a
+    1.2 MB plan and an interpreted (non-codegen) projection ~10×
+    slower than the arithmetic itself. A higher-order-function lambda
+    variable is the one Spark-SQL construct that guarantees
+    evaluate-once semantics inside a single projection."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def lsh_signatures(
     emb: DataFrame, n_tables: int = 8, n_bits: int = 4, dim: int = 64
 ) -> DataFrame:
     """(vec_id, table, signature): sign-of-dot-product bits against
     seeded random hyperplanes, packed into an int per table. One scan,
-    no shuffle, all array expressions."""
+    no shuffle, all array expressions.
+
+    Fused spelling (the minhash lesson, dedup.minhash_signatures):
+    the embedding is cast to double ONCE into a materialized column,
+    and all n_tables*n_bits dot products are one ``transform`` over a
+    single literal plane matrix — the previous spelling emitted 32
+    independent fold expressions, each re-inlining the cast of the
+    input array (measured: the approximate path cost 2x its own exact
+    baseline at sf0.1)."""
+    def structs(sig):
+        return F.transform(
+            sig, lambda s, t: F.struct(t.alias("table"), s.cast("int").alias("signature"))
+        )
+
+    sig = _sig_array(n_tables, n_bits, dim)
+    return (
+        emb.withColumn("__v", _as_double("embedding"))
+        .select("vec_id", F.explode(structs(sig)).alias("s"))
+        .select(
+            "vec_id", F.col("s.table").alias("table"), F.col("s.signature").alias("signature")
+        )
+    )
+
+
+def _sig_array(n_tables: int, n_bits: int, dim: int):
+    """Per-row signature ARRAY (one int per table) over a materialized
+    ``__v`` column, as ONE fused expression: a single ``transform``
+    against the literal plane matrix computes all n_tables*n_bits dot
+    products, and the bit-packing reads it through :func:`_bind` so
+    the matrix appears in the plan exactly once."""
     planes = _hyperplanes(n_tables, n_bits, dim)
-    v = _as_double("embedding")
-    sigs = []
+    plane_mat = F.array(
+        *[
+            F.array(*[F.lit(x) for x in planes[t][b]])
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ]
+    )
+    dots = F.transform(plane_mat, lambda plane: _dot(F.col("__v"), plane))
+
+    def pack(d):
+        sigs = []
+        for t in range(n_tables):
+            bits = None
+            for bpos in range(n_bits):
+                j = t * n_bits + bpos + 1
+                bit = (
+                    F.when(F.element_at(d, j) >= 0, F.lit(1 << bpos))
+                    .otherwise(F.lit(0))
+                )
+                bits = bit if bits is None else bits + bit
+            sigs.append(bits)
+        return F.array(*sigs)
+
+    return _bind(dots, pack)
+
+
+def _sig_packed(n_tables: int, n_bits: int, dim: int):
+    """All table signatures packed into ONE long (table t in bit lane
+    [t*n_bits, (t+1)*n_bits)) — requires n_tables*n_bits <= 63. The
+    packed form makes the bucket-match predicate pure scalar bit
+    arithmetic (codegen-friendly), where an array comparison would be
+    a CodegenFallback higher-order function."""
+    if n_tables * n_bits > 63:
+        raise ValueError("packed signature needs n_tables*n_bits <= 63")
+    planes = _hyperplanes(n_tables, n_bits, dim)
+    plane_mat = F.array(
+        *[
+            F.array(*[F.lit(x) for x in planes[t][b]])
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ]
+    )
+    dots = F.transform(plane_mat, lambda plane: _dot(F.col("__v"), plane))
+
+    def pack(d):
+        packed = None
+        for j in range(n_tables * n_bits):
+            bit = (
+                F.when(F.element_at(d, j + 1) >= 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            packed = bit if packed is None else packed + bit
+        return packed
+
+    return _bind(dots, pack)
+
+
+def lsh_topk_broadcast(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k, broadcast-prefilter plan: the SAME candidate
+    semantics as :func:`lsh_topk` (a pair is scored iff it shares at
+    least one (table, signature) bucket), expressed as a broadcast
+    join whose PREDICATE compares the two inline signature arrays —
+    ``n_tables`` int equalities — and whose cosine is computed only
+    for pairs that pass.
+
+    Versus brute force this replaces a dim-wide dot per pair with a
+    single XOR + n_tables lane tests on a packed-long signature for
+    the ~(1-2^-n_bits)^n_tables of pairs that match no bucket; versus
+    the bucket-join plan it removes the candidate shuffle + dedup
+    entirely. Right regime: the query side fits in a broadcast (the
+    index amortizes when Q ≳ n_tables*n_bits — below that, signatures
+    cost more than brute's Q dots). At cluster scale with both sides
+    huge, use :func:`lsh_topk`.
+    """
+    packed = _sig_packed(n_tables, n_bits, dim)
+    base = (
+        _with_norm(_spread(emb))
+        .withColumn("__sig", packed)
+        .select("vec_id", "__v", "__norm", "__sig")
+    )
+    # _spread so the broadcast BUILD side computes its signatures in
+    # parallel — a 1-file query scan otherwise runs all Q*32 dots in
+    # the single task feeding the BroadcastExchange.
+    q = (
+        _with_norm(_spread(queries))
+        .withColumn("__sig", packed)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__norm").alias("__qnorm"),
+            F.col("__sig").alias("__qsig"),
+        )
+    )
+    # "Shares ≥1 bucket" on packed signatures: sig_a XOR sig_b has a
+    # zero n_bits lane exactly where a table agrees — pure scalar bit
+    # arithmetic. The array spelling (exists(zip_with(...))) is a
+    # higher-order function = CodegenFallback, and evaluated per PAIR
+    # it cost more than the dot products it was saving (measured).
+    lane_mask = (1 << n_bits) - 1
+    x = F.col("__sig").bitwiseXOR(F.col("__qsig"))
+    share_bucket = None
     for t in range(n_tables):
-        bits = None
-        for bpos in range(n_bits):
-            plane = F.array(*[F.lit(x) for x in planes[t][bpos]])
-            bit = F.when(_dot(v, plane) >= 0, F.lit(1 << bpos)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        sigs.append(F.struct(F.lit(t).alias("table"), bits.alias("signature")))
-    return emb.select("vec_id", F.explode(F.array(*sigs)).alias("s")).select(
-        "vec_id", F.col("s.table").alias("table"), F.col("s.signature").alias("signature")
+        lane_zero = F.shiftright(x, t * n_bits).bitwiseAND(F.lit(lane_mask)) == 0
+        share_bucket = lane_zero if share_bucket is None else (share_bucket | lane_zero)
+    # crossJoin + Filter, NOT join(condition): a BroadcastNestedLoop
+    # join with a condition is excluded from whole-stage codegen. As a
+    # Filter the predicate is codegen'd and short-circuits the cosine.
+    pairs = base.crossJoin(F.broadcast(q)).filter(share_bucket)
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("__qv"), F.col("__v")) / (F.col("__qnorm") * F.col("__norm"))
+    scored = pairs.select("query_id", "vec_id", round_half_up(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )
 
 
@@ -118,7 +277,9 @@ def lsh_topk(
 
     At 100 TB: the bucket join shuffles only (signature, vec_id)
     pairs; tune n_bits so bucket population ~ thousands (recall ↔
-    cost dial), and n_tables for recall amplification.
+    cost dial), and n_tables for recall amplification. When the query
+    side is broadcastable, :func:`lsh_topk_broadcast` answers the
+    same candidates with two fewer shuffles.
     """
     base_sig = lsh_signatures(_spread(emb), n_tables, n_bits)
     q_sig = lsh_signatures(queries, n_tables, n_bits).select(
@@ -155,13 +316,16 @@ def lsh_topk(
 # Registered queries
 # ---------------------------------------------------------------------------
 
-_N_QUERIES = 5  # vec_id 0..4 as the benchmark query set
+# The registered workload is the self-KNN top-10 graph (every vector
+# queries the table) — the embedding-dedup / similarity-graph shape
+# where an index genuinely pays. A handful-of-queries workload would
+# make ANY index look slower than brute force (the signature pass
+# alone costs n_tables*n_bits dots per base row vs Q dots for brute).
 
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return bruteforce_topk(emb, queries, k=10)
+    return bruteforce_topk(emb, emb, k=10)
 
 
 _SQL_COS_QB = sql_round_half_up(
@@ -179,7 +343,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
          {_SQL_COS_QB} AS cosine
   FROM embeddings b
-  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+  CROSS JOIN embeddings q
   WHERE b.vec_id <> q.vec_id
 ),
 ranked AS (
@@ -198,8 +362,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (seeded hyperplanes not reproducible in SQL);
     recall vs brute force asserted in pytest."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk_broadcast(emb, emb, k=10)
 
 
 QUERIES = {
