@@ -36,6 +36,8 @@ def main() -> None:
     # the plans, not first-touch overheads.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
+
     t_all = time.perf_counter()
     for name, fn in sorted(reg.items()):
         t0 = time.perf_counter()
@@ -44,6 +46,9 @@ def main() -> None:
         # Python per-row hop); the noop sink runs the full plan.
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Result fully materialized: drop this query's tracked persists
+        # so cache pressure never builds across the corpus run.
+        release_persisted()
     total = round(time.perf_counter() - t_all, 3)
 
     print(

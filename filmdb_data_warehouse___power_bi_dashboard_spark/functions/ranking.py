@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..runtime import track_persist
+
 _PID = "__sg_pid"
 _OFF = "__sg_off"
 
@@ -44,7 +46,7 @@ def global_row_number(
     spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
+    ranged = track_persist(
         df.repartitionByRange(n_parts, *cols)
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)

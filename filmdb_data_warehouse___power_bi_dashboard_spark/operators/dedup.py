@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
+from ..runtime import track_persist
 from ..sources.catalog import read_table
 
 # Mersenne prime 2^31-1: modulus for the minhash permutation family.
@@ -66,13 +67,22 @@ def _tokens(col: str = "text"):
 
 def _shingles(col: str = "text", n: int = 3):
     """Distinct word n-gram shingles, built with transform/sequence —
-    whole-stage-codegen friendly, no UDF."""
+    whole-stage-codegen friendly, no UDF.
+
+    Documents shorter than ``n`` tokens yield an EMPTY shingle set
+    (guarded explicitly: Spark's concat_ws would silently skip the
+    NULL ``element_at`` results and emit a truncated pseudo-shingle,
+    while SQL ``||`` propagates NULL — the one place the two engines'
+    shingles could diverge; the oracle carries the same ``len(w) >= n``
+    guard)."""
     w = _tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
     )
-    return F.array_distinct(gram)
+    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +125,12 @@ GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
     """Word n-gram Jaccard via an INVERTED INDEX, not an all-pairs
     self-join: explode (block, shingle, doc) postings, join postings
     on (block, shingle) so only documents that SHARE a shingle ever
@@ -132,10 +147,17 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFr
     list (collect_list + array pair expansion), not a postings
     self-join — the shingle construction (the dominant cost) runs
     exactly once, nothing is persisted, and there is no join at all:
-    one shuffle to group postings, one to count per pair. A
-    df=10^6 stop-shingle would skew the posting list at 100 TB —
-    the standard dial is a df cap dropping ultra-common shingles
-    (cheap to add, changes semantics, so not applied here).
+    one shuffle to group postings, one to count per pair.
+
+    ``max_df``: drop posting lists longer than this (stop-shingles).
+    A df=10^6 shingle contributes df² pairs through ONE row's
+    flattened array — the Σdf² blow-up AND a single-executor OOM at
+    100 TB. Semantics change: a pair connected only by dropped
+    shingles disappears, and intersection counts shrink by the
+    dropped shingles — so the cap is OFF (None) for the
+    oracle-conformance entry and should be ON (e.g. 10_000) for any
+    production-scale run. tests assert cap ∞ ≡ cap 64 on the corpus,
+    where no near-dup pair depends on a hot shingle.
     """
     d = _spread(docs).select(
         "doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh")
@@ -149,6 +171,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.6, n: int = 3) -> DataFr
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_df)
     pair = grouped.select(
         F.explode(
             F.flatten(
@@ -190,8 +214,10 @@ _JAC = sql_round_half_up(
 ORACLE_NGRAM_JACCARD = f"""
 WITH d AS (
   SELECT doc_id, lang AS block,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 2 + 1)])
+              ELSE [] END AS sh
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -292,6 +318,7 @@ def minhash_lsh_pairs(
         # so the signature computation runs once, not twice.
         .persist()
     )
+    banded = track_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -389,6 +416,7 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
         # Self-joined on both sides: persist to hash the tokens once.
         .persist()
     )
+    banded = track_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

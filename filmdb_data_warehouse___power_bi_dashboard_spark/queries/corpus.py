@@ -392,6 +392,7 @@ ORDER BY 1, 2
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranking import global_row_number, ntile_from_rank
+    from ..runtime import track_persist
 
     orders = _t(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("maxd"))
@@ -405,6 +406,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    base = track_persist(base)
     n = base.count()
     metrics = {
         "score_r": [F.desc("recence_jours"), F.asc("o_custkey")],

@@ -53,7 +53,7 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     return convert_event_ts(raw)
@@ -198,8 +198,14 @@ def _sessionize_fn(gap_minutes: int):
                     last_us, nb, total = t, nb + 1, total + v
         state.update((session_no, start_us, last_us, nb, total))
         # Bounded input (availableNow): flush the open session too so
-        # the result equals the batch answer. An unbounded deployment
-        # would instead emit it on state timeout.
+        # the result equals the batch answer — an unbounded deployment
+        # would emit it on event-time state timeout instead (the
+        # watermark never passes the final sessions on bounded input,
+        # so a timeout-only formulation would silently drop them).
+        # The open session ALSO stays in state, so with input split
+        # across micro-batches the same (user, session_no) is emitted
+        # once per batch as a PROGRESSIVE SNAPSHOT; sessionize_stream
+        # consolidates snapshots after the sink (keep the final one).
         if start_us is not None:
             out.append((user_id, session_no, start_us, last_us, nb, total))
         yield pd.DataFrame(
@@ -251,7 +257,24 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # Consolidate progressive snapshots: with input split across
+    # micro-batches (maxFilesPerTrigger=1), an open session is flushed
+    # once per batch with growing stats and possibly closed later —
+    # one row per (user, session_no) emerges by keeping the snapshot
+    # with the most events (nb_events is monotone per session). With
+    # single-batch input this is a no-op aggregation.
+    raw = spark.table(name)
+    return (
+        raw.groupBy("user_id", "session_no")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.max("nb_events").alias("nb_events"),
+            F.max_by("total_value", "nb_events").alias("total_value"),
+            F.max_by("duration_sec", "nb_events").alias("duration_sec"),
+        )
+        .select([f.name for f in _SESSION_SCHEMA.fields])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,16 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _release_persists():
+    """Drop operator-tracked persists after every test — the session
+    is shared, and accumulated MEMORY_AND_DISK blocks slow the suite."""
+    yield
+    from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
+
+    release_persisted()
+
+
 @pytest.fixture(scope="session")
 def sf_small() -> str:
     return SF_SMALL

@@ -39,6 +39,29 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+def test_jaccard_df_cap_identical_on_corpus(docs):
+    """cap=64 must drop only zero-overlap candidate mass here: no
+    near-dup pair in the corpus is connected through a df>64 shingle,
+    so output pairs are identical with the cap on and off."""
+    uncapped = sorted(map(tuple, jaccard_pairs(docs, threshold=0.6).collect()))
+    capped = sorted(map(tuple, jaccard_pairs(docs, threshold=0.6, max_df=64).collect()))
+    assert uncapped == capped
+    assert uncapped, "fixture should contain at least one near-dup pair"
+
+
+def test_jaccard_short_docs_empty_shingles(spark):
+    """Documents shorter than n tokens must produce NO pairs — not a
+    truncated pseudo-shingle that pairs identical short docs (the
+    Spark concat_ws NULL-skip vs SQL || NULL-propagate divergence)."""
+    docs = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "en", "hello world"), (3, "en", "one"),
+         (4, "en", "a b c d"), (5, "en", "a b c d")],
+        "doc_id long, lang string, text string",
+    )
+    pairs = jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+
+
 def test_minhash_estimate_tracks_exact(docs):
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

@@ -64,6 +64,53 @@ def test_sessionize_stream_equals_batch(spark, sf_small):
     assert not mismatches, f"first mismatches: {mismatches[:3]}"
 
 
+def test_sessionize_stream_multi_batch_no_duplicates(spark, sf_small, tmp_path):
+    """Input split across TWO files (= two micro-batches under
+    maxFilesPerTrigger=1): sessions spanning the file boundary are
+    flushed in batch 1 as open snapshots and extended/closed in batch
+    2 — the consolidated output must contain exactly one row per
+    session and equal the batch answer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.schemas import EVENTS_RAW
+
+    raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_small}/events.parquet")
+    pdf = raw.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    mid = len(pdf) // 2
+    a, b = str(tmp_path / "events-a.parquet"), str(tmp_path / "events-b.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:mid], preserve_index=False), a)
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[mid:], preserve_index=False), b)
+    # The file source orders batches by modification time: process the
+    # earlier half first so state extension is exercised, not disorder.
+    now = 1_700_000_000
+    os.utime(a, (now, now))
+    os.utime(b, (now + 100, now + 100))
+
+    rows = sessionize_stream(spark, str(tmp_path)).collect()
+    keys = [(r["user_id"], r["session_no"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate session snapshots leaked"
+
+    events = read_table(spark, sf_small, "events")
+    batch = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start"], r["session_end"], r["nb_events"],
+            r["total_value"], r["duration_sec"],
+        )
+        for r in sessionize_batch(events).collect()
+    }
+    stream = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start"], r["session_end"], r["nb_events"],
+            r["total_value"], r["duration_sec"],
+        )
+        for r in rows
+    }
+    assert stream == batch
+
+
 def test_session_durations_nonnegative_and_gap_bounded(spark, sf_small):
     events = read_table(spark, sf_small, "events")
     rows = sessionize_batch(events, gap_minutes=30).collect()
