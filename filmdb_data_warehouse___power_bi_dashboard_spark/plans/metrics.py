@@ -519,8 +519,39 @@ GROUP BY 1
 """
 
 
+def q_metrics_drill_localisation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level drill context — the pbix dim_client 'Localisation'
+    hierarchy (pays → ville → nom_client; the corpus has no city, so
+    region ⊃ pays ⊃ nom_client) under a segment slicer: proves
+    ``evaluate`` compiles an ordered multi-level group_by + filter
+    into one star pass (pbix Report/Layout drill; SURVEY §2.9)."""
+    return evaluate(
+        _star(spark, sf_dir),
+        measures=["ca_total", "nb_paiements"],
+        group_by=["region_client", "pays_client", "nom_client"],
+        filters=[("segment", "=", "BUILDING")],
+    )
+
+
+ORACLE_DRILL_LOCALISATION = f"""
+WITH fact AS ({_SQL_FACT})
+SELECT r.r_name AS region_client,
+       n.n_name AS pays_client,
+       c.c_name AS nom_client,
+       CAST(CAST(SUM(f.montant) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
+       COUNT(*) AS nb_paiements
+FROM fact f
+JOIN customer c ON f.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "metrics_kpi_global": q_metrics_kpi_global,
+    "metrics_drill_localisation": q_metrics_drill_localisation,
     "metrics_pareto_categorie": q_metrics_pareto_categorie,
     "metrics_magasin_mois_europe": q_metrics_magasin_mois_europe,
     "metrics_top_entities": q_metrics_top_entities,
@@ -530,6 +561,7 @@ QUERIES = {
 
 ORACLES = {
     "metrics_kpi_global": ORACLE_KPI_GLOBAL,
+    "metrics_drill_localisation": ORACLE_DRILL_LOCALISATION,
     "metrics_pareto_categorie": ORACLE_PARETO,
     "metrics_magasin_mois_europe": ORACLE_MAGASIN_MOIS,
     "metrics_top_entities": ORACLE_TOP_ENTITIES,

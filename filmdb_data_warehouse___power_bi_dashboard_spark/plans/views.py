@@ -358,12 +358,144 @@ FROM base GROUP BY 1 ORDER BY 1
 """
 
 
+def q_view_ca_mensuel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_ca_mensuel through the star path (fact ⋈ dim_date), SQL-text
+    form — same numbers as the direct corpus monthly_revenue, proving
+    the warehouse route reproduces the source route."""
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT mois, CAST(ca AS DOUBLE) AS ca, nb FROM v_ca_mensuel ORDER BY mois"
+    )
+
+
+ORACLE_VIEW_CA_MENSUEL = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_heatmap_magasin_categorie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_magasin, nom_categorie, CAST(ca AS DOUBLE) AS ca"
+        " FROM v_heatmap_magasin_categorie ORDER BY nom_magasin, nom_categorie"
+    )
+
+
+ORACLE_VIEW_HEATMAP = f"""
+SELECT s_name AS nom_magasin,
+       COALESCE(p_brand, 'Inconnu') AS nom_categorie,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_view_actifs_12m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql("SELECT clients_actifs FROM v_actifs_12m")
+
+
+ORACLE_VIEW_ACTIFS = """
+SELECT COUNT(DISTINCT c_name) AS clients_actifs
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE CAST(l_shipdate AS DATE) >=
+      (SELECT CAST(MAX(l_shipdate) AS DATE) - INTERVAL 12 MONTH FROM lineitem)
+"""
+
+
+def q_view_repartition_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT segment, nb_clients, CAST(ca AS DOUBLE) AS ca"
+        " FROM v_repartition_segment ORDER BY segment"
+    )
+
+
+ORACLE_VIEW_SEGMENT = f"""
+SELECT COALESCE(c_mktsegment, 'Inconnu') AS segment,
+       COUNT(DISTINCT c_name) AS nb_clients,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_pareto_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_categorie, CAST(ca AS DOUBLE) AS ca,"
+        " CAST(ca_cumul AS DOUBLE) AS ca_cumul"
+        " FROM v_pareto_categories ORDER BY ca_cumul, nom_categorie"
+    )
+
+
+ORACLE_VIEW_PARETO = f"""
+WITH by_cat AS (
+  SELECT COALESCE(p_brand, 'Inconnu') AS nom_categorie,
+         CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS ca
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+cum AS (
+  SELECT nom_categorie, ca,
+         CAST(SUM(ca) OVER (ORDER BY ca DESC, nom_categorie
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS ca_cumul
+  FROM by_cat
+)
+SELECT nom_categorie, CAST(ca AS DOUBLE) AS ca,
+       CAST(ca_cumul AS DOUBLE) AS ca_cumul
+FROM cum ORDER BY ca_cumul, nom_categorie
+"""
+
+
+def q_view_agg_mensuel_categorie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized month × category summary table (dw
+    requetes_clees.sql:286-302) — the second X6 summary, previously
+    built but never oracle-read."""
+    star = build_star_frames(spark, sf_dir)
+    df = build_agg_mensuel_categorie(star)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "mois",
+        "nom_categorie",
+        F.col("ca").cast("double").alias("ca"),
+        "nb_paiements",
+    ).orderBy("mois", "nom_categorie")
+
+
+ORACLE_VIEW_AGG_CAT = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+       COALESCE(p_brand, 'Inconnu') AS nom_categorie,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb_paiements
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
     "view_clients_directory": q_view_clients_directory,
     "view_films_jamais_loues": q_view_films_jamais_loues,
     "view_rotation_stock": q_view_rotation_stock,
     "view_retard_par_magasin": q_view_retard_par_magasin,
+    "view_ca_mensuel": q_view_ca_mensuel,
+    "view_heatmap_magasin_categorie": q_view_heatmap_magasin_categorie,
+    "view_actifs_12m": q_view_actifs_12m,
+    "view_repartition_segment": q_view_repartition_segment,
+    "view_pareto_categories": q_view_pareto_categories,
+    "view_agg_mensuel_categorie": q_view_agg_mensuel_categorie,
 }
 
 ORACLES = {
@@ -372,4 +504,10 @@ ORACLES = {
     "view_films_jamais_loues": ORACLE_VIEW_JAMAIS,
     "view_rotation_stock": ORACLE_VIEW_ROTATION,
     "view_retard_par_magasin": ORACLE_VIEW_RETARD,
+    "view_ca_mensuel": ORACLE_VIEW_CA_MENSUEL,
+    "view_heatmap_magasin_categorie": ORACLE_VIEW_HEATMAP,
+    "view_actifs_12m": ORACLE_VIEW_ACTIFS,
+    "view_repartition_segment": ORACLE_VIEW_SEGMENT,
+    "view_pareto_categories": ORACLE_VIEW_PARETO,
+    "view_agg_mensuel_categorie": ORACLE_VIEW_AGG_CAT,
 }

@@ -63,7 +63,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "shipping_delays",
     "parts_never_ordered",
     "brand_type_list",
-    "month_spine_coverage",
     "orders_last_full_month",
     "date_key_rollup",
     "customer_segments",
@@ -84,8 +83,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "etl_fact_paiement",
     "etl_agg_mensuel_magasin",
     "etl_dim_mois",
-    # metrics / semantic layer (6)
+    # metrics / semantic layer (7)
     "metrics_kpi_global",
+    "metrics_drill_localisation",
     "metrics_pareto_categorie",
     "metrics_magasin_mois_europe",
     "metrics_top_entities",
@@ -100,7 +100,21 @@ _GATE_ORDER: tuple[str, ...] = (
     "stream_tumbling_hour",
     "sessionize_events",
     # --- past the driver's 50-entry cap ---
+    # Oracle-bearing entries here are gate-eligible but over the cap
+    # this round; the SAME comparator runs on them in pytest
+    # (tests/test_oracle_parity.py uses the measured driver
+    # normalization) — rotate them in next round if a driver-recorded
+    # row is needed. month_spine_coverage was rotated out for
+    # metrics_drill_localisation (its operators S7/P7 remain gate-
+    # covered by etl_dim_date and mom_yoy's spine).
+    "month_spine_coverage",
     "view_kpi_magasin_mois",
+    "view_ca_mensuel",
+    "view_heatmap_magasin_categorie",
+    "view_actifs_12m",
+    "view_repartition_segment",
+    "view_pareto_categories",
+    "view_agg_mensuel_categorie",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "ann_topk_lsh",
