@@ -239,17 +239,17 @@ def lsh_topk_broadcast(
     # "Shares ≥1 bucket" on packed signatures: sig_a XOR sig_b has a
     # zero n_bits lane exactly where a table agrees — pure scalar bit
     # arithmetic. The array spelling (exists(zip_with(...))) is a
-    # higher-order function = CodegenFallback, and evaluated per PAIR
-    # it cost more than the dot products it was saving (measured).
+    # higher-order function = CodegenFallback: evaluated interpreted
+    # per PAIR inside the join it cost more than the dot products it
+    # was saving (measured ~2x brute force). Catalyst pushes this
+    # filter into the BNLJ condition — fine for scalar bit ops, and
+    # asserted HOF-free in tests/test_plans.py.
     lane_mask = (1 << n_bits) - 1
     x = F.col("__sig").bitwiseXOR(F.col("__qsig"))
     share_bucket = None
     for t in range(n_tables):
         lane_zero = F.shiftright(x, t * n_bits).bitwiseAND(F.lit(lane_mask)) == 0
         share_bucket = lane_zero if share_bucket is None else (share_bucket | lane_zero)
-    # crossJoin + Filter, NOT join(condition): a BroadcastNestedLoop
-    # join with a condition is excluded from whole-stage codegen. As a
-    # Filter the predicate is codegen'd and short-circuits the cosine.
     pairs = base.crossJoin(F.broadcast(q)).filter(share_bucket)
     if exclude_self:
         pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))

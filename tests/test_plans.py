@@ -62,6 +62,32 @@ def test_agg_has_partial_combine(spark, sf_small):
     assert plan.count("HashAggregate") >= 2, plan[:2000]
 
 
+def test_ann_lsh_plan_codegen_friendly(spark, sf_small):
+    """Regression guards for the round-3 ANN lessons (PERF.md §8):
+    the hyperplane literal matrix must appear in the plan ONCE (not
+    re-inlined per signature read — was a 1.2 MB plan), and the
+    bucket prefilter must live in a Filter, never in the
+    BroadcastNestedLoopJoin condition (which disables whole-stage
+    codegen)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_lsh,
+    )
+
+    plan = q_ann_topk_lsh(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 300_000, f"plan blew up to {len(plan)} chars — literal re-inlining?"
+    # Catalyst merges the prefilter back into the BNLJ condition —
+    # harmless for SCALAR bit ops, fatal for higher-order functions
+    # (CodegenFallback, evaluated interpreted per pair).
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            low = line.lower()
+            for hof in ("zip_with", "exists(", "aggregate(", "transform("):
+                assert hof not in low, (
+                    f"higher-order function {hof!r} in the join condition "
+                    "(CodegenFallback per pair — the round-3 regression)"
+                )
+
+
 def test_no_cartesian_products_in_star_queries(spark, sf_small):
     for name in ("q_kpi_supplier_month", "q_supplier_brand_heatmap", "q_cohorts"):
         plan = _plan(getattr(corpus, name)(spark, sf_small))
