@@ -18,12 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (Top-10 parts by revenue — the reference's
-    "Top 10 films par revenu", README.md:91-99) on sf0.001."""
-    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
-        q_top_parts_by_revenue,
-    )
+    "Top 10 films par revenu", README.md:91-99) on sf0.001, through
+    the registry so the canonical output contract (decimal→double
+    final projection) applies here too."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import registry
 
-    return q_top_parts_by_revenue(spark, "/root/testdata/sf0.001")
+    return registry()["top_parts_by_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,3 +46,13 @@ def test_all_queries_have_entries():
     assert not missing, f"queries registered without oracle or whitelist: {sorted(missing)}"
     orphans = set(_ORACLES) - set(_REG)
     assert not orphans, f"oracles without a registered query: {sorted(orphans)}"
+
+
+def test_gate_window_is_all_oracle_bearing():
+    """The driver only hash-checks the FIRST 50 registry entries
+    (measured: CORRECTNESS_r02 == registry[:50]) — every slot in that
+    window must carry an oracle, or a checkable slot is wasted on a
+    rows-only entry."""
+    gate = list(_REG)[:50]
+    no_oracle = [n for n in gate if n not in _ORACLES]
+    assert not no_oracle, f"rows-only entries inside the 50-entry gate window: {no_oracle}"
