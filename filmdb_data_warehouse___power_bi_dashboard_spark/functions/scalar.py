@@ -20,6 +20,8 @@ def money(col: Column | str) -> Column:
     (sql/datawarehouse/creationdatwareh.sql:83,109). Decimal keeps
     SUM exact and order-independent — a double SUM differs between
     engines by summation order, which would break value-hash parity.
+    Decimal is internal-only: registered query OUTPUTS are cast to
+    double in their final projection (:func:`decimals_to_double`).
     """
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(MONEY)

@@ -10,7 +10,11 @@ Every query is written twice — a DataFrame builder (this file) and an
 ANSI-SQL oracle (``ORACLES``) — and engineered for cross-engine
 determinism:
 
-- money flows through DecimalType (exact, order-independent sums);
+- money flows through DecimalType internally (exact,
+  order-independent sums, windows, and ranks); the registry wrapper
+  casts decimal OUTPUT columns to double in the final projection
+  (see queries/__init__.py — the gate's pandas materialization
+  renders DECIMAL as float64, so both engines emit IEEE doubles);
 - ratios/averages/stddev are computed from exact decimal sums in
   double and rounded to a fixed scale;
 - every top-k ORDER BY carries a unique tiebreaker;
