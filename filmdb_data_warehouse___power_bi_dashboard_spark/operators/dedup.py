@@ -585,12 +585,97 @@ ORDER BY 1, 2
 """
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs — the 100 TB default path
+    that :func:`embedding_near_dup_pairs` (exact, one side broadcast)
+    names as its scale alternative.
+
+    Candidates come from random-hyperplane LSH bucket joins: each
+    vector gets ``n_tables`` packed signatures
+    (similarity._sig_packed, one fused expression); pairs meeting in
+    any (table, signature) bucket — and ONLY those — are re-scored
+    with the strict left-fold cosine the exact operator and the
+    DuckDB oracle pin. Output schema matches the exact operator, so
+    the two are swappable; recall vs the exact pair set is asserted
+    in pytest (hyperplane LSH is distribution-free: per-bit agreement
+    is 1 - angle/pi regardless of the embedding distribution).
+
+    Scale: nothing is broadcast and no all-pairs structure exists —
+    only (table, signature, vec_id) rows shuffle, bucket populations
+    bound the join, and AQE splits hot buckets. Dial n_bits up to
+    shrink buckets (recall amplified back via n_tables).
+    """
+    from .similarity import _sig_packed, _with_norm, _dot
+
+    base = (
+        _with_norm(_spread(emb.filter(F.col("embedding").isNotNull())))
+        .withColumn("__sig", _sig_packed(n_tables, n_bits, dim))
+        .select("vec_id", "__v", "__norm", "__sig")
+    )
+    lane_mask = (1 << n_bits) - 1
+    sig_rows = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.shiftright("__sig", t * n_bits)
+                        .bitwiseAND(F.lit(lane_mask))
+                        .alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a, b = sig_rows.alias("a"), sig_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__norm").alias("__na")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", round_half_up(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (seeded hyperplanes not reproducible in ANSI
+    SQL); recall vs the exact embedding near-dup asserted in pytest."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.4)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }
 
 ORACLES = {

@@ -117,7 +117,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_agg_mensuel_categorie",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_embedding_lsh",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "multimodal_features",
 )
 

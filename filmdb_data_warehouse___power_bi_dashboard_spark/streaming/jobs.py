@@ -277,6 +277,58 @@ def sessionize_stream(
     )
 
 
+def stream_tumbling_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The PRODUCTION shape of the tumbling aggregation: append-mode
+    windowed agg into a parquet sink with a checkpoint — the pipeline
+    you would actually deploy (swap the file source for Kafka and the
+    path for object storage; exactly-once via checkpoint + sink
+    idempotence).
+
+    Append-mode semantics on bounded input, stated honestly: a window
+    is emitted only once the WATERMARK passes its end, so the trailing
+    windows (younger than max(ts) - watermark) remain in state when
+    the availableNow run stops — they'd be emitted when more data
+    arrives. The memory-sink/complete-mode variant
+    (:func:`stream_tumbling_agg`) exists precisely because a bounded
+    demo wants every window; this writer exists to prove the
+    unbounded-deployment plan end-to-end. The equality contract
+    (tests/test_streaming.py) is: parquet rows == batch GROUP BY
+    restricted to watermark-finalized windows.
+    """
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "nb_events",
+            "total_value",
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------

@@ -88,6 +88,35 @@ def test_simhash_pairs_within_radius(docs):
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
 
 
+def test_embedding_lsh_recall_and_precision_vs_exact(spark, sf_small):
+    """The LSH-bucketed near-dup (scale path) must recover most exact
+    pairs at threshold 0.4 — hyperplane agreement for cos>=0.4 is
+    >=0.63/bit, so P(candidate) >= 1-(1-0.63^4)^8 ~ 0.75 — and every
+    emitted pair must BE an exact pair with the identical strict-fold
+    cosine (the refine step is exact, only candidate RECALL is
+    approximate)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    assert set(approx) <= set(exact), "LSH emitted a non-exact pair (refine broken)"
+    for pair, c in approx.items():
+        assert c == exact[pair], f"{pair}: refine cosine {c} != exact {exact[pair]}"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"embedding-LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
         q_ann_topk_bruteforce,
@@ -108,6 +137,34 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"ANN recall@10 {mean_recall:.2f} (per-query {recalls})"
+
+
+def test_ann_ivf_recall_and_exactness_vs_bruteforce(spark, sf_small):
+    """IVF-flat: candidates are data-adaptive (trained coarse
+    quantizer) rather than data-independent hyperplanes. On this
+    near-uniform corpus probing 8/16 lists must recover >=0.7 of the
+    exact top-10 graph; every emitted (query, vec) hit must carry the
+    identical strict-fold cosine as brute force (only candidate
+    RECALL is approximate, scoring is exact)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_bruteforce,
+        q_ann_topk_ivf,
+    )
+
+    exact_rows = q_ann_topk_bruteforce(spark, sf_small).collect()
+    approx_rows = q_ann_topk_ivf(spark, sf_small).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = 0
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            hits += 1
+            assert r["cosine"] == exact_cos[key], f"{key}: IVF cosine differs"
+    mean_recall = hits / sum(len(s) for s in exact_sets.values())
+    assert mean_recall >= 0.7, f"IVF recall@10 {mean_recall:.2f}"
 
 
 def test_multimodal_features_match_sql_twin(spark, sf_small):

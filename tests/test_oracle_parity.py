@@ -35,7 +35,9 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
 NON_SQL_WHITELIST: set[str] = {
     "dedup_minhash_pairs",    # hash family not reproducible in ANSI SQL
     "dedup_simhash_pairs",    # xxhash64-based fingerprint
+    "dedup_embedding_lsh",    # seeded hyperplanes; recall tested in pytest
     "ann_topk_lsh",           # seeded hyperplanes; recall tested in pytest
+    "ann_topk_ivf",           # iterative k-means quantizer; recall tested in pytest
     "multimodal_features",    # mapInPandas path; equality tested in pytest
 }
 

@@ -11,6 +11,7 @@ from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
     sessionize_batch,
     sessionize_stream,
     stream_tumbling_agg,
+    stream_tumbling_to_parquet,
 )
 
 
@@ -32,6 +33,40 @@ def test_tumbling_stream_equals_batch(spark, sf_small):
     for k, (nb, tv) in stream.items():
         assert nb == batch[k][0]
         assert abs(tv - batch[k][1]) < 0.02
+
+
+def test_parquet_sink_emits_watermark_finalized_windows(spark, sf_small, tmp_path):
+    """Production shape (append mode + parquet sink): on bounded
+    input, exactly the windows whose END the final watermark passed
+    are written — equal to the batch GROUP BY restricted to those
+    windows; trailing windows stay in state (append-mode semantics,
+    documented on the writer)."""
+    out = str(tmp_path / "agg_parquet")
+    got = {
+        (r["window_start"], r["event_type"]): (r["nb_events"], r["total_value"])
+        for r in stream_tumbling_to_parquet(spark, sf_small, out).collect()
+    }
+    events = read_table(spark, sf_small, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        (r["h"], r["event_type"]): (r["nb"], r["tv"])
+        for r in events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count("*").alias("nb"),
+            F.floor(F.sum("value") * 100.0 + 0.5).cast("double").alias("tv_raw"),
+        )
+        .withColumn("tv", F.col("tv_raw") / 100.0)
+        .drop("tv_raw")
+        .collect()
+    }
+    import datetime
+
+    watermark = max_ts - datetime.timedelta(hours=1)
+    finalized = {
+        k: v for k, v in batch.items() if k[0] + datetime.timedelta(hours=1) <= watermark
+    }
+    assert got, "parquet sink wrote nothing"
+    assert got == finalized
 
 
 def test_sessionize_stream_equals_batch(spark, sf_small):
