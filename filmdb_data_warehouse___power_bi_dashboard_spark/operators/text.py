@@ -8,7 +8,7 @@ so the whole profile runs inside whole-stage codegen in one scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
@@ -41,20 +41,50 @@ def _marker_hits(words, lang: str):
     return F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
 
 
+def _detect_expr(words):
+    """lang_detected as ONE composable Column: the marker-hit array is
+    bound once (similarity._bind — evaluate-once HOF lambda variable)
+    so the argmax+tie-break chain doesn't re-plan the four filters."""
+    from .similarity import _bind
+
+    hits = F.array(*[_marker_hits(words, lg) for lg in _LANG_ORDER])
+
+    def pick(h):
+        best = F.array_max(h)
+        d = F.when(best == 0, F.lit("und"))
+        for i, lg in enumerate(_LANG_ORDER):
+            d = d.when(F.element_at(h, i + 1) == best, F.lit(lg))
+        return d
+
+    return _bind(hits, pick)
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Detected language = argmax marker-hit count, ties broken by
     the fixed _LANG_ORDER precedence, 'und' when nothing matches."""
     words = _words()
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        *[_marker_hits(words, lg).alias(f"s_{lg}") for lg in _LANG_ORDER],
+        _detect_expr(words).alias("lang_detected"),
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
-    detect = F.when(best == 0, F.lit("und"))
-    for lg in _LANG_ORDER:
-        detect = detect.when(F.col(f"s_{lg}") == best, F.lit(lg))
-    return scored.select("doc_id", "lang_declared", detect.alias("lang_detected"))
+
+
+def _quality_expr(words):
+    """Composite quality score in [0,1] as one composable Column:
+    long enough, low punctuation noise, some but not all stopwords —
+    each clause in [0,1], averaged."""
+    n_ws = F.size(words)
+    n_chars = F.length("text")
+    stop = F.array(*[F.lit(m) for m in _EN_STOP])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+    stop_ratio = n_stop.cast("double") / n_ws
+    punct_ratio = n_punct.cast("double") / n_chars
+    q_len = F.least(n_ws.cast("double") / F.lit(20.0), F.lit(1.0))
+    q_punct = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
+    q_stop = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))
+    return (q_len + q_punct + q_stop) / F.lit(3.0)
 
 
 def text_profile(docs: DataFrame) -> DataFrame:
@@ -71,12 +101,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
     mean_wlen = (n_chars - (n_ws - 1)).cast("double") / n_ws
     stop_ratio = n_stop.cast("double") / n_ws
     punct_ratio = n_punct.cast("double") / n_chars
-    # Quality: long enough, low punctuation noise, some but not all
-    # stopwords — each clause in [0,1], averaged.
-    q_len = F.least(n_ws.cast("double") / F.lit(20.0), F.lit(1.0))
-    q_punct = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
-    q_stop = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))
-    quality = (q_len + q_punct + q_stop) / F.lit(3.0)
+    quality = _quality_expr(words)
     return docs.select(
         "doc_id",
         n_ws.alias("n_tokens_ws"),
@@ -250,11 +275,130 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def corpus_curation(
+    docs: DataFrame, min_quality: float = 0.5, langs: tuple[str, ...] = ("en",)
+) -> DataFrame:
+    """End-to-end corpus curation — the composed filter a training-data
+    pipeline runs before tokenization: keep documents that (a) are the
+    canonical copy of their content (exact-dedup keeper = lowest
+    doc_id per token-set fingerprint), (b) detect as one of ``langs``,
+    and (c) clear the quality bar.
+
+    Single-scan design: language, quality, and fingerprint are all
+    Column expressions (reused from language_id / text_profile /
+    fingerprints via _detect_expr/_quality_expr), so the whole
+    enrichment is ONE projection over one scan; the only shuffle is
+    the fingerprint window for the keeper rule. The naive spelling —
+    join the three operator outputs on doc_id — costs three scans and
+    two doc_id shuffles for the same answer; composition-by-expression
+    is the scale win of keeping analyses as Columns rather than
+    materialized frames.
+
+    The cheap predicates (lang, quality) can't be applied before the
+    keeper window (a discarded duplicate must still claim keeper-ship
+    for its group — semantics: dedup THEN filter), so the window runs
+    over the full corpus; at 100 TB the fingerprint groupBy-join
+    variant with an early lang prefilter is the dial if dedup-scope =
+    per-language is acceptable.
+    """
+    words = _words()
+    enriched = docs.select(
+        "doc_id",
+        _detect_expr(words).alias("lang_detected"),
+        round_half_up(_quality_expr(words), 4).alias("quality_score"),
+        F.size(words).alias("n_tokens"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " ")).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    return (
+        enriched.withColumn("__keeper", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("__keeper"))
+            & F.col("lang_detected").isin(list(langs))
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select("doc_id", "lang_detected", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def vocabulary(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: per-token document frequency (df) and total
+    term frequency (tf), top ``top_n`` tokens by df — the
+    vocabulary-building / stop-list-mining pass of a training-data
+    pipeline (its df column is also exactly the statistic the Jaccard
+    ``max_df`` dial and an IDF weighting consume).
+
+    One explode + one groupBy: tf = COUNT(*) over all occurrences,
+    df = COUNT(DISTINCT doc_id) — partial aggregation shrinks the
+    exploded stream map-side, so the shuffle carries (token, partial)
+    rows, not one row per occurrence. Top-k via the sort-limit
+    TakeOrderedAndProject pattern, total-ordered (df desc, tf desc,
+    token asc) so LIMIT is deterministic.
+    """
+    return (
+        docs.select("doc_id", F.explode(_words()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return vocabulary(docs, top_n=100)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_curation(docs, min_quality=0.5, langs=("en",))
+
+
+ORACLE_VOCABULARY = """
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY df DESC, tf DESC, token ASC
+LIMIT 100
+"""
+
+
+ORACLE_CURATION = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)},
+         {_P_QUALITY} AS quality_score,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp
+  FROM documents
+),
+enriched AS (
+  SELECT doc_id, n_tokens, quality_score, fp,
+         {_SQL_DETECT} AS lang_detected,
+         MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+  FROM scored
+)
+SELECT doc_id, lang_detected, n_tokens, quality_score
+FROM enriched
+WHERE doc_id = keeper AND lang_detected IN ('en') AND quality_score >= 0.5
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_language_id": q_text_language_id,
     "text_profile": q_text_profile,
     "text_fingerprint_clusters": q_text_fingerprint_clusters,
     "text_search": q_text_search,
+    "text_vocabulary": q_text_vocabulary,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES = {
@@ -262,4 +406,6 @@ ORACLES = {
     "text_profile": ORACLE_TEXT_PROFILE,
     "text_fingerprint_clusters": ORACLE_FINGERPRINT,
     "text_search": ORACLE_TEXT_SEARCH,
+    "text_vocabulary": ORACLE_VOCABULARY,
+    "corpus_curation": ORACLE_CURATION,
 }

@@ -115,6 +115,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
+    "text_vocabulary",
+    "corpus_curation",
+    "stream_dedup_ingest",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",

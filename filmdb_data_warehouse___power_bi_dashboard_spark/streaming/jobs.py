@@ -329,6 +329,56 @@ def stream_tumbling_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingestion dedup — the at-least-once-delivery guard a
+    continuous training-data pipeline puts in front of everything
+    else: ``dropDuplicatesWithinWatermark`` on the event key, append
+    mode, parquet sink. A redelivered event (same ``event_id``) inside
+    the watermark horizon is dropped by dedup state; one older than
+    the watermark is dropped as late data — either way the sink sees
+    each event at most once, and state is bounded by the watermark
+    horizon (keys expire), NOT by the stream length, which is what
+    makes this runnable forever. Returns the deduped sink read back as
+    a batch DataFrame, aggregated to (event_type, nb_events,
+    total_value) so callers/oracles compare a stable summary.
+
+    On bounded single-batch input nothing is late and nothing is
+    duplicated, so the result equals the plain batch GROUP BY; the
+    redelivery behavior (second identical file -> no new rows) is
+    pytest-asserted with a two-file directory.
+    """
+    events = _read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="dedup-sink-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -388,12 +438,32 @@ ORDER BY 1, 2
 """
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup, oracle-checked: on the single-batch
+    bounded input nothing is late or duplicated, so the deduped-sink
+    summary must equal the batch GROUP BY (event_ids are unique in the
+    corpus; redelivery is exercised in tests/test_streaming.py)."""
+    return stream_dedup_ingest(spark, sf_dir)
+
+
+ORACLE_STREAM_DEDUP = f"""
+SELECT event_type,
+       COUNT(DISTINCT event_id) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
+    "stream_dedup_ingest": q_stream_dedup_ingest,
 }
 
 ORACLES = {
     "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "stream_dedup_ingest": ORACLE_STREAM_DEDUP,
 }

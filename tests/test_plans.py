@@ -92,3 +92,19 @@ def test_no_cartesian_products_in_star_queries(spark, sf_small):
     for name in ("q_kpi_supplier_month", "q_supplier_brand_heatmap", "q_cohorts"):
         plan = _plan(getattr(corpus, name)(spark, sf_small))
         assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_curation_is_single_scan_single_shuffle(spark, sf_small):
+    """The curation pipeline composes language-ID + quality + dedup as
+    Column expressions, so the physical plan must scan documents ONCE
+    and shuffle ONCE (the fingerprint window) — the naive
+    three-operator join would show three scans and doc_id exchanges."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        q_corpus_curation,
+    )
+
+    plan = _plan(q_corpus_curation(spark, sf_small))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    shuffles = plan.count("Exchange") - plan.count("AQEShuffleRead")
+    assert "hashpartitioning(__fp" in plan, plan[:3000]
+    assert shuffles <= 2, plan[:3000]  # fingerprint window + final sort

@@ -69,6 +69,44 @@ def test_parquet_sink_emits_watermark_finalized_windows(spark, sf_small, tmp_pat
     assert got == finalized
 
 
+def test_stream_dedup_drops_redelivered_file(spark, sf_small, tmp_path):
+    """At-least-once redelivery: the SAME events file arriving twice
+    (two micro-batches) must add zero rows to the deduped sink — every
+    replayed event is dropped either by dedup state (inside the
+    watermark horizon) or as late data (behind it). The summary must
+    equal the single-copy batch GROUP BY."""
+    import os
+    import shutil
+
+    src = f"{sf_small}/events.parquet"
+    a, b = str(tmp_path / "events-a.parquet"), str(tmp_path / "events-b.parquet")
+    shutil.copy(src, a)
+    shutil.copy(src, b)
+    now = 1_700_000_000
+    os.utime(a, (now, now))
+    os.utime(b, (now + 100, now + 100))
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        stream_dedup_ingest,
+    )
+
+    got = {
+        r["event_type"]: (r["nb_events"], r["total_value"])
+        for r in stream_dedup_ingest(spark, str(tmp_path)).collect()
+    }
+    events = read_table(spark, sf_small, "events")
+    want = {
+        r["event_type"]: (r["nb"], r["tv"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("nb"),
+            (F.floor(F.sum("value") * 100.0 + 0.5).cast("double") / 100.0).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_sessionize_stream_equals_batch(spark, sf_small):
     events = read_table(spark, sf_small, "events")
     batch = {
