@@ -59,13 +59,18 @@ _GATE_ORDER: tuple[str, ...] = (
     "mom_yoy",
     "rolling_30d",
     "pareto_brands",
-    "top_part_per_brand",
     "shipping_delays",
     "parts_never_ordered",
     "brand_type_list",
     "orders_last_full_month",
-    "date_key_rollup",
     "customer_segments",
+    # distinctive round-3 ops rotated INTO the gate (displacing
+    # top_part_per_brand — per-group top-1, covered in-gate by
+    # metrics_top_entities — and date_key_rollup — yyyymmdd key,
+    # covered in-gate by etl_dim_date; both stay oracle-verified in
+    # pytest past the cap)
+    "corpus_curation",
+    "events_asof_purchase_view",
     # LLM-pipeline operators with oracles (9)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -115,8 +120,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
+    "top_part_per_brand",
+    "date_key_rollup",
     "text_vocabulary",
-    "corpus_curation",
     "stream_dedup_ingest",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

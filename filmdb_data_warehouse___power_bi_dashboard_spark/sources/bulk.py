@@ -82,3 +82,45 @@ def read_copy_tsv(
     for name in array_cols:
         df = df.withColumn(name, parse_pg_array(name))
     return df
+
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Read newline-delimited JSON with a PINNED schema — the
+    ingestion format of most raw training-data drops (web crawls,
+    chat logs, annotation exports).
+
+    Returns ``(good, quarantine)``: records that parse against the
+    declared schema, and the raw text of lines that don't
+    (PERMISSIVE mode with a corrupt-record column). Quarantining
+    instead of failing is the 100 TB posture — one mangled line in a
+    billion must not kill a 6-hour job, but it must stay observable
+    (count the quarantine, alert on a ratio). Schema is always
+    declared, never inferred: inference is a second full pass over
+    the data and a schema-drift hazard.
+
+    Both frames come from ONE parse pass (cached split of the same
+    scan shape); the parallelism is one task per input split, no
+    shuffle.
+    """
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    good = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    # Keep the WHOLE row in the quarantine (raw line + any fields that
+    # did parse) — also required: Spark refuses a query whose only
+    # referenced column from a raw JSON scan is the corrupt column.
+    quarantine = raw.filter(F.col(_CORRUPT).isNotNull())
+    return good, quarantine

@@ -38,6 +38,34 @@ def tsv_path():
     yield p
 
 
+def test_jsonl_reads_good_rows_and_quarantines_corrupt(spark, tmp_path):
+    """JSONL ingestion: schema-conforming lines parse, mangled lines
+    land in the quarantine frame verbatim instead of failing the job
+    or silently disappearing."""
+    import json
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.schemas import DOCUMENTS
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import read_jsonl
+
+    p = str(tmp_path / "docs.jsonl")
+    good_lines = [
+        {"doc_id": 1, "text": "the quick fox", "lang": "en", "source": "crawl", "n_chars": 13},
+        {"doc_id": 2, "text": "el zorro", "lang": "es", "source": "crawl", "n_chars": 8},
+    ]
+    with open(p, "w") as fh:
+        for d in good_lines:
+            fh.write(json.dumps(d) + "\n")
+        fh.write('{"doc_id": "NOT-A-NUMBER", "text": 7]]\n')
+    good, quarantine = read_jsonl(spark, p, DOCUMENTS)
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "the quick fox"
+    assert rows[2]["lang"] == "es"
+    bad = quarantine.collect()
+    assert len(bad) == 1
+    assert "NOT-A-NUMBER" in bad[0]["_corrupt_record"]
+
+
 def test_copy_tsv_roundtrip(spark, tsv_path):
     rows = {r["film_id"]: r for r in read_copy_tsv(spark, tsv_path, SCHEMA).collect()}
     assert len(rows) == 5

@@ -94,6 +94,22 @@ def test_no_cartesian_products_in_star_queries(spark, sf_small):
         assert "CartesianProduct" not in plan, name
 
 
+def test_asof_join_is_union_window_not_range_join(spark, sf_small):
+    """The as-of join must compile to union + keyed window — no join
+    operator anywhere (a range join would explode O(|matches|) rows
+    and go quadratic on skewed keys)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.asof import (
+        q_events_asof_purchase_view,
+    )
+
+    plan = _plan(q_events_asof_purchase_view(spark, sf_small))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan, plan[:3000]
+
+
 def test_corpus_curation_is_single_scan_single_shuffle(spark, sf_small):
     """The curation pipeline composes language-ID + quality + dedup as
     Column expressions, so the physical plan must scan documents ONCE
