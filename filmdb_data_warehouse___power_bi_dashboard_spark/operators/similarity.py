@@ -512,9 +512,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force asserted in pytest. nprobe=8/16 probes half
     the lists — the honest dial on this near-uniform synthetic corpus
     (IVF's candidate sets tighten when the data is actually clustered,
-    as doc/web embeddings are)."""
+    as doc/web embeddings are). One Lloyd iteration: measured recall
+    0.785 vs 0.802 for two — the trainer's per-iteration plan+job
+    cycle costs more than the second iteration's recall is worth
+    here."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb, k=10, n_clusters=16, nprobe=8, iters=2)
+    return ivf_topk(emb, emb, k=10, n_clusters=16, nprobe=8, iters=1)
 
 
 QUERIES = {
