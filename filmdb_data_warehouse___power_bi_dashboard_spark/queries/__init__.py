@@ -124,6 +124,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "date_key_rollup",
     "text_vocabulary",
     "stream_dedup_ingest",
+    "sessionize_builtin",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",

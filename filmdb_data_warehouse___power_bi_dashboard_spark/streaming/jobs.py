@@ -145,6 +145,54 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = _GAP_MINUTES) -> Data
     )
 
 
+def sessionize_builtin(events: DataFrame, gap_minutes: int = _GAP_MINUTES) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``F.session_window`` — the
+    operator :func:`sessionize_batch` (window functions) and
+    :func:`sessionize_stream` (applyInPandasWithState) hand-build.
+    Same output minus the per-user session numbering (session windows
+    are identified by their bounds, not an ordinal).
+
+    In batch this plans as a regular aggregation after session-merge
+    (one shuffle on user_id); in streaming the same expression runs
+    with a watermark in append mode and Spark manages the
+    merge-adjacent-sessions state natively — when the built-in
+    semantics fit (they do here), prefer it over custom state code.
+
+    Boundary note: session_window starts a NEW session when a gap is
+    exactly == the gap duration (half-open window), while the
+    LAG-based twin breaks only when gap > duration. Microsecond
+    timestamps make an exact-boundary gap measure-zero (none in the
+    fixtures, so the three spellings agree row-for-row; asserted in
+    pytest and against the oracle).
+    """
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.floor(F.col("session_end").cast("double"))
+                - F.floor(F.col("session_start").cast("double"))
+            ).cast("int"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "nb_events",
+            "total_value",
+            "duration_sec",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 _SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
@@ -456,14 +504,48 @@ ORDER BY 1
 """
 
 
+def q_sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sessionize_builtin(events, gap_minutes=_GAP_MINUTES)
+
+
+ORACLE_SESSIONIZE_BUILTIN = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value,
+       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS INT) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
+    "sessionize_builtin": q_sessionize_builtin,
 }
 
 ORACLES = {
     "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
     "sessionize_events": ORACLE_SESSIONIZE,
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,
+    "sessionize_builtin": ORACLE_SESSIONIZE_BUILTIN,
 }

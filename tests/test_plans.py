@@ -94,6 +94,20 @@ def test_no_cartesian_products_in_star_queries(spark, sf_small):
         assert "CartesianProduct" not in plan, name
 
 
+def test_ann_ivf_probe_join_is_broadcast_hash(spark, sf_small):
+    """IVF candidate generation must be a hash equi-join on
+    cluster_id with the probe side broadcast — never a nested-loop
+    or cartesian shape."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_ivf,
+    )
+
+    plan = _plan(q_ann_topk_ivf(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
+    for bad in ("BroadcastNestedLoopJoin", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
 def test_asof_join_is_union_window_not_range_join(spark, sf_small):
     """The as-of join must compile to union + keyed window — no join
     operator anywhere (a range join would explode O(|matches|) rows

@@ -107,6 +107,30 @@ def test_stream_dedup_drops_redelivered_file(spark, sf_small, tmp_path):
     assert got == want
 
 
+def test_sessionize_builtin_equals_custom(spark, sf_small):
+    """Three spellings of the same operator must agree: the built-in
+    session_window aggregation vs the LAG-window batch sessionizer
+    (modulo the ordinal session_no, which only the custom one has)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        sessionize_builtin,
+    )
+
+    events = read_table(spark, sf_small, "events")
+    builtin = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["nb_events"], r["total_value"], r["duration_sec"]
+        )
+        for r in sessionize_builtin(events).collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["nb_events"], r["total_value"], r["duration_sec"]
+        )
+        for r in sessionize_batch(events).collect()
+    }
+    assert builtin == custom
+
+
 def test_sessionize_stream_equals_batch(spark, sf_small):
     events = read_table(spark, sf_small, "events")
     batch = {
