@@ -1,9 +1,15 @@
 """Benchmark harness: run the full query corpus at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line with per-query wall times.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-3 finding: the driver stores only a bounded
+tail of stdout, and one ~2.5 kB JSON line carrying all 70 per-query
+times was truncated mid-line -> BENCH_r03 `parsed: null`): the
+per-query detail map is printed FIRST on its own line, and the FINAL
+line is a compact summary JSON — metric/value/unit/sf plus only the
+headline per-query times — guaranteed to fit the tail buffer.
 
 The metric is total wall seconds across all registered queries (each
-executed once, results fully materialized via a count-collect so the
+executed once, results fully materialized via a noop sink so the
 whole plan runs but driver memory stays flat).
 """
 
@@ -51,13 +57,29 @@ def main() -> None:
         release_persisted()
     total = round(time.perf_counter() - t_all, 3)
 
+    # Full per-query detail first (its own line, may be long) ...
+    print(json.dumps({"detail": "per_query_wall", "unit": "sec", "queries": times}))
+    sys.stdout.flush()
+    # ... then the compact machine-readable summary as the FINAL line:
+    # headline queries only, so the line stays well under the driver's
+    # stored-tail capacity no matter how large the registry grows.
+    headline = (
+        "etl_fact_paiement",
+        "etl_agg_mensuel_magasin",
+        "metrics_kpi_global",
+        "kpi_supplier_month",
+        "rfm",
+        "dedup_ngram_jaccard",
+        "ann_topk_bruteforce",
+        "corpus_curation",
+    )
     print(
         json.dumps(
             {
                 "metric": "corpus_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": {k: times[k] for k in headline if k in times},
                 "sf": sf_num,
             }
         )

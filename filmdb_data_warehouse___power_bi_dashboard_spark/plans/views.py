@@ -62,9 +62,10 @@ _VIEW_SQL: dict[str, str] = {
     # v_fait_paiement (vues.sql:131-155): the 8-way denormalized fact.
     "v_fait_paiement": """
         SELECT p.paiement_key, p.source_paiement_id, d.date,
-               d.debut_mois AS mois, cl.nom_client, cl.segment,
+               d.debut_mois AS mois,
+               cl.source_client_id AS client_id, cl.nom_client, cl.segment,
                m.nom_magasin, m.pays AS pays_magasin,
-               f.titre_film, cat.nom_categorie,
+               f.source_film_id AS film_id, f.titre_film, cat.nom_categorie,
                p.montant, p.quantite
         FROM fact_paiement p
         LEFT JOIN dim_date d      ON p.date_key = d.date_key
@@ -184,6 +185,71 @@ _VIEW_SQL: dict[str, str] = {
         FROM fact_paiement p JOIN dim_date d ON p.date_key = d.date_key
         GROUP BY d.jour_semaine
     """,
+    # v_revenu_film_mois (vues.sql:181-189): per-film monthly revenue
+    # over the denormalized fact, keyed by source film id + title.
+    "v_revenu_film_mois": """
+        SELECT film_id, titre_film, mois,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca,
+               COUNT(*) AS nb_paiements
+        FROM v_fait_paiement
+        GROUP BY film_id, titre_film, mois
+    """,
+    # v_revenu_film_total (vues.sql:191-199): all-time per-film revenue.
+    "v_revenu_film_total": """
+        SELECT film_id, titre_film,
+               CAST(SUM(montant) AS DECIMAL(18,2)) AS ca_total,
+               COUNT(*) AS nb_paiements
+        FROM v_fait_paiement
+        GROUP BY film_id, titre_film
+    """,
+    # v_valeur_client (vues.sql:202-215): frequency & value — distinct
+    # parent-entity count (rental/location -> order), money total,
+    # first/last purchase dates. Over source tables because the fact
+    # intentionally carries no order key (line grain).
+    "v_valeur_client": """
+        SELECT c_custkey AS client_id, c_name AS nom_client,
+               COUNT(DISTINCT l_orderkey) AS nb_locations,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS ca_total,
+               MIN(CAST(l_shipdate AS DATE)) AS premiere_achat,
+               MAX(CAST(l_shipdate AS DATE)) AS dernier_achat
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """,
+    # v_retard_par_client (vues.sql:241-251): avg late days per client
+    # with the reference's HAVING COUNT(*) >= 5 floor — same elapsed-
+    # day + GREATEST clamp semantics as v_retard_par_magasin.
+    "v_retard_par_client": f"""
+        SELECT o_custkey AS client_id,
+               {sql_round_half_up("AVG(CAST(GREATEST(CAST(floor((CAST(l_shipdate AS LONG) - CAST(o_orderdate AS LONG)) / 86400) AS INT) - 60, 0) AS DOUBLE))", 2)} AS retard_moyen_jours,
+               COUNT(*) AS nb_locations
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+        HAVING COUNT(*) >= 5
+    """,
+    # v_liste_films_noms_formates (vues.sql:23-59): film catalog with
+    # a formatted, INITCAP'd, deterministic actor list — child-join
+    # (part -> lineitem -> supplier, the corpus's film_actor bridge)
+    # + ordered DISTINCT STRING_AGG, the one A8 composition not
+    # otherwise exercised as a view.
+    "v_liste_films_formates": """
+        SELECT p.p_partkey AS film_id,
+               p.p_name AS titre,
+               p.p_brand AS categorie,
+               p.p_type AS classification,
+               CAST(p.p_retailprice AS DECIMAL(18,2)) AS prix_location,
+               p.p_size AS duree_minutes,
+               array_join(sort_array(collect_set(
+                   upper(substr(lower(s.s_name), 1, 1)) || substr(lower(s.s_name), 2)
+               )), ', ') AS acteurs
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """,
 }
 
 
@@ -196,6 +262,9 @@ _SOURCE_ONLY_VIEWS = (
     "v_films_jamais_loues",
     "v_rotation_stock",
     "v_types_par_categorie",
+    "v_valeur_client",
+    "v_retard_par_client",
+    "v_liste_films_formates",
 )
 
 
