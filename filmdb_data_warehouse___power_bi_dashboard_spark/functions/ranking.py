@@ -3,66 +3,145 @@
 A bare ``row_number() OVER (ORDER BY …)`` / ``NTILE(k) OVER (ORDER BY
 …)`` forces Spark to move the whole input through ONE partition — the
 canonical window anti-pattern at 100 TB. These helpers produce the
-identical ranks with a range-partitioned sort:
+identical ranks with a range-bucketed sort:
 
-1. ``repartitionByRange`` on the order key (parallel TeraSort-style
-   shuffle — each partition holds a contiguous key range);
-2. per-partition ``row_number`` (local window, no data movement);
-3. add each partition's global offset (a tiny driver-side cumsum over
-   per-partition counts).
+1. assign each row a DETERMINISTIC range bucket (boundaries picked
+   from a hash-based pseudo-sample of the order key — a pure function
+   of the data, not of partition placement or a sampling seed);
+2. per-bucket ``row_number`` (hash shuffle on the bucket id + local
+   sort — Spark plans this from the window spec);
+3. add each bucket's global offset (a tiny driver-side cumsum over
+   per-bucket counts, injected as a literal map).
 
-The input is persisted while the offsets are computed because range
-partitioning is sampling-based: recomputing the plan could re-draw
-boundaries and misalign the offsets.
+Unlike ``repartitionByRange`` + collected offsets (the previous
+spelling), NOTHING here depends on a persisted intermediate staying
+cached: every step is a deterministic function of the input rows, so
+recomputation — an evicted cache block, a lost executor re-running a
+partition at 100 TB — reproduces the exact same ranks. (The old
+spelling pinned determinism with a ``persist()``; releasing it while a
+memoized downstream frame was still live silently corrupted surrogate
+keys.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ..runtime import track_persist
+_PID = "__sg_bucket"
 
-_PID = "__sg_pid"
-_OFF = "__sg_off"
+# Pseudo-sample granularity: expected boundary-sample size per bucket.
+# 128 samples/bucket bounds the rank-skew of any bucket to ~±10% with
+# high probability — the same regime Spark's RangePartitioner targets.
+_SAMPLES_PER_BUCKET = 128
+_HASH_MOD = 1 << 20
+
+
+OrderSpec = "Column | str | tuple[Column | str, bool]"
+
+
+def _normalize_order(order_cols) -> list[tuple[Column, bool]]:
+    """Each entry: a str/Column (ascending) or an explicit
+    ``(col, ascending)`` tuple. Value expressions only — pass
+    ``("x", False)`` instead of ``F.desc("x")`` (a SortOrder cannot be
+    compared against boundary literals)."""
+    pairs: list[tuple[Column, bool]] = []
+    for entry in order_cols:
+        if isinstance(entry, tuple):
+            c, asc = entry
+        else:
+            c, asc = entry, True
+        pairs.append((F.col(c) if isinstance(c, str) else c, bool(asc)))
+    return pairs
+
+
+def _ge_boundary(pairs: list[tuple[Column, bool]], boundary: tuple) -> Column:
+    """Lexicographic ``key >= boundary`` honoring per-column direction
+    (a DESC column contributes with the comparison flipped)."""
+    acc = F.lit(True)
+    for (c, asc), v in reversed(list(zip(pairs, boundary))):
+        lit_v = F.lit(v)
+        after = (c > lit_v) if asc else (c < lit_v)
+        acc = after | ((c == lit_v) & acc)
+    return acc
 
 
 def global_row_number(
     df: DataFrame,
-    order_cols: list[Column | str],
+    order_cols,
     alias: str = "rn",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Global 1-based ``row_number`` over a total order, without a
     single-partition sort.
 
-    ``order_cols`` must be a total order (include a unique tiebreaker)
-    or ranks within ties are partition-placement-dependent.
+    ``order_cols`` entries are strings/Columns (ascending) or
+    ``(col, ascending)`` tuples; together they must be a non-null
+    total order (include a unique tiebreaker) or ranks within ties are
+    placement-dependent.
 
     Returns ``df`` with an extra long column ``alias``. The ordering
-    matches ``ROW_NUMBER() OVER (ORDER BY order_cols)`` exactly.
+    matches ``ROW_NUMBER() OVER (ORDER BY order_cols)`` exactly, and
+    the assignment is stable under recomputation (no sampling seed, no
+    cache dependence).
     """
     spark = df.sparkSession
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pairs = _normalize_order(order_cols)
+    cols = [c for c, _ in pairs]
+    sort_cols = [c if asc else c.desc() for c, asc in pairs]
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = track_persist(
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = ranged.groupBy(_PID).agg(F.count("*").alias("c")).collect()
+
+    # 1. Deterministic boundary sample: filter on a hash of the key —
+    #    a pure row predicate, so the sample set is a function of the
+    #    data alone. Two cheap jobs (count + sample collect) touch only
+    #    the key columns (column-pruned scans).
+    n = df.count()
+    target = n_parts * _SAMPLES_PER_BUCKET
+    keyed = df.select(*[c.alias(f"f{i}") for i, c in enumerate(cols)])
+    if n > target:
+        threshold = max(1, int(_HASH_MOD * target / n))
+        sample = keyed.where(
+            F.pmod(F.xxhash64(*[F.col(f"f{i}") for i in range(len(cols))]), F.lit(_HASH_MOD))
+            < threshold
+        ).collect()
+    else:
+        sample = keyed.collect()
+    # Python-side sort order need not match Spark's: boundary PICKING
+    # only affects bucket balance, never correctness (see step 2).
+    keys = sorted({tuple(r) for r in sample}, key=lambda t: tuple(map(str, t)))
+    n_buckets = min(n_parts, max(1, len(keys)))
+    boundaries = [
+        keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)
+    ] if keys else []
+
+    # 2. bucket = count of boundaries <= key, compared lexicographically
+    #    in SPARK's semantics with per-column direction. Monotonic in
+    #    the sort order whatever order the boundaries were picked in,
+    #    so bucket ranges partition the total order into contiguous
+    #    runs. Pure codegen expressions — no join, no extra shuffle.
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(_ge_boundary(pairs, b), 1).otherwise(0)
+    bucketed = df.withColumn(_PID, bucket.cast("int"))
+
+    # 3. Per-bucket counts → offsets (deterministic: bucket assignment
+    #    is a pure function of the row). n_parts rows — trivially
+    #    collectable at any scale.
+    counts = bucketed.groupBy(_PID).agg(F.count("*").alias("c")).collect()
     acc = 0
-    offsets = []
+    offset_map: list[Column] = []
     for row in sorted(counts, key=lambda r: r[_PID]):
-        offsets.append((row[_PID], acc))
+        offset_map.extend([F.lit(row[_PID]), F.lit(acc)])
         acc += row["c"]
-    offs = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
-    w = Window.partitionBy(_PID).orderBy(*cols)
+    offs = F.create_map(*offset_map) if offset_map else F.create_map()
+
+    w = Window.partitionBy(_PID).orderBy(*sort_cols)
     return (
-        ranged.join(F.broadcast(offs), _PID)
-        .withColumn(alias, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
-        .drop(_PID, _OFF)
+        bucketed.withColumn(
+            alias,
+            (F.row_number().over(w) + F.element_at(offs, F.col(_PID))).cast("long"),
+        )
+        .drop(_PID)
     )
 
 

@@ -413,9 +413,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = track_persist(base)
     n = base.count()
     metrics = {
-        "score_r": [F.desc("recence_jours"), F.asc("o_custkey")],
-        "score_f": [F.asc("frequence"), F.asc("o_custkey")],
-        "score_m": [F.asc("monetaire"), F.asc("o_custkey")],
+        "score_r": [("recence_jours", False), ("o_custkey", True)],
+        "score_f": [("frequence", True), ("o_custkey", True)],
+        "score_m": [("monetaire", True), ("o_custkey", True)],
     }
     out = base
     for score, order in metrics.items():

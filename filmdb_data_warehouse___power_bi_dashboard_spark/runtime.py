@@ -11,14 +11,15 @@ Every such persist is registered here; callers that know a result has
 been FULLY materialized (a bench loop between queries, a test teardown)
 call :func:`release_persisted`.
 
-IMPORTANT: releasing invalidates the determinism pin of frames built
-on :func:`~.functions.ranking.global_row_number` — re-materializing a
-previously returned ranked frame after release re-samples the range
-boundaries and may misalign ranks with the already-collected offsets.
-Release only after the dependent results are materialized and no
-returned frame will be re-executed. The memoized star cache
-(plans.etl.build_star_frames) is deliberately NOT tracked — its
-persist is a cross-query feature, not a leak.
+Every tracked persist is a pure PERFORMANCE pin: results must not
+change when a block is dropped and its lineage recomputed. (The old
+``global_row_number`` violated this — its collected offsets were only
+valid for one sampling of ``repartitionByRange`` boundaries, so a
+release + recompute silently corrupted surrogate keys. It is now
+deterministic by construction: hash-sampled boundaries, no cache
+dependence.) The memoized star cache (plans.etl.build_star_frames) is
+deliberately NOT tracked — its persist is a cross-query feature, not a
+leak.
 """
 
 from __future__ import annotations

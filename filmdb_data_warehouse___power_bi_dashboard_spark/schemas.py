@@ -85,9 +85,11 @@ EVENTS = T.StructType([
     T.StructField("props", T.StringType(), True),
 ])
 
-# On-disk shape of events.parquet: ts is TIMESTAMP(NANOS,false), which
-# Spark reads only as int64 (spark.sql.legacy.parquet.nanosAsLong).
-# The reader converts ns → µs timestamp to deliver the EVENTS contract.
+# Legacy on-disk shape of events.parquet on runtimes that decode
+# TIMESTAMP(NANOS) as int64 (spark.sql.legacy.parquet.nanosAsLong).
+# Current files/runtimes decode `ts` natively as timestamp[us]; the
+# reader footer-probes (sources/catalog.py:events_disk_schema) and
+# only falls back to this pinned-long shape when the probe says so.
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType(), False),
     T.StructField("ts", T.LongType(), False),

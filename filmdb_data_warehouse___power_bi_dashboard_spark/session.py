@@ -50,10 +50,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         # Arrow for any pandas-UDF path (the sanctioned slow path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects;
-        # read the raw int64 nanos and convert in the reader
-        # (sources/catalog.py) with exact integer division.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -16,14 +16,29 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..schemas import EVENTS_RAW, SOURCE_TABLES
+from ..schemas import EVENTS, SOURCE_TABLES
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """ns-int64 → µs timestamp with exact integer division (a double
-    division would lose precision above 2^53 ns)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Normalize the events `ts` column to the EVENTS contract
+    (TimestampType, UTC session) regardless of how the runtime decoded
+    the on-disk column:
+
+    - ``long``: raw int64 nanoseconds (older runtimes reading
+      TIMESTAMP(NANOS) under ``spark.sql.legacy.parquet.nanosAsLong``)
+      → exact integer division to µs (double division would lose
+      precision above 2^53 ns), then ``timestamp_micros``.
+    - ``timestamp_ntz``: native decode of a naive timestamp → cast;
+      under the pinned UTC session this reinterprets the same
+      wall-clock instant the naive-timestamp oracle sees.
+    - ``timestamp``: already the contract; cast is a no-op.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def _pin_session_semantics(spark: SparkSession) -> None:
@@ -34,18 +49,28 @@ def _pin_session_semantics(spark: SparkSession) -> None:
     affects semantics — timestamp→date bucketing via the session
     timezone above all — must be (re)asserted on the session actually
     executing the query, not just in our own factory (session.py).
-    Both confs are runtime-settable; failures are swallowed because a
-    session that forbids them is one that already has them right or
-    will fail loudly at read.
+    The set is verified by read-back: a session that silently ignored
+    the pin would produce wrong-but-plausible results downstream.
     """
-    for key, value in (
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ):
-        try:
-            spark.conf.set(key, value)
-        except Exception:
-            pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = spark.conf.get("spark.sql.session.timeZone")
+    if got != "UTC":
+        raise RuntimeError(
+            f"session timezone pin did not take effect (got {got!r}); "
+            "timestamp→date bucketing would drift from the oracle"
+        )
+
+
+def events_disk_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Footer-probe: the schema THIS runtime decodes events.parquet as.
+
+    The events table's `ts` has drifted across environments — stored
+    as TIMESTAMP(NANOS) int64 on some, plain timestamp[us] on others —
+    and Spark's decode of TIMESTAMP(NANOS) changed in 4.x. Rather than
+    pin one on-disk shape, probe the footer (metadata-only, no data
+    read) and let `convert_event_ts` branch on what came back.
+    """
+    return spark.read.parquet(path).schema
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +84,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session_semantics(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Stored as TIMESTAMP(NANOS): read raw int64, convert.
-        return convert_event_ts(spark.read.schema(EVENTS_RAW).parquet(path))
+        # ts decode drifts by runtime/file version: footer-probe, then
+        # normalize to the EVENTS contract (see convert_event_ts).
+        df = convert_event_ts(spark.read.parquet(path))
+        return df.select(*[F.col(f.name).cast(f.dataType) for f in EVENTS.fields])
     schema = SOURCE_TABLES.get(name)
     reader = spark.read
     if schema is not None:

@@ -37,8 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.scalar import round_half_up, sql_round_half_up
-from ..schemas import EVENTS_RAW
-from ..sources.catalog import convert_event_ts
+from ..sources.catalog import convert_event_ts, events_disk_schema
 
 _GAP_MINUTES = 30
 
@@ -46,12 +45,17 @@ _GAP_MINUTES = 30
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-source stream over the events parquet; schema pinned
     # (streams never infer), one file per micro-batch at most. The
-    # on-disk ts is int64 nanos — converted to the timestamp contract.
+    # on-disk ts shape drifts by runtime (int64 nanos vs native
+    # timestamp) — footer-probe one file batch-side, pin THAT schema
+    # on the stream, and normalize in convert_event_ts.
     # The file stream source requires a DIRECTORY; select just the
     # events file from the sf dir with a glob filter. In production
     # this is the arriving-files landing directory.
+    import glob as _glob
+
+    sample = sorted(_glob.glob(os.path.join(sf_dir, "events*.parquet")))[0]
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(events_disk_schema(spark, sample))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)

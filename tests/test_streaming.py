@@ -172,10 +172,13 @@ def test_sessionize_stream_multi_batch_no_duplicates(spark, sf_small, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from filmdb_data_warehouse___power_bi_dashboard_spark.schemas import EVENTS_RAW
-
-    raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_small}/events.parquet")
+    # Read with whatever schema the runtime decodes (the stream reader
+    # footer-probes the written files the same way).
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
     pdf = raw.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # pandas round-trips timestamps as ns; write back as µs — Spark 4.x
+    # refuses TIMESTAMP(NANOS) parquet outright.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     mid = len(pdf) // 2
     a, b = str(tmp_path / "events-a.parquet"), str(tmp_path / "events-b.parquet")
     pq.write_table(pa.Table.from_pandas(pdf.iloc[:mid], preserve_index=False), a)

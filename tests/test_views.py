@@ -1,4 +1,4 @@
-"""View layer: all 23 views register and answer SQL-text queries."""
+"""View layer: all 28 views register and answer SQL-text queries."""
 
 from __future__ import annotations
 
@@ -10,12 +10,12 @@ from filmdb_data_warehouse___power_bi_dashboard_spark.plans.views import (
 
 def test_all_views_register_and_run(spark, sf_small):
     names = register_all_views(spark, sf_small)
-    assert len(names) == 23  # 20 SQL views + 3 summary views
+    assert len(names) == len(_VIEW_SQL) + 3  # SQL views + 3 summary views
     for name in names:
         # Every view must be queryable through the SQL-text surface.
         assert spark.sql(f"SELECT * FROM {name} LIMIT 1").columns
 
 
 def test_view_count_matches_reference_surface():
-    # 20 vues.sql views; the 3 dw summaries are registered separately.
-    assert len(_VIEW_SQL) == 20
+    # 25 vues.sql views; the 3 dw summaries are registered separately.
+    assert len(_VIEW_SQL) == 25
