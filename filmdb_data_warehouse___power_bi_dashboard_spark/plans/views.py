@@ -1,4 +1,4 @@
-"""View layer: the reference's 20 source views + 3 warehouse summary
+"""View layer: the reference's 25 source views + 3 warehouse summary
 views (sql/vues.sql:2-315; sql/datawarehouse/requetes_clees.sql:
 270-313) re-expressed as Spark SQL temporary views over the source
 tables and the built star.
@@ -28,6 +28,16 @@ from .etl import (
     build_dim_mois,
     build_star_frames,
 )
+
+# Per-line net revenue, rounded to DECIMAL(18,2) BEFORE any SUM — the
+# warehouse's montant convention (plans/etl.py net_revenue). Valid in
+# both Spark SQL (view definitions) and DuckDB (oracles), so the view
+# layer and every oracle tie out to the cent with fact-based numbers.
+_SQL_REV = (
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))"
+)
+
 
 # Spark-SQL view definitions, in dependency order. Reference view per
 # entry in the comment (vues.sql / dw requetes_clees.sql line).
@@ -203,14 +213,14 @@ _VIEW_SQL: dict[str, str] = {
         GROUP BY film_id, titre_film
     """,
     # v_valeur_client (vues.sql:202-215): frequency & value — distinct
-    # parent-entity count (rental/location -> order), money total,
-    # first/last purchase dates. Over source tables because the fact
-    # intentionally carries no order key (line grain).
-    "v_valeur_client": """
+    # parent-entity count (rental/location -> order), money total
+    # (per-line DECIMAL rounding so it ties out with the fact-based
+    # views), first/last purchase dates. Over source tables because
+    # the fact intentionally carries no order key (line grain).
+    "v_valeur_client": f"""
         SELECT c_custkey AS client_id, c_name AS nom_client,
                COUNT(DISTINCT l_orderkey) AS nb_locations,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS ca_total,
+               CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS ca_total,
                MIN(CAST(l_shipdate AS DATE)) AS premiere_achat,
                MAX(CAST(l_shipdate AS DATE)) AS dernier_achat
         FROM lineitem
@@ -219,23 +229,27 @@ _VIEW_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
     # v_retard_par_client (vues.sql:241-251): avg late days per client
-    # with the reference's HAVING COUNT(*) >= 5 floor — same elapsed-
-    # day + GREATEST clamp semantics as v_retard_par_magasin.
+    # with the reference's HAVING >= 5 floor — same elapsed-day +
+    # GREATEST clamp semantics as v_retard_par_magasin. nb_locations
+    # counts DISTINCT orders (rental grain, matching v_valeur_client's
+    # mapping rental→order) and the HAVING floor applies at that same
+    # grain.
     "v_retard_par_client": f"""
         SELECT o_custkey AS client_id,
                {sql_round_half_up("AVG(CAST(GREATEST(CAST(floor((CAST(l_shipdate AS LONG) - CAST(o_orderdate AS LONG)) / 86400) AS INT) - 60, 0) AS DOUBLE))", 2)} AS retard_moyen_jours,
-               COUNT(*) AS nb_locations
+               COUNT(DISTINCT l_orderkey) AS nb_locations
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
-        HAVING COUNT(*) >= 5
+        HAVING COUNT(DISTINCT l_orderkey) >= 5
     """,
-    # v_liste_films_noms_formates (vues.sql:23-59): film catalog with
-    # a formatted, INITCAP'd, deterministic actor list — child-join
-    # (part -> lineitem -> supplier, the corpus's film_actor bridge)
-    # + ordered DISTINCT STRING_AGG, the one A8 composition not
-    # otherwise exercised as a view.
-    "v_liste_films_formates": """
+    # v_liste_films_noms_formates (vues.sql:23-59, reference name kept
+    # verbatim): film catalog with a formatted, INITCAP'd,
+    # deterministic actor list — child-join (part -> lineitem ->
+    # supplier, the corpus's film_actor bridge) + ordered DISTINCT
+    # STRING_AGG, the one A8 composition not otherwise exercised as a
+    # view.
+    "v_liste_films_noms_formates": """
         SELECT p.p_partkey AS film_id,
                p.p_name AS titre,
                p.p_brand AS categorie,
@@ -264,7 +278,7 @@ _SOURCE_ONLY_VIEWS = (
     "v_types_par_categorie",
     "v_valeur_client",
     "v_retard_par_client",
-    "v_liste_films_formates",
+    "v_liste_films_noms_formates",
 )
 
 
@@ -278,8 +292,8 @@ def register_source_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Register source tables, the star, the 3 summary views, and the
-    20 SQL views above. Returns the registered view names."""
+    """Register source tables, the star, the 3 summary views, and
+    every SQL view in ``_VIEW_SQL``. Returns the registered names."""
     register_views(spark, sf_dir)
     star = build_star_frames(spark, sf_dir)
     for name, df in star.items():
@@ -297,12 +311,6 @@ def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # Oracle-checked spot queries over the view layer (SQL-text form).
 # ---------------------------------------------------------------------------
-
-_SQL_REV = (
-    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))"
-)
-
 
 def q_view_kpi_magasin_mois(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all_views(spark, sf_dir)
@@ -642,6 +650,137 @@ ORDER BY vue, k1, k2, mesure
 """
 
 
+def q_view_revenu_film_mois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-film monthly revenue (vues.sql:181-189) through the star
+    path. Deterministic modulo sample of films keeps the comparator
+    payload bounded while still value-checking every month of the
+    sampled films."""
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT film_id, titre_film, mois, CAST(ca AS DOUBLE) AS ca, nb_paiements
+        FROM v_revenu_film_mois
+        WHERE film_id % 50 = 0
+        ORDER BY film_id, mois
+        """
+    )
+
+
+ORACLE_VIEW_REVENU_MOIS = f"""
+SELECT p_partkey AS film_id, p_name AS titre_film,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS mois,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb_paiements
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_partkey % 50 = 0
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
+
+def q_view_revenu_film_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time per-film revenue (vues.sql:191-199), full result."""
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT film_id, titre_film, CAST(ca_total AS DOUBLE) AS ca_total,
+               nb_paiements
+        FROM v_revenu_film_total ORDER BY film_id
+        """
+    )
+
+
+ORACLE_VIEW_REVENU_TOTAL = f"""
+SELECT p_partkey AS film_id, p_name AS titre_film,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
+       COUNT(*) AS nb_paiements
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_view_valeur_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client frequency & value (vues.sql:202-215): distinct orders,
+    per-line-rounded money total, first/last purchase dates."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT client_id, nom_client, nb_locations,
+               CAST(ca_total AS DOUBLE) AS ca_total,
+               premiere_achat, dernier_achat
+        FROM v_valeur_client ORDER BY client_id
+        """
+    )
+
+
+ORACLE_VIEW_VALEUR_CLIENT = f"""
+SELECT c_custkey AS client_id, c_name AS nom_client,
+       COUNT(DISTINCT l_orderkey) AS nb_locations,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca_total,
+       MIN(CAST(l_shipdate AS DATE)) AS premiere_achat,
+       MAX(CAST(l_shipdate AS DATE)) AS dernier_achat
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_view_retard_par_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average late days per client (vues.sql:241-251) with the
+    reference's >= 5 floor at rental (distinct-order) grain."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT client_id, CAST(retard_moyen_jours AS DOUBLE) AS retard_moyen_jours,
+               nb_locations
+        FROM v_retard_par_client ORDER BY client_id
+        """
+    )
+
+
+ORACLE_VIEW_RETARD_CLIENT = f"""
+SELECT o_custkey AS client_id,
+       {sql_round_half_up("AVG(CAST(GREATEST(CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) - 60, 0) AS DOUBLE))", 2)} AS retard_moyen_jours,
+       COUNT(DISTINCT l_orderkey) AS nb_locations
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+HAVING COUNT(DISTINCT l_orderkey) >= 5
+ORDER BY 1
+"""
+
+
+def q_view_liste_films_noms_formates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Film catalog with formatted deterministic actor list
+    (vues.sql:23-59) — ordered DISTINCT STRING_AGG as a view."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT film_id, titre, categorie, classification,
+               CAST(prix_location AS DOUBLE) AS prix_location,
+               duree_minutes, acteurs
+        FROM v_liste_films_noms_formates ORDER BY film_id
+        """
+    )
+
+
+ORACLE_VIEW_LISTE_FILMS = """
+SELECT p.p_partkey AS film_id,
+       p.p_name AS titre,
+       p.p_brand AS categorie,
+       p.p_type AS classification,
+       CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS prix_location,
+       p.p_size AS duree_minutes,
+       string_agg(DISTINCT upper(substr(lower(s.s_name), 1, 1)) || substr(lower(s.s_name), 2),
+                  ', ' ORDER BY upper(substr(lower(s.s_name), 1, 1)) || substr(lower(s.s_name), 2)) AS acteurs
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
     "view_surface_pack": q_view_surface_pack,
@@ -655,6 +794,11 @@ QUERIES = {
     "view_repartition_segment": q_view_repartition_segment,
     "view_pareto_categories": q_view_pareto_categories,
     "view_agg_mensuel_categorie": q_view_agg_mensuel_categorie,
+    "view_revenu_film_mois": q_view_revenu_film_mois,
+    "view_revenu_film_total": q_view_revenu_film_total,
+    "view_valeur_client": q_view_valeur_client,
+    "view_retard_par_client": q_view_retard_par_client,
+    "view_liste_films_noms_formates": q_view_liste_films_noms_formates,
 }
 
 ORACLES = {
@@ -670,4 +814,9 @@ ORACLES = {
     "view_repartition_segment": ORACLE_VIEW_SEGMENT,
     "view_pareto_categories": ORACLE_VIEW_PARETO,
     "view_agg_mensuel_categorie": ORACLE_VIEW_AGG_CAT,
+    "view_revenu_film_mois": ORACLE_VIEW_REVENU_MOIS,
+    "view_revenu_film_total": ORACLE_VIEW_REVENU_TOTAL,
+    "view_valeur_client": ORACLE_VIEW_VALEUR_CLIENT,
+    "view_retard_par_client": ORACLE_VIEW_RETARD_CLIENT,
+    "view_liste_films_noms_formates": ORACLE_VIEW_LISTE_FILMS,
 }

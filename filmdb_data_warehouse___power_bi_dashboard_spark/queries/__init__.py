@@ -43,33 +43,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # past index 49: one redundant oracle-bearing query + the four
 # rows-only operators whose guarantees are asserted in pytest.
 _GATE_ORDER: tuple[str, ...] = (
-    # corpus (19 in-gate)
+    # ROUND-5 ROTATION: every oracle-bearing entry that had never
+    # appeared in a driver-recorded CORRECTNESS_r*.json (the round-4
+    # pytest-only set: month_spine_coverage, view_kpi_magasin_mois,
+    # top_part_per_brand, date_key_rollup, text_vocabulary,
+    # stream_dedup_ingest, sessionize_builtin) plus the five round-4
+    # views' new spot queries rotate INTO the gate. Displaced corpus
+    # entries (rollup_region_magasin, top_parts_by_revenue,
+    # brand_revenue_share, loyal_clients, new_vs_returning,
+    # monthly_revenue, supplier_brand_heatmap, cohorts,
+    # shipping_delays, brand_type_list, orders_last_full_month,
+    # customer_segments) were driver-green in r2-r4 and keep the SAME
+    # comparator running in pytest past the cap.
+    # corpus core (9)
     "events_json_props",
-    "rollup_region_magasin",
-    "top_parts_by_revenue",
     "kpi_supplier_month",
-    "brand_revenue_share",
-    "loyal_clients",
-    "new_vs_returning",
-    "monthly_revenue",
-    "supplier_brand_heatmap",
-    "cohorts",
     "rfm",
     "daily_zscore",
     "mom_yoy",
     "rolling_30d",
     "pareto_brands",
-    "shipping_delays",
-    "brand_type_list",
-    "orders_last_full_month",
-    "customer_segments",
-    # distinctive round-3 ops rotated INTO the gate (displacing
-    # top_part_per_brand — per-group top-1, covered in-gate by
-    # metrics_top_entities — and date_key_rollup — yyyymmdd key,
-    # covered in-gate by etl_dim_date; both stay oracle-verified in
-    # pytest past the cap)
     "corpus_curation",
     "events_asof_purchase_view",
+    # rotated in: previously pytest-only oracle entries (7)
+    "month_spine_coverage",
+    "top_part_per_brand",
+    "date_key_rollup",
+    "text_vocabulary",
+    "sessionize_builtin",
+    "stream_dedup_ingest",
+    "view_kpi_magasin_mois",
+    # rotated in: round-4 views' oracle spot queries (5)
+    "view_revenu_film_mois",
+    "view_revenu_film_total",
+    "view_valeur_client",
+    "view_retard_par_client",
+    "view_liste_films_noms_formates",
     # LLM-pipeline operators with oracles (9)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -97,13 +106,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "metrics_weekday_profile",
     # SQL-text view layer: 4 standalone + the surface pack, which
     # value-checks the 7 views whose standalone entries sit past the
-    # cap (kpi_magasin_mois, ca_mensuel, heatmap, actifs_12m,
-    # repartition_segment, pareto_categories, agg_mensuel_categorie)
-    # in one normalized union — 11 of 12 view entries get driver
-    # evidence through 5 slots. Displaced to make room:
-    # parts_never_ordered (0 rows at sf0.01, so its gate row carries
-    # no value evidence; its operator J6 stays gate-covered by
-    # view_films_jamais_loues's anti-join).
+    # cap in one normalized union.
     "view_clients_directory",
     "view_films_jamais_loues",
     "view_rotation_stock",
@@ -113,27 +116,31 @@ _GATE_ORDER: tuple[str, ...] = (
     "stream_tumbling_hour",
     "sessionize_events",
     # --- past the driver's 50-entry cap ---
-    "parts_never_ordered",
     # Oracle-bearing entries here are gate-eligible but over the cap
     # this round; the SAME comparator runs on them in pytest
     # (tests/test_oracle_parity.py uses the measured driver
-    # normalization) — rotate them in next round if a driver-recorded
-    # row is needed. month_spine_coverage was rotated out for
-    # metrics_drill_localisation (its operators S7/P7 remain gate-
-    # covered by etl_dim_date and mom_yoy's spine).
-    "month_spine_coverage",
-    "view_kpi_magasin_mois",
+    # normalization). All were driver-green in at least one of
+    # CORRECTNESS_r02-r04.
+    "rollup_region_magasin",
+    "top_parts_by_revenue",
+    "brand_revenue_share",
+    "loyal_clients",
+    "new_vs_returning",
+    "monthly_revenue",
+    "supplier_brand_heatmap",
+    "cohorts",
+    "shipping_delays",
+    "brand_type_list",
+    "orders_last_full_month",
+    "customer_segments",
+    "parts_never_ordered",
     "view_ca_mensuel",
     "view_heatmap_magasin_categorie",
     "view_actifs_12m",
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
-    "top_part_per_brand",
-    "date_key_rollup",
-    "text_vocabulary",
-    "stream_dedup_ingest",
-    "sessionize_builtin",
+    # rows-only operators (recall/equivalence pytest-asserted)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",
