@@ -474,80 +474,99 @@ def cosine(a, b):
     return dot / (na * nb)
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Pairs with cosine >= threshold — the exact O(N^2) baseline.
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.4, block_rows: int = 4096
+) -> DataFrame:
+    """Pairs with cosine >= threshold — the exact O(N^2) baseline,
+    as a DISTRIBUTED block nested-loop (no driver-side collect).
 
-    Filter-refine, Arrow-batched (block nested-loop with one side
-    broadcast — the standard shape for an exact all-pairs scorer):
+    Vectors are split into id-range blocks of <= ``block_rows`` ids
+    (block = vec_id DIV block_rows, so every id in block i sorts
+    before every id in block j>i — the vec_a < vec_b dedup falls out
+    of block order). Each unordered block pair (i, j>=i) becomes one
+    ``applyInPandas`` group holding the rows of both blocks (two
+    equi-joins against a tiny broadcast pair table + union); the
+    group task then runs the filter-refine kernel:
 
-    1. One side is collected, sorted by vec_id, and broadcast as a
-       float64 matrix (N x 64 doubles — 1 MB per 2k vectors).
-    2. Each Arrow batch of the distributed side matmuls against the
-       broadcast matrix (BLAS); candidates are pairs with
-       np-cosine >= the unrounded decision boundary minus a 1e-9
-       guard band (BLAS reassociates the sum, so its result can
-       differ from a strict left fold by ~1e-13 — never more than
-       the band).
-    3. Candidates only are re-scored with a strict left-to-right
+    1. np/BLAS matmul of the two blocks scores all cross pairs;
+       candidates are those >= the unrounded decision boundary minus
+       a 1e-9 guard band (BLAS reassociates the sum; drift is ~1e-13,
+       never more than the band).
+    2. Candidates only are re-scored with a strict left-to-right
        IEEE-754 fold + ``floor(x*1e6+0.5)/1e6`` rounding — Python
        floats ARE IEEE doubles, so this reproduces the JVM
        ``aggregate(zip_with(...))`` / ``round_half_up`` expression
        bit-for-bit (tests/test_operators.py pins equality, and the
        DuckDB oracle hash-matches).
 
-    Measured: 39.5 s -> ~3 s at sf0.1 vs the previous expression-based
-    pair join — the join materialized N^2 rows with two 64-element
-    arrays each just to score them; here only (id, id, cosine)
-    survivors leave Python.
-
-    Scale: broadcasting one full side caps N (documented baseline
-    limit); the 100 TB path is LSH bucketing (q_ann_topk_lsh /
-    dedup_minhash) which bounds pair generation, or chunking the
-    broadcast side into column blocks of this same kernel.
+    Scale: per-task memory is two blocks (~4 MB at 4096x64 f64) no
+    matter how large N grows; the driver holds only the B(B+1)/2-row
+    block-pair table. Shuffle volume is N*(B+1) rows — the inherent
+    cost of an exact all-pairs scorer; the 100 TB default is still
+    the LSH path (dedup_embedding_lsh / q_ann_topk_lsh), which bounds
+    pair generation instead.
     """
     spark = emb.sparkSession
     e = emb.select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    order = np.argsort(ids, kind="mergesort")
-    ids = ids[order].astype(np.int64)
-    # float32 -> float64 is exact, matching the JVM's cast("double").
-    mat = np.vstack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])[
-        order
-    ].astype(np.float64)
-    norms_exact = np.array(
-        [math.sqrt(_fold_dot(row, row)) for row in mat], dtype=np.float64
+    max_id = e.agg(F.max("vec_id")).first()[0]
+    if max_id is None:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
+    n_blocks = int(max_id) // block_rows + 1
+    pairs = [
+        (i * n_blocks + j, i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    pair_df = spark.createDataFrame(pairs, "pair_id long, blk_a int, blk_b int")
+    blk = (F.col("vec_id") / block_rows).cast("int")
+    tagged = e.withColumn("blk", blk)
+    # A-side and B-side copies of each row, routed to every pair the
+    # row's block participates in. For the diagonal pair (i, i) the
+    # same rows arrive once per side; the kernel's id-order filter
+    # keeps each unordered pair exactly once.
+    a_side = tagged.join(F.broadcast(pair_df), tagged.blk == pair_df.blk_a).select(
+        "pair_id", F.lit(0).alias("side"), "vec_id", "embedding"
     )
-    bcast = spark.sparkContext.broadcast((ids, mat, norms_exact))
+    b_side = tagged.join(F.broadcast(pair_df), tagged.blk == pair_df.blk_b).select(
+        "pair_id", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
     # Rounded cosine >= t  <=>  raw cosine >= (t*1e6 - 0.5)/1e6 (+-1ulp);
     # widen by 1e-9 so BLAS-vs-fold drift can't drop a true candidate.
     bound = (threshold * 1e6 - 0.5) / 1e6 - 1e-9
 
-    def gen(batches):
-        b_ids, b_mat, b_norms = bcast.value
-        for batch in batches:
-            a_ids = batch["vec_id"].to_numpy().astype(np.int64)
-            a_mat = np.vstack(
-                [np.asarray(v, dtype=np.float32) for v in batch["embedding"]]
-            ).astype(np.float64)
-            a_norms_np = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
-            cos_np = (a_mat @ b_mat.T) / np.outer(a_norms_np, np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat)))
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(a_ids)):
-                na = math.sqrt(_fold_dot(a_mat[i], a_mat[i]))
-                for j in np.nonzero((b_ids > a_ids[i]) & (cos_np[i] >= bound))[0]:
-                    c = _fold_dot(a_mat[i], b_mat[j]) / (na * b_norms[j])
-                    c6 = math.floor(c * 1e6 + 0.5) / 1e6
-                    if c6 >= threshold:
-                        out_a.append(a_ids[i])
-                        out_b.append(int(b_ids[j]))
-                        out_c.append(c6)
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+    def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        a_ids = a["vec_id"].to_numpy().astype(np.int64)
+        b_ids = b["vec_id"].to_numpy().astype(np.int64)
+        # float32 -> float64 is exact, matching the JVM's cast("double").
+        a_mat = np.vstack([np.asarray(v, dtype=np.float32) for v in a["embedding"]]).astype(np.float64)
+        b_mat = np.vstack([np.asarray(v, dtype=np.float32) for v in b["embedding"]]).astype(np.float64)
+        a_norms_np = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+        b_norms_np = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+        cos_np = (a_mat @ b_mat.T) / np.outer(a_norms_np, b_norms_np)
+        b_norms = np.array(
+            [math.sqrt(_fold_dot(row, row)) for row in b_mat], dtype=np.float64
+        )
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(a_ids)):
+            hits = np.nonzero((b_ids > a_ids[i]) & (cos_np[i] >= bound))[0]
+            if not len(hits):
+                continue
+            na = math.sqrt(_fold_dot(a_mat[i], a_mat[i]))
+            for j in hits:
+                c = _fold_dot(a_mat[i], b_mat[j]) / (na * b_norms[j])
+                c6 = math.floor(c * 1e6 + 0.5) / 1e6
+                if c6 >= threshold:
+                    out_a.append(a_ids[i])
+                    out_b.append(int(b_ids[j]))
+                    out_c.append(c6)
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        e.repartition(n_parts)
-        .mapInPandas(gen, "vec_a long, vec_b long, cosine double")
+        a_side.unionByName(b_side)
+        .groupBy("pair_id")
+        .applyInPandas(score_pair, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
 
