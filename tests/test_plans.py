@@ -47,13 +47,14 @@ def test_column_pruning_reaches_scan(spark, sf_small):
 
 def test_rfm_has_no_single_partition_window(spark, sf_small):
     plan = _plan(corpus.q_rfm(spark, sf_small))
-    # The quintile ranks ride on range-partitioned local windows; a
-    # regression to NTILE OVER (ORDER BY …) would plan a window over
+    # The quintile ranks ride on deterministic range buckets (hash
+    # shuffle on __sg_bucket + local windows); a regression to
+    # NTILE OVER (ORDER BY …) would plan a window over
     # SinglePartition.
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or (
-        "Window" not in plan or "RangePartitioning" in plan
+        "Window" not in plan or "hashpartitioning(__sg_bucket" in plan
     )
-    assert "rangepartitioning" in plan.lower(), "expected a range-partitioned sort"
+    assert "hashpartitioning(__sg_bucket" in plan, "expected bucket-partitioned windows"
 
 
 def test_agg_has_partial_combine(spark, sf_small):
