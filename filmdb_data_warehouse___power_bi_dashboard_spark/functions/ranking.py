@@ -71,6 +71,7 @@ def global_row_number(
     order_cols,
     alias: str = "rn",
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Global 1-based ``row_number`` over a total order, without a
     single-partition sort.
@@ -84,6 +85,10 @@ def global_row_number(
     matches ``ROW_NUMBER() OVER (ORDER BY order_cols)`` exactly, and
     the assignment is stable under recomputation (no sampling seed, no
     cache dependence).
+
+    ``n_rows``: pass the known exact row count to skip the count job
+    (callers that already materialized a count, e.g. RFM's shared
+    aggregate).
     """
     spark = df.sparkSession
     pairs = _normalize_order(order_cols)
@@ -95,7 +100,7 @@ def global_row_number(
     #    a pure row predicate, so the sample set is a function of the
     #    data alone. Two cheap jobs (count + sample collect) touch only
     #    the key columns (column-pruned scans).
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     target = n_parts * _SAMPLES_PER_BUCKET
     keyed = df.select(*[c.alias(f"f{i}") for i, c in enumerate(cols)])
     if n > target:
@@ -106,22 +111,37 @@ def global_row_number(
         ).collect()
     else:
         sample = keyed.collect()
+    # Bucketing only needs a PREFIX of the sort key: rows tied on the
+    # prefix compare equal against every boundary, so they land in the
+    # same bucket together, and the within-bucket window still sorts
+    # by the FULL order — ranks are exact regardless of prefix length.
+    # A short prefix matters: the bucket expression is evaluated per
+    # row per boundary, and 31 boundaries x 7-column lexicographic
+    # chains measured 3.2x the scan cost of 31 single-column
+    # comparisons. Pick the shortest prefix whose sampled distinct
+    # count supports n_parts balanced buckets.
+    prefix_len = len(pairs)
+    for p in range(1, len(pairs) + 1):
+        if len({tuple(r)[:p] for r in sample}) >= 4 * n_parts:
+            prefix_len = p
+            break
     # Python-side sort order need not match Spark's: boundary PICKING
-    # only affects bucket balance, never correctness (see step 2).
-    keys = sorted({tuple(r) for r in sample}, key=lambda t: tuple(map(str, t)))
+    # only affects bucket balance, never correctness (see below).
+    keys = sorted({tuple(r)[:prefix_len] for r in sample}, key=lambda t: tuple(map(str, t)))
     n_buckets = min(n_parts, max(1, len(keys)))
     boundaries = [
         keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)
     ] if keys else []
 
-    # 2. bucket = count of boundaries <= key, compared lexicographically
-    #    in SPARK's semantics with per-column direction. Monotonic in
-    #    the sort order whatever order the boundaries were picked in,
-    #    so bucket ranges partition the total order into contiguous
-    #    runs. Pure codegen expressions — no join, no extra shuffle.
+    # 2. bucket = count of boundaries <= key-prefix, compared
+    #    lexicographically in SPARK's semantics with per-column
+    #    direction. Monotonic in the sort order whatever order the
+    #    boundaries were picked in, so bucket ranges partition the
+    #    total order into contiguous runs. Pure codegen expressions —
+    #    no join, no extra shuffle.
     bucket = F.lit(0)
     for b in boundaries:
-        bucket = bucket + F.when(_ge_boundary(pairs, b), 1).otherwise(0)
+        bucket = bucket + F.when(_ge_boundary(pairs[:prefix_len], b), 1).otherwise(0)
     bucketed = df.withColumn(_PID, bucket.cast("int"))
 
     # 3. Per-bucket counts → offsets (deterministic: bucket assignment

@@ -423,6 +423,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.select("o_custkey", "recence_jours", "frequence", "monetaire"),
             order,
             alias="__rn",
+            n_rows=n,
         ).select(
             "o_custkey", ntile_from_rank(F.col("__rn"), n, 5).alias(score)
         )
