@@ -76,3 +76,63 @@ def test_copy_tsv_roundtrip(spark, tsv_path):
     assert rows[4]["special_features"] is None
     assert rows[5]["special_features"] == []
     assert rows[2]["title"] == "ACE GOLDFINGER"
+
+
+def test_validate_domains_splits_and_reports_reasons(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import (
+        DomainRule,
+        validate_domains,
+    )
+
+    rows = [
+        (1, "G", 1994),      # valid
+        (2, "PG-13", 2155),  # valid (domain edge)
+        (3, "X", 2000),      # enum violation
+        (4, "R", 1800),      # domain violation
+        (5, None, 3000),     # null rating (passes: not required) + domain violation
+        (6, "NC-17", None),  # null year passes
+    ]
+    df = spark.createDataFrame(rows, "film_id int, rating string, release_year int")
+    rules = [
+        DomainRule("rating", allowed=["G", "PG", "PG-13", "R", "NC-17"]),
+        DomainRule("release_year", lo=1901, hi=2155),
+    ]
+    valid, quarantine = validate_domains(df, rules)
+    assert sorted(r["film_id"] for r in valid.collect()) == [1, 2, 6]
+    bad = {r["film_id"]: r["_violations"] for r in quarantine.collect()}
+    assert set(bad) == {3, 4, 5}
+    assert bad[3] == ["rating: value outside enum"]
+    assert bad[4] == ["release_year: below domain minimum"]
+    assert bad[5] == ["release_year: above domain maximum"]
+
+
+def test_validate_domains_multi_violation_and_required(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import (
+        DomainRule,
+        validate_domains,
+    )
+
+    df = spark.createDataFrame([(1, None, 1800)], "id int, status string, year int")
+    rules = [
+        DomainRule("status", allowed=["O", "F"], required=True),
+        DomainRule("year", lo=1901),
+    ]
+    _, quarantine = validate_domains(df, rules)
+    [row] = quarantine.collect()
+    assert row["_violations"] == [
+        "status: null in NOT NULL column",
+        "year: below domain minimum",
+    ]
+
+
+def test_validate_domains_clean_on_real_orders(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import (
+        ORDERS_RULES,
+        validate_domains,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    orders = read_table(spark, sf_small, "orders")
+    valid, quarantine = validate_domains(orders, ORDERS_RULES)
+    assert quarantine.count() == 0
+    assert valid.count() == orders.count()
