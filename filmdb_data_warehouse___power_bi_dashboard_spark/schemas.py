@@ -85,19 +85,11 @@ EVENTS = T.StructType([
     T.StructField("props", T.StringType(), True),
 ])
 
-# Legacy on-disk shape of events.parquet on runtimes that decode
-# TIMESTAMP(NANOS) as int64 (spark.sql.legacy.parquet.nanosAsLong).
-# Current files/runtimes decode `ts` natively as timestamp[us]; the
-# reader footer-probes (sources/catalog.py:events_disk_schema) and
-# only falls back to this pinned-long shape when the probe says so.
-EVENTS_RAW = T.StructType([
-    T.StructField("event_id", T.LongType(), False),
-    T.StructField("ts", T.LongType(), False),
-    T.StructField("user_id", T.LongType(), False),
-    T.StructField("event_type", T.StringType(), False),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+# On-disk, events.parquet's `ts` shape has drifted across runtimes
+# (int64 TIMESTAMP(NANOS) under legacy decode vs native
+# timestamp[us]); the reader footer-probes the actual type
+# (sources/catalog.py:events_disk_schema) and normalizes to the
+# EVENTS contract in convert_event_ts — no pinned raw schema needed.
 
 DOCUMENTS = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
