@@ -80,3 +80,42 @@ def test_merge_upsert_do_nothing(spark):
         for r in merge_upsert(existing, incoming, "k", do_update=False).collect()
     }
     assert out == {1: "old", 2: "ins"}
+
+
+def test_fact_surrogates_stable_under_cache_release(spark, sf_small):
+    """Round-5 regression pin: recomputing the fact after every cached
+    block is dropped must reproduce IDENTICAL surrogate keys.
+
+    The round-4 bug: global ranks pinned their offsets to one sampling
+    of repartitionByRange boundaries held alive by a persist; dropping
+    that block (test teardown locally — a lost executor at scale) and
+    recomputing produced duplicate payment ids, silently shrinking
+    COUNT(DISTINCT source_paiement_id). Ranking is now a pure function
+    of the data, so release + full recompute must be a no-op."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.etl import (
+        _STAR_CACHE,
+        build_star_frames,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
+
+    star = build_star_frames(spark, sf_small)
+    fact = star["fact_paiement"]
+    # Materialize only a sliver (mimics a LIMIT-style first touch that
+    # caches some partitions but not all), then drop every cache block.
+    fact.limit(1).collect()
+    release_persisted()
+    fact.unpersist(blocking=True)
+    after_release = {
+        (r["source_paiement_id"], r["client_key"], r["film_key"])
+        for r in fact.collect()
+    }
+    # Cold rebuild from scratch for the ground truth.
+    _STAR_CACHE.clear()
+    release_persisted()
+    fresh = build_star_frames(spark, sf_small)["fact_paiement"]
+    ground_truth = {
+        (r["source_paiement_id"], r["client_key"], r["film_key"])
+        for r in fresh.collect()
+    }
+    assert len(after_release) == len(ground_truth)
+    assert after_release == ground_truth
