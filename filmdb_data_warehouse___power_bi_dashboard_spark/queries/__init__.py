@@ -140,6 +140,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
+    # round-5 addition: stream-stream interval join (oracle-bearing;
+    # gate-eligible next rotation)
+    "stream_click_attribution",
     # rows-only operators (recall/equivalence pytest-asserted)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

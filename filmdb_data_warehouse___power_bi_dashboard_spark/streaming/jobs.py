@@ -540,11 +540,105 @@ ORDER BY 1, 2
 """
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    lookback_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL JOIN: attribute each
+    ``right_type`` event (purchase) to every ``left_type`` event
+    (click) by the same user within the preceding
+    ``lookback_minutes`` — the canonical Structured Streaming
+    join shape (Spark docs: inner join with watermarks + time-range
+    condition).
+
+    Scale semantics: both sides carry an event-time watermark and the
+    join condition bounds click_ts to a window around purchase_ts, so
+    the state store retains each side only ``watermark + lookback``
+    long — state is O(arrival rate x horizon), never O(stream
+    length). Inner-join matches emit as they form (append mode); on
+    bounded availableNow input the result equals the batch interval
+    join exactly (oracle-checked).
+    """
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = click_user
+            AND click_ts >= purchase_ts - INTERVAL {lookback_minutes} MINUTES
+            AND click_ts <= purchase_ts
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- clicks within 30 min),
+    oracle-checked against the batch interval join."""
+    return stream_interval_join(spark, sf_dir).orderBy("purchase_id", "click_id")
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id AS user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       CAST(p.value AS DOUBLE) AS purchase_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "sessionize_builtin": q_sessionize_builtin,
+    "stream_click_attribution": q_stream_click_attribution,
 }
 
 ORACLES = {
@@ -552,4 +646,5 @@ ORACLES = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,
     "sessionize_builtin": ORACLE_SESSIONIZE_BUILTIN,
+    "stream_click_attribution": ORACLE_STREAM_INTERVAL_JOIN,
 }

@@ -218,3 +218,43 @@ def test_session_durations_nonnegative_and_gap_bounded(spark, sf_small):
     for r in rows:
         assert r["duration_sec"] >= 0
         assert r["session_start"] <= r["session_end"]
+
+
+def test_stream_interval_join_multi_batch_matches_batch(spark, sf_small, tmp_path):
+    """Input split across TWO files (two micro-batches under
+    maxFilesPerTrigger=1): purchases arriving in batch 2 must still
+    match clicks from batch 1 held in the join state store — the
+    consolidated append output must equal the batch interval join."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        stream_interval_join,
+    )
+
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
+    pdf = raw.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    mid = len(pdf) // 2
+    a, b = str(tmp_path / "events-a.parquet"), str(tmp_path / "events-b.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:mid], preserve_index=False), a)
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[mid:], preserve_index=False), b)
+    now = 1_700_000_000
+    os.utime(a, (now, now))
+    os.utime(b, (now + 100, now + 100))
+
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_interval_join(spark, str(tmp_path)).collect()
+    }
+    batch = {
+        (p["event_id"], c["event_id"])
+        for p in raw.where("event_type = 'purchase'").collect()
+        for c in raw.where("event_type = 'click'").collect()
+        if p["user_id"] == c["user_id"]
+        and 0 <= (p["ts"] - c["ts"]).total_seconds() <= 1800
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
