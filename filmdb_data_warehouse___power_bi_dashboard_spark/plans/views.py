@@ -781,6 +781,194 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 completion: direct value evidence for the early views that
+# previously rode on analogy queries only (vues.sql:22-39, 77-93,
+# 95-112, 157-179, 191-200, 7-13; dw requetes_clees.sql:9, 17-43;
+# pbix weekday profile). Every registered view now has its own
+# oracle-checked spot query.
+# ---------------------------------------------------------------------------
+
+
+def q_view_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT client_key, source_client_id, libelle_client, segment, pays, region"
+        " FROM v_clients ORDER BY source_client_id"
+    )
+
+
+ORACLE_VIEW_V_CLIENTS = """
+WITH cli AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS client_key,
+         c_custkey AS source_client_id,
+         c_name, c_mktsegment AS segment, n_name AS pays, r_name AS region
+  FROM customer
+  LEFT JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN region ON n_regionkey = r_regionkey
+)
+SELECT CAST(client_key AS BIGINT) AS client_key, source_client_id,
+       upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2)
+         || ' [' || COALESCE(segment, 'Inconnu') || ']' AS libelle_client,
+       segment, pays, region
+FROM cli ORDER BY source_client_id
+"""
+
+
+def q_view_produits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT film_key, source_film_id, titre_film, type_film, taille,"
+        " CAST(prix_catalogue AS DOUBLE) AS prix_catalogue, nom_categorie"
+        " FROM v_produits ORDER BY source_film_id"
+    )
+
+
+ORACLE_VIEW_PRODUITS = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS film_key,
+       p_partkey AS source_film_id,
+       p_name AS titre_film,
+       p_type AS type_film,
+       p_size AS taille,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS prix_catalogue,
+       p_brand AS nom_categorie
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_view_magasins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT magasin_key, source_magasin_id, nom_magasin, pays, region"
+        " FROM v_magasins ORDER BY source_magasin_id"
+    )
+
+
+ORACLE_VIEW_MAGASINS = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS magasin_key,
+       s_suppkey AS source_magasin_id,
+       s_name AS nom_magasin,
+       n_name AS pays,
+       r_name AS region
+FROM supplier
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+ORDER BY s_suppkey
+"""
+
+
+def q_view_ca_par_categorie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_categorie, CAST(ca AS DOUBLE) AS ca, nb_paiements"
+        " FROM v_ca_par_categorie ORDER BY nom_categorie"
+    )
+
+
+ORACLE_VIEW_CA_CAT = f"""
+SELECT COALESCE(p_brand, 'Inconnu') AS nom_categorie,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb_paiements
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_client, CAST(ca AS DOUBLE) AS ca, nb_paiements"
+        " FROM v_top_clients ORDER BY nom_client"
+    )
+
+
+ORACLE_VIEW_TOP_CLIENTS = f"""
+SELECT c_name AS nom_client,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb_paiements
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_panier_moyen_magasin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_magasin, CAST(ca AS DOUBLE) AS ca, nb, panier_moyen"
+        " FROM v_panier_moyen_magasin ORDER BY nom_magasin"
+    )
+
+
+ORACLE_VIEW_PANIER = f"""
+SELECT s_name AS nom_magasin,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) / NULLIF(COUNT(*), 0) AS panier_moyen
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_types_par_categorie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT nom_categorie, types, nb_types"
+        " FROM v_types_par_categorie ORDER BY nom_categorie"
+    )
+
+
+ORACLE_VIEW_TYPES = """
+SELECT p_brand AS nom_categorie,
+       string_agg(DISTINCT p_type, ', ' ORDER BY p_type) AS types,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS nb_types
+FROM part GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_view_paiements_recents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT source_paiement_id, date, CAST(montant AS DOUBLE) AS montant"
+        " FROM v_paiements_recents ORDER BY source_paiement_id"
+    )
+
+
+ORACLE_VIEW_RECENTS = f"""
+WITH keyed AS (
+  SELECT CAST(l_shipdate AS DATE) AS "date",
+         {_SQL_REV} AS montant,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+                                     l_suppkey, l_shipdate, l_quantity,
+                                     l_extendedprice) AS source_paiement_id
+  FROM lineitem
+)
+SELECT CAST(source_paiement_id AS BIGINT) AS source_paiement_id, "date",
+       CAST(montant AS DOUBLE) AS montant
+FROM keyed
+WHERE "date" >= (SELECT CAST(MAX(l_shipdate) AS DATE) - INTERVAL 30 DAY FROM lineitem)
+ORDER BY 1
+"""
+
+
+def q_view_profil_jour_semaine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT jour_semaine, CAST(ca AS DOUBLE) AS ca, nb"
+        " FROM v_profil_jour_semaine ORDER BY jour_semaine"
+    )
+
+
+ORACLE_VIEW_PROFIL_JOUR = f"""
+SELECT CAST(isodow(l_shipdate) AS INT) AS jour_semaine,
+       CAST(CAST(SUM({_SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca,
+       COUNT(*) AS nb
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
     "view_surface_pack": q_view_surface_pack,
@@ -799,6 +987,15 @@ QUERIES = {
     "view_valeur_client": q_view_valeur_client,
     "view_retard_par_client": q_view_retard_par_client,
     "view_liste_films_noms_formates": q_view_liste_films_noms_formates,
+    "view_clients": q_view_clients,
+    "view_produits": q_view_produits,
+    "view_magasins": q_view_magasins,
+    "view_ca_par_categorie": q_view_ca_par_categorie,
+    "view_top_clients": q_view_top_clients,
+    "view_panier_moyen_magasin": q_view_panier_moyen_magasin,
+    "view_types_par_categorie": q_view_types_par_categorie,
+    "view_paiements_recents": q_view_paiements_recents,
+    "view_profil_jour_semaine": q_view_profil_jour_semaine,
 }
 
 ORACLES = {
@@ -819,4 +1016,13 @@ ORACLES = {
     "view_valeur_client": ORACLE_VIEW_VALEUR_CLIENT,
     "view_retard_par_client": ORACLE_VIEW_RETARD_CLIENT,
     "view_liste_films_noms_formates": ORACLE_VIEW_LISTE_FILMS,
+    "view_clients": ORACLE_VIEW_V_CLIENTS,
+    "view_produits": ORACLE_VIEW_PRODUITS,
+    "view_magasins": ORACLE_VIEW_MAGASINS,
+    "view_ca_par_categorie": ORACLE_VIEW_CA_CAT,
+    "view_top_clients": ORACLE_VIEW_TOP_CLIENTS,
+    "view_panier_moyen_magasin": ORACLE_VIEW_PANIER,
+    "view_types_par_categorie": ORACLE_VIEW_TYPES,
+    "view_paiements_recents": ORACLE_VIEW_RECENTS,
+    "view_profil_jour_semaine": ORACLE_VIEW_PROFIL_JOUR,
 }

@@ -140,9 +140,19 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
-    # round-5 addition: stream-stream interval join (oracle-bearing;
-    # gate-eligible next rotation)
+    # round-5 additions (oracle-bearing; gate-eligible next rotation):
+    # stream-stream interval join + direct spot queries for the 9
+    # early views that previously rode on analogy coverage.
     "stream_click_attribution",
+    "view_clients",
+    "view_produits",
+    "view_magasins",
+    "view_ca_par_categorie",
+    "view_top_clients",
+    "view_panier_moyen_magasin",
+    "view_types_par_categorie",
+    "view_paiements_recents",
+    "view_profil_jour_semaine",
     # rows-only operators (recall/equivalence pytest-asserted)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
