@@ -285,15 +285,40 @@ _SOURCE_ONLY_VIEWS = (
 def register_source_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register the source tables plus the view definitions that don't
     reference the star — the cheap subset of :func:`register_all_views`."""
+    # Re-pointing the shared source temp tables at a different sf_dir
+    # invalidates any earlier full registration on this session.
+    app_id = spark.sparkContext.applicationId
+    if _REGISTERED.get(app_id) not in (None, sf_dir):
+        _REGISTERED.pop(app_id, None)
     register_views(spark, sf_dir)
     for name in _SOURCE_ONLY_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {_VIEW_SQL[name]}")
     return list(_SOURCE_ONLY_VIEWS)
 
 
-def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
+# Registration memo per (session, sf_dir): view DEFINITIONS are
+# static, so re-running the 28 CREATE OR REPLACE statements (plus
+# re-planning the 3 summary frames) for every view query only costs
+# analysis time — measured ~1-2 s per call across the 17 registered
+# view queries. Registering a DIFFERENT sf_dir on the same session
+# invalidates the memo (temp-view names are session-global).
+_REGISTERED: dict[str, str] = {}
+
+
+def register_all_views(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> list[str]:
     """Register source tables, the star, the 3 summary views, and
-    every SQL view in ``_VIEW_SQL``. Returns the registered names."""
+    every SQL view in ``_VIEW_SQL``. Returns the registered names.
+    Idempotent per (session, sf_dir); pass ``force=True`` after
+    manually replacing any of the temp views."""
+    names = [
+        "v_agg_mensuel_magasin", "v_agg_mensuel_categorie", "v_dim_mois",
+        *_VIEW_SQL,
+    ]
+    app_id = spark.sparkContext.applicationId
+    if not force and _REGISTERED.get(app_id) == sf_dir:
+        return names
     register_views(spark, sf_dir)
     star = build_star_frames(spark, sf_dir)
     for name, df in star.items():
@@ -301,10 +326,9 @@ def register_all_views(spark: SparkSession, sf_dir: str) -> list[str]:
     build_agg_mensuel_magasin(star).createOrReplaceTempView("v_agg_mensuel_magasin")
     build_agg_mensuel_categorie(star).createOrReplaceTempView("v_agg_mensuel_categorie")
     build_dim_mois(star).createOrReplaceTempView("v_dim_mois")
-    names = ["v_agg_mensuel_magasin", "v_agg_mensuel_categorie", "v_dim_mois"]
     for name, sql in _VIEW_SQL.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-        names.append(name)
+    _REGISTERED[app_id] = sf_dir
     return names
 
 
