@@ -154,6 +154,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_paiements_recents",
     "view_profil_jour_semaine",
     # rows-only operators (recall/equivalence pytest-asserted)
+    "approx_month_profile",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",

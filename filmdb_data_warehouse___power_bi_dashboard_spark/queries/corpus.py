@@ -1149,8 +1149,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Approximate aggregates (beyond-reference, the 100 TB BI posture):
+# exact COUNT(DISTINCT) shuffles every distinct value; HLL++ sketches
+# (approx_count_distinct) and quantile summaries (percentile_approx)
+# keep FIXED-size per-partition state that merges map-side — the plan
+# shows partial ObjectHashAggregate, so network cost is
+# partitions x sketch size, independent of cardinality. Accuracy is
+# pinned in pytest (relative error vs the exact answer), not by an
+# oracle — sketch internals differ across engines by design.
+# ---------------------------------------------------------------------------
+
+
+def q_approx_month_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-month: HLL distinct customers (rsd 2%) + quantile
+    sketch of order value. Rows-only in the driver gate; error bounds
+    vs exact are asserted in tests/test_operators.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mois"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_clients"),
+            F.percentile_approx(F.col("o_totalprice").cast("double"), [0.5, 0.95], 10_000)
+            .alias("pq"),
+            F.count("*").alias("nb"),
+        )
+        .select(
+            "mois",
+            "approx_clients",
+            F.col("pq")[0].alias("approx_p50"),
+            F.col("pq")[1].alias("approx_p95"),
+            "nb",
+        )
+        .orderBy("mois")
+    )
+
+
 QUERIES = {
     "events_json_props": q_events_json_props,
+    "approx_month_profile": q_approx_month_profile,
     "rollup_region_magasin": q_rollup_region_magasin,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "kpi_supplier_month": q_kpi_supplier_month,

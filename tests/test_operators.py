@@ -243,3 +243,54 @@ def test_embedding_pairs_fold_matches_jvm_expression(spark, sf_small):
         .collect()
     }
     assert got == want  # exact double equality, all pairs
+
+
+def test_approx_month_profile_error_bounds_and_partial_agg(spark, sf_small):
+    """Sketch accuracy vs the exact answers (HLL rsd=2% → assert <=6%
+    observed; the quantile sketch is RANK-accurate and does not
+    interpolate → assert each approx quantile lies inside a widened
+    exact rank bracket), and the scale property that justifies the
+    sketches: the plan must show PARTIAL ObjectHashAggregate
+    (map-side sketch merge), so shuffle size is
+    partitions x sketch size, independent of customer cardinality."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        q_approx_month_profile,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    import math
+    from collections import defaultdict
+
+    approx = {r["mois"]: r for r in q_approx_month_profile(spark, sf_small).collect()}
+    orders = read_table(spark, sf_small, "orders")
+    exact_clients = {
+        r["mois"]: r["clients"]
+        for r in orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mois"))
+        .agg(F.countDistinct("o_custkey").alias("clients"))
+        .collect()
+    }
+    by_month: dict[str, list[float]] = defaultdict(list)
+    for r in orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mois"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    ).collect():
+        by_month[r["mois"]].append(r["v"])
+    assert set(approx) == set(by_month)
+    for mois, a in approx.items():
+        assert abs(a["approx_clients"] - exact_clients[mois]) <= max(
+            2, 0.06 * exact_clients[mois]
+        ), mois
+        vals = sorted(by_month[mois])
+        n = len(vals)
+        for p, got in ((0.5, a["approx_p50"]), (0.95, a["approx_p95"])):
+            # percentile_approx returns an ELEMENT at (rank-accurate)
+            # position ceil(p*n); allow +-1 rank of slack.
+            r = math.ceil(p * n)
+            window = vals[max(0, r - 2) : min(n, r + 1)]
+            assert got in window, (mois, p, got, window)
+
+    plan = q_approx_month_profile(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan, plan[:1500]
+    assert "partial_approx_count_distinct" in plan or plan.count("ObjectHashAggregate") >= 2, plan[:1500]
