@@ -39,6 +39,7 @@ NON_SQL_WHITELIST: set[str] = {
     "ann_topk_lsh",           # seeded hyperplanes; recall tested in pytest
     "ann_topk_ivf",           # iterative k-means quantizer; recall tested in pytest
     "multimodal_features",    # mapInPandas path; equality tested in pytest
+    "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
 }
 
 
