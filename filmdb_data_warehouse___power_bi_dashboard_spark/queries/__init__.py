@@ -155,6 +155,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_profil_jour_semaine",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
+    "corpus_split_summary",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",

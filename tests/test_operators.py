@@ -294,3 +294,75 @@ def test_approx_month_profile_error_bounds_and_partial_agg(spark, sf_small):
     plan = q_approx_month_profile(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "ObjectHashAggregate" in plan, plan[:1500]
     assert "partial_approx_count_distinct" in plan or plan.count("ObjectHashAggregate") >= 2, plan[:1500]
+
+
+def test_deterministic_split_properties(spark, sf_small):
+    """Split assignment must be (a) a partition of the input, (b)
+    stable under repartitioning (the randomSplit failure mode), (c)
+    consistent across TABLES sharing the key+salt (leak-freedom), and
+    (d) close to the requested 80/10/10 rates."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        deterministic_split,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = deterministic_split(docs, ["doc_id"], weights)
+    rows = {r["doc_id"]: r["split"] for r in split.select("doc_id", "split").collect()}
+    n = docs.count()
+    assert len(rows) == n  # every row labeled exactly once
+
+    # (b) repartitioning must not move any row across splits.
+    reparted = deterministic_split(docs.repartition(7), ["doc_id"], weights)
+    rows2 = {r["doc_id"]: r["split"] for r in reparted.select("doc_id", "split").collect()}
+    assert rows == rows2
+
+    # (c) a DIFFERENT table keyed on the same ids gets the same splits.
+    other = docs.select("doc_id", "lang")
+    rows3 = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(other, ["doc_id"], weights).collect()
+    }
+    assert rows == rows3
+
+    # (d) rates within binomial noise (3 sigma).
+    from collections import Counter
+
+    counts = Counter(rows.values())
+    for label, w in weights.items():
+        p = w / sum(weights.values())
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(counts[label] - n * p) <= 3 * sigma + 1, (label, counts)
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    fractions = {"en": 0.5, "fr": 0.25}
+    kept = stratified_sample(docs, ["doc_id"], "lang", fractions)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(5), ["doc_id"], "lang", fractions)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == ids2  # recompute/repartition stable
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(kept_lang) <= set(fractions)  # unlisted strata dropped
+    for lang, frac in fractions.items():
+        n = per_lang.get(lang, 0)
+        if n == 0:
+            continue
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(kept_lang.get(lang, 0) - n * frac) <= 3 * sigma + 1, (lang, kept_lang)

@@ -40,6 +40,7 @@ NON_SQL_WHITELIST: set[str] = {
     "ann_topk_ivf",           # iterative k-means quantizer; recall tested in pytest
     "multimodal_features",    # mapInPandas path; equality tested in pytest
     "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
+    "corpus_split_summary",   # xxhash64 split assignment; properties tested in pytest
 }
 
 
