@@ -144,6 +144,7 @@ _GATE_ORDER: tuple[str, ...] = (
     # stream-stream interval join + direct spot queries for the 9
     # early views that previously rode on analogy coverage.
     "stream_click_attribution",
+    "stream_enriched_profile",
     "view_clients",
     "view_produits",
     "view_magasins",

@@ -633,12 +633,72 @@ ORDER BY 1, 2
 """
 
 
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joined to
+    the customer→nation dim and aggregated per (pays, event_type).
+
+    The static side is read per micro-batch and BROADCAST — the join
+    is STATELESS (no watermark, no state store), which is why
+    stream-static is the default shape for attaching dimensions to a
+    stream at any scale: state never grows, and dim updates between
+    micro-batches are picked up automatically. The aggregation state
+    is bounded by the group-key cardinality (nations × event types),
+    so complete mode is safe.
+    """
+    events = _read_events_stream(spark, sf_dir)
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    ).select(F.col("c_custkey"), F.col("n_name").alias("pays"))
+    agg = (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left")
+        .groupBy("pays", "event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_enriched_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, oracle-checked: on bounded input
+    the streaming answer must equal the batch join + GROUP BY."""
+    return stream_enrich_events(spark, sf_dir).orderBy("pays", "event_type")
+
+
+ORACLE_STREAM_ENRICH = f"""
+SELECT n_name AS pays,
+       event_type,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "sessionize_builtin": q_sessionize_builtin,
     "stream_click_attribution": q_stream_click_attribution,
+    "stream_enriched_profile": q_stream_enriched_profile,
 }
 
 ORACLES = {
@@ -647,4 +707,5 @@ ORACLES = {
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,
     "sessionize_builtin": ORACLE_SESSIONIZE_BUILTIN,
     "stream_click_attribution": ORACLE_STREAM_INTERVAL_JOIN,
+    "stream_enriched_profile": ORACLE_STREAM_ENRICH,
 }
