@@ -1,0 +1,144 @@
+"""Slowly-changing-dimension Type 2 versioning.
+
+The reference's dimension refresh is SCD1 — ``ON CONFLICT DO UPDATE``
+overwrites attributes in place (insertion_dataware.sql:74-80), losing
+history. SCD2 keeps every version with a validity interval: applying
+an update batch CLOSES the current row of each changed key
+(``valid_to`` = effective date) and APPENDS a new current version.
+
+Spark-first shape — one broadcast-friendly join and a union, no
+row-at-a-time merge loop:
+
+1. join current rows to the update batch on the business key;
+2. rows whose tracked attributes changed are split into a closed copy
+   (valid_to set) and a fresh version (valid_from = effective date);
+3. unchanged / unmatched rows pass through untouched; brand-new keys
+   append as first versions.
+
+At scale both sides partition by the business key; when the update
+batch is dim-sized (the normal case) it broadcasts and the whole
+apply is one scan over the current dimension. The operation is a pure
+function of (current, updates) — rerunning it is idempotent, matching
+the warehouse's deterministic-refresh discipline (plans/etl.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_table
+
+OPEN_END = "9999-12-31"
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_col: str = "effective_date",
+) -> DataFrame:
+    """Apply an SCD2 update batch.
+
+    ``current``: one row per (key, version) with ``valid_from``,
+    ``valid_to`` (OPEN_END for the live version) and the tracked
+    attribute columns. ``updates``: one row per key with the new
+    attribute values and ``effective_col``. Returns the full new
+    version table.
+    """
+    upd = F.broadcast(
+        updates.select(
+            F.col(key).alias("__k"),
+            F.col(effective_col).alias("__eff"),
+            *[F.col(c).alias(f"__new_{c}") for c in tracked],
+        )
+    )
+    live = current.where(F.col("valid_to") == OPEN_END)
+    closed_history = current.where(F.col("valid_to") != OPEN_END)
+
+    joined = live.join(upd, live[key] == F.col("__k"), "left")
+    changed = F.col("__k").isNotNull() & F.concat_ws(
+        "\x1f", *[F.col(c) for c in tracked]
+    ).eqNullSafe(F.concat_ws("\x1f", *[F.col(f"__new_{c}") for c in tracked])).__invert__()
+
+    passthrough = joined.where(~changed).select(*current.columns)
+    closed_out = (
+        joined.where(changed)
+        .withColumn("valid_to", F.col("__eff").cast("string"))
+        .select(*current.columns)
+    )
+    new_versions = (
+        joined.where(changed)
+        .select(
+            *[
+                F.col(f"__new_{c}").alias(c) if c in tracked
+                else F.col("__eff").cast("string").alias(c) if c == "valid_from"
+                else F.lit(OPEN_END).alias(c) if c == "valid_to"
+                else F.col(c)
+                for c in current.columns
+            ]
+        )
+    )
+    return closed_history.unionByName(passthrough).unionByName(closed_out).unionByName(
+        new_versions
+    )
+
+
+def q_scd2_dim_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 demo on dim_client: seed every customer as a first version
+    (valid_from 1992-01-01), then apply a deterministic update batch —
+    customers with ``c_custkey % 10 = 0`` move to segment 'UPGRADED'
+    effective 1998-01-01. Output: the full version table (closed rows
+    + unchanged + new versions), oracle-checked in DuckDB."""
+    customer = read_table(spark, sf_dir, "customer")
+    current = customer.select(
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("nom_client"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(OPEN_END).alias("valid_to"),
+    )
+    updates = (
+        customer.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("client_id"),
+            F.lit("UPGRADED").alias("segment"),
+            F.lit("1998-01-01").alias("effective_date"),
+        )
+    )
+    out = scd2_apply(current, updates, key="client_id", tracked=["segment"])
+    return out.orderBy("client_id", "valid_from")
+
+
+ORACLE_SCD2 = f"""
+WITH seed AS (
+  SELECT c_custkey AS client_id, c_name AS nom_client,
+         c_mktsegment AS segment,
+         '1992-01-01' AS valid_from, '{OPEN_END}' AS valid_to
+  FROM customer
+),
+changed AS (
+  SELECT * FROM seed WHERE client_id % 10 = 0 AND segment <> 'UPGRADED'
+)
+SELECT client_id, nom_client, segment, valid_from, valid_to
+FROM seed
+WHERE client_id NOT IN (SELECT client_id FROM changed)
+UNION ALL
+SELECT client_id, nom_client, segment, valid_from, '1998-01-01' AS valid_to
+FROM changed
+UNION ALL
+SELECT client_id, nom_client, 'UPGRADED' AS segment,
+       '1998-01-01' AS valid_from, '{OPEN_END}' AS valid_to
+FROM changed
+ORDER BY client_id, valid_from
+"""
+
+
+QUERIES = {
+    "scd2_dim_client": q_scd2_dim_client,
+}
+
+ORACLES = {
+    "scd2_dim_client": ORACLE_SCD2,
+}

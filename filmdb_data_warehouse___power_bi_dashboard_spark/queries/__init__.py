@@ -154,6 +154,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_types_par_categorie",
     "view_paiements_recents",
     "view_profil_jour_semaine",
+    "scd2_dim_client",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",
@@ -193,6 +194,9 @@ def _collect_queries() -> dict[str, QueryFn]:
     from ..streaming.jobs import QUERIES as STREAM_QUERIES
 
     reg.update(STREAM_QUERIES)
+    from ..plans.scd import QUERIES as SCD_QUERIES
+
+    reg.update(SCD_QUERIES)
     return reg
 
 
@@ -222,6 +226,9 @@ def oracles() -> dict[str, str]:
     from ..plans.metrics import ORACLES as METRIC_ORACLES
 
     out.update(METRIC_ORACLES)
+    from ..plans.scd import ORACLES as SCD_ORACLES
+
+    out.update(SCD_ORACLES)
     from ..plans.views import ORACLES as VIEW_ORACLES
 
     out.update(VIEW_ORACLES)

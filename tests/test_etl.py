@@ -119,3 +119,48 @@ def test_fact_surrogates_stable_under_cache_release(spark, sf_small):
     }
     assert len(after_release) == len(ground_truth)
     assert after_release == ground_truth
+
+
+def test_scd2_apply_idempotent_and_chains_versions(spark):
+    """SCD2: re-applying the same update batch must be a no-op (the
+    live version already carries the new attributes), and a SECOND
+    distinct update must chain a third version with contiguous
+    validity intervals."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.scd import (
+        OPEN_END,
+        scd2_apply,
+    )
+
+    current = spark.createDataFrame(
+        [(1, "alice", "A", "1992-01-01", OPEN_END),
+         (2, "bob", "B", "1992-01-01", OPEN_END)],
+        "client_id long, nom_client string, segment string, valid_from string, valid_to string",
+    )
+    upd1 = spark.createDataFrame(
+        [(1, "X", "1995-06-01")],
+        "client_id long, segment string, effective_date string",
+    )
+    v2 = scd2_apply(current, upd1, key="client_id", tracked=["segment"])
+    rows2 = sorted(map(tuple, v2.collect()))
+    assert rows2 == sorted([
+        (1, "alice", "A", "1992-01-01", "1995-06-01"),
+        (1, "alice", "X", "1995-06-01", OPEN_END),
+        (2, "bob", "B", "1992-01-01", OPEN_END),
+    ])
+
+    # Idempotent: same batch again changes nothing.
+    again = scd2_apply(v2, upd1, key="client_id", tracked=["segment"])
+    assert sorted(map(tuple, again.collect())) == rows2
+
+    # Chaining: a later change appends a third version.
+    upd2 = spark.createDataFrame(
+        [(1, "Y", "1999-01-01")],
+        "client_id long, segment string, effective_date string",
+    )
+    v3 = scd2_apply(v2, upd2, key="client_id", tracked=["segment"])
+    assert sorted(map(tuple, v3.collect())) == sorted([
+        (1, "alice", "A", "1992-01-01", "1995-06-01"),
+        (1, "alice", "X", "1995-06-01", "1999-01-01"),
+        (1, "alice", "Y", "1999-01-01", OPEN_END),
+        (2, "bob", "B", "1992-01-01", OPEN_END),
+    ])
