@@ -688,6 +688,100 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, threshold=0.4)
 
 
+# ---------------------------------------------------------------------------
+# Connected components — the pairs → clusters step that finishes a
+# dedup pipeline (every near-dup CLUSTER keeps one canonical doc).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set: every node's
+    label converges to the smallest node id reachable from it — the
+    cluster id.
+
+    Iterative (driver loop, one join + min-aggregate per round, early
+    exit when no label moves). Rounds needed = graph diameter; dedup
+    graphs are dense star-ish clusters with tiny diameters, so this
+    converges in a handful of rounds — the same regime GraphX/GraphFrames
+    target with the large-star/small-star algorithm. Per round the
+    shuffle is O(|E|), never all-pairs.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).persist()
+        moved = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if moved == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the exact n-gram Jaccard pairs
+    (threshold 0.6): every doc in a cluster labeled with the cluster's
+    smallest doc_id. Oracle: DuckDB recursive-CTE transitive closure
+    over the same pair set."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.6, n=3)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang AS block,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 2 + 1)])
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_JAC} >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY a
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -695,10 +789,12 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

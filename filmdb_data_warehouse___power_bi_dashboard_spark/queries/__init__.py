@@ -155,6 +155,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_paiements_recents",
     "view_profil_jour_semaine",
     "scd2_dim_client",
+    "dedup_clusters",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",

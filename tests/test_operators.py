@@ -366,3 +366,19 @@ def test_stratified_sample_rates_and_determinism(spark, sf_small):
             continue
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(kept_lang.get(lang, 0) - n * frac) <= 3 * sigma + 1, (lang, kept_lang)
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """Label propagation must traverse diameters > 1: a 6-node path
+    graph (0-1-2-3-4-5) plus a disjoint pair must collapse to two
+    clusters with min-id labels."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
