@@ -708,32 +708,55 @@ def connected_components(
     target with the large-star/small-star algorithm. Per round the
     shuffle is O(|E|), never all-pairs.
     """
+    spark = edges.sparkSession
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).persist()
-    labels.count()
+    # Persist the symmetrized edge set: every round joins against it,
+    # and without the pin each round would RE-EXECUTE the upstream
+    # pair-generation lineage (measured: 33 s instead of ~4 s for the
+    # Jaccard-pairs input). Tracked, so callers/bench can release it
+    # once the result is materialized — safe now that every plan is
+    # recompute-deterministic.
+    sym = track_persist(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    )
+    # Size the iteration's partitioning to the EDGE COUNT (one job,
+    # also materializes the persist): dedup pair graphs are usually
+    # tiny next to the corpus that produced them, and running each
+    # round's shuffles at full width is pure scheduling overhead —
+    # measured 9.4 s for 79 edges at width 32. ~100k edges per
+    # partition; at real scale this recovers full parallelism.
+    n_edges = sym.count()
+    parts = max(1, min(n_conf, n_edges // 100_000 + 1))
+    sym = sym.repartition(parts, "b")
+    labels = track_persist(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
+        .persist()
+    )
+    # Convergence metric: min-propagation only ever DECREASES labels,
+    # so the label sum is strictly monotone until the fixpoint — a
+    # single aggregate per round replaces a join-based change check.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("label")
         )
-        new = (
+        new = track_persist(
             labels.unionByName(nbr)
+            .repartition(parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).persist()
-        moved = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            .persist()
         )
+        new_sum = new.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new
-        if moved == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
