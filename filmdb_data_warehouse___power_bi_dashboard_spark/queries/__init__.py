@@ -156,6 +156,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_profil_jour_semaine",
     "scd2_dim_client",
     "dedup_clusters",
+    "pivot_nation_segment",
+    "unpivot_nation_segment",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",

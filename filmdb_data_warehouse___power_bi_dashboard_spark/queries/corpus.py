@@ -1150,6 +1150,92 @@ GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Pivot / unpivot — the BI matrix reshape (Power BI's matrix visual
+# spreads one categorical onto columns; the reference's heatmap view
+# is the long form of the same data). ``groupBy().pivot(col, values)``
+# with EXPLICIT pivot values is the scale spelling: Spark skips the
+# extra distinct-values job and plans a single pass with one
+# conditional aggregate per column — identical shuffle shape to the
+# plain groupBy. The unpivot rides the built-in melt/stack, restoring
+# the long form losslessly.
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matrix nation × market segment: one row per customer
+    nation, one column per segment (explicit value list)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("pays"), F.col("c_mktsegment").alias("segment"),
+                net_revenue().alias("rev"))
+    )
+    out = (
+        base.groupBy("pays")
+        .pivot("segment", _SEGMENTS)
+        .agg(F.sum("rev").cast(MONEY))
+        .orderBy("pays")
+    )
+    # Matrix cells with no data are 0, not NULL (BI matrix semantics;
+    # also the comparator's no-NULL-numeric contract).
+    return out.select(
+        "pays", *[F.coalesce(F.col(s), F.lit(0).cast(MONEY)).alias(s) for s in _SEGMENTS]
+    )
+
+
+_PIVOT_CELL = (
+    "CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '{seg}' THEN {rev} END), 0)"
+    " AS DECIMAL(18,2))"
+)
+
+ORACLE_PIVOT = f"""
+SELECT n_name AS pays,
+       {", ".join(
+           "CAST(" + _PIVOT_CELL.format(seg=s, rev=SQL_REV) + " AS DOUBLE) AS " + s
+           for s in _SEGMENTS
+       )}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_unpivot_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: melt the pivot matrix back to long form — the
+    built-in unpivot (ids/values melt), dropping the zero-filled
+    cells so the long form equals the original grouped frame."""
+    wide = q_pivot_nation_segment(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["pays"], values=_SEGMENTS, variableColumnName="segment",
+        valueColumnName="ca",
+    )
+    return long.where(F.col("ca") != 0).orderBy("pays", "segment")
+
+
+ORACLE_UNPIVOT = f"""
+SELECT n_name AS pays,
+       c_mktsegment AS segment,
+       CAST(CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) AS DOUBLE) AS ca
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+HAVING CAST(SUM({SQL_REV}) AS DECIMAL(18,2)) <> 0
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates (beyond-reference, the 100 TB BI posture):
 # exact COUNT(DISTINCT) shuffles every distinct value; HLL++ sketches
 # (approx_count_distinct) and quantile summaries (percentile_approx)
@@ -1188,6 +1274,8 @@ def q_approx_month_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_json_props": q_events_json_props,
     "approx_month_profile": q_approx_month_profile,
+    "pivot_nation_segment": q_pivot_nation_segment,
+    "unpivot_nation_segment": q_unpivot_nation_segment,
     "rollup_region_magasin": q_rollup_region_magasin,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "kpi_supplier_month": q_kpi_supplier_month,
@@ -1213,6 +1301,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_nation_segment": ORACLE_PIVOT,
+    "unpivot_nation_segment": ORACLE_UNPIVOT,
     "events_json_props": ORACLE_Q23,
     "rollup_region_magasin": ORACLE_Q22,
     "top_parts_by_revenue": ORACLE_Q1,
