@@ -139,3 +139,31 @@ def test_corpus_curation_is_single_scan_single_shuffle(spark, sf_small):
     shuffles = plan.count("Exchange") - plan.count("AQEShuffleRead")
     assert "hashpartitioning(__fp" in plan, plan[:3000]
     assert shuffles <= 2, plan[:3000]  # fingerprint window + final sort
+
+
+def test_pivot_single_pass_no_distinct_job(spark, sf_small):
+    """Explicit pivot values must plan ONE aggregate pass (partial +
+    final HashAggregate) — a missing value list would trigger a
+    separate distinct-values collection before the pivot."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        q_pivot_nation_segment,
+    )
+
+    plan = _plan(q_pivot_nation_segment(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # No pivot_first-of-distinct-scan shape: the five segment columns
+    # appear as conditional aggregates in the same pass.
+    assert "pivotfirst" in plan.lower() or "CASE WHEN" in plan or "if(" in plan.lower()
+
+
+def test_scd2_update_batch_broadcasts(spark, sf_small):
+    """The SCD2 apply joins the dimension against the (dim-sized)
+    update batch — the batch must broadcast, never shuffle the
+    dimension."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.scd import (
+        q_scd2_dim_client,
+    )
+
+    plan = _plan(q_scd2_dim_client(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

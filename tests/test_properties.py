@@ -62,3 +62,43 @@ def test_decimal_sum_order_independent(duck, vals):
         [[str(v) for v in vals]],
     ).fetchone()
     assert float(db) == float(forward)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=5),
+            st.text(alphabet="abc", min_size=0, max_size=2),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_row_number_matches_reference_on_random_data(spark, rows, n_parts):
+    """Property: for ANY dataset and partition count, the distributed
+    rank equals ROW_NUMBER() OVER the same total order (rows are
+    deduplicated so the order is total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.functions.ranking import (
+        global_row_number,
+    )
+
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, "x int, y int, s string").repartition(3)
+    order = ["x", "y", "s"]
+    got = {
+        (r["x"], r["y"], r["s"]): r["rn"]
+        for r in global_row_number(df, order, num_partitions=n_parts).collect()
+    }
+    want = {
+        (r["x"], r["y"], r["s"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*[F.col(c) for c in order]))
+        ).collect()
+    }
+    assert got == want
