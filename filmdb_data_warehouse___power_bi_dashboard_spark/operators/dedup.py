@@ -508,16 +508,36 @@ def embedding_near_dup_pairs(
     """
     spark = emb.sparkSession
     e = emb.select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
-    max_id = e.agg(F.max("vec_id")).first()[0]
-    if max_id is None:
+    lo, hi, n = e.agg(F.min("vec_id"), F.max("vec_id"), F.count("*")).first()
+    if n == 0:
         return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
-    n_blocks = int(max_id) // block_rows + 1
+    span = int(hi) - int(lo) + 1
+    if span > 4 * n:
+        # Sparse / hash-like ids: blocking on raw ranges would make
+        # the driver pair table O((span/block_rows)^2). Densify with a
+        # deterministic global rank (scale-safe bucketed sort, no
+        # single-partition window); rank order == id order, so block
+        # monotonicity (every id in block i < every id in block j>i)
+        # still holds for the vec_a < vec_b dedup.
+        from ..functions.ranking import global_row_number
+
+        e = global_row_number(e, ["vec_id"], alias="__dense", n_rows=n)
+        blk_src = F.col("__dense") - 1
+        n_ids = int(n)
+    else:
+        # Shift by min before dividing: ids become non-negative, so
+        # floor == truncate and negative ids can't land in a block
+        # with no pair-table row (which silently dropped them).
+        blk_src = F.col("vec_id") - F.lit(int(lo))
+        n_ids = span
+    n_blocks = (n_ids - 1) // block_rows + 1
     pairs = [
         (i * n_blocks + j, i, j) for i in range(n_blocks) for j in range(i, n_blocks)
     ]
     pair_df = spark.createDataFrame(pairs, "pair_id long, blk_a int, blk_b int")
-    blk = (F.col("vec_id") / block_rows).cast("int")
-    tagged = e.withColumn("blk", blk)
+    tagged = e.withColumn("blk", F.floor(blk_src / block_rows).cast("int")).select(
+        "vec_id", "embedding", "blk"
+    )
     # A-side and B-side copies of each row, routed to every pair the
     # row's block participates in. For the diagonal pair (i, i) the
     # same rows arrive once per side; the kernel's id-order filter
@@ -740,23 +760,42 @@ def connected_components(
     # so the label sum is strictly monotone until the fixpoint — a
     # single aggregate per round replaces a join-based change check.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
+    reliable = spark.sparkContext.getCheckpointDir() is not None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("label")
         )
-        new = track_persist(
+        new = (
             labels.unionByName(nbr)
             .repartition(parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # Checkpoint, don't just persist: persist() caches RESULTS but
+        # the LOGICAL plan still chains every prior round, so Catalyst
+        # re-analysis grows superlinearly with iteration depth — a
+        # deep-diameter graph (chain-shaped near-dup runs) spent more
+        # time planning round N than executing it. Checkpointing
+        # truncates the plan to a leaf each round. Reliable checkpoint
+        # when the session has a checkpoint dir (cluster posture:
+        # survives executor loss); localCheckpoint otherwise (single
+        # node — loss means rerun, acceptable).
+        new = new.checkpoint(eager=True) if reliable else new.localCheckpoint(eager=True)
         new_sum = new.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # The last round still moved labels: a component with diameter
+        # > max_iter would silently get partial (wrong) cluster ids.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds (graph diameter exceeds the budget); raise max_iter"
+        )
     return labels
 
 

@@ -267,7 +267,7 @@ def build_fact_paiement(
     )
 
 
-_STAR_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -278,7 +278,11 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     star for every metrics/view query both re-paid that materialization
     and leaked cached RDDs.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # Keyed on the SESSION OBJECT, not applicationId: a sibling
+    # spark.newSession() shares the app id, but DataFrames are bound
+    # to the session that created them — handing session A's frames
+    # to session B would register temp views into A's catalog.
+    key = (id(spark), sf_dir)
     cached = _STAR_CACHE.get(key)
     if cached is not None:
         return cached

@@ -81,6 +81,16 @@ def _base_measures() -> dict[str, Column]:
 
 _DERIVED = {"panier_moyen"}
 _WINDOWED = {"ca_cumul", "pct_cumul"}
+# Attributes whose cardinality is bounded by the dimension DOMAIN
+# (25 brands, 5 segments, 25 nations, 5 regions, calendar), not by
+# data volume — the only groups an unpartitioned cumulative window
+# may run over. Entity-level attrs (client/film/store names) scale
+# with the data and are rejected by the evaluate() guard.
+_BOUNDED_GROUP_ATTRS = {
+    "nom_categorie", "segment", "pays_magasin", "region_magasin",
+    "pays_client", "region_client", "type_film",
+    "mois", "annee", "trimestre", "jour_semaine",
+}
 _RANKED = {"top_categorie", "top_film", "top_client", "mois_record", "annee_record"}
 _TWO_LEVEL = {"taux_reachat"}
 
@@ -258,7 +268,21 @@ def evaluate(
         )
     if set(measures) & _WINDOWED:
         # Pareto running total over groups ranked by CA desc (W4).
-        # The window runs over the aggregated group set — tiny.
+        # The window runs over the aggregated group set — safe ONLY
+        # when that set is bounded by dimension-attribute cardinality
+        # (category/segment/geo/calendar — the reference's Pareto
+        # semantics). Guard against silently single-partitioning an
+        # entity-level group (client/film/store scale with the data):
+        # those need a bucketed cumulative plan (functions/ranking.py),
+        # not an unpartitioned window over millions of rows.
+        high_card = [g for g in gcols if g not in _BOUNDED_GROUP_ATTRS]
+        if high_card:
+            raise ValueError(
+                f"cumulative measures over unbounded group(s) {high_card} "
+                "would single-partition the window; pre-rank with "
+                "functions.ranking.global_row_number and aggregate by "
+                "rank bucket instead"
+            )
         order = [F.desc("ca_total")] + [F.asc(g) for g in gcols]
         w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
         w_all = Window.partitionBy()

@@ -58,9 +58,14 @@ def scd2_apply(
     closed_history = current.where(F.col("valid_to") != OPEN_END)
 
     joined = live.join(upd, live[key] == F.col("__k"), "left")
-    changed = F.col("__k").isNotNull() & F.concat_ws(
-        "\x1f", *[F.col(c) for c in tracked]
-    ).eqNullSafe(F.concat_ws("\x1f", *[F.col(f"__new_{c}") for c in tracked])).__invert__()
+    # Compare tracked columns individually with NULL-safe equality.
+    # A concat_ws fingerprint would silently skip NULLs, making e.g.
+    # ('a', NULL) and (NULL, 'a') — or NULL -> '' — compare equal and
+    # drop the update from history.
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+    changed = F.col("__k").isNotNull() & ~same
 
     passthrough = joined.where(~changed).select(*current.columns)
     closed_out = (

@@ -18,6 +18,8 @@ users and the BI import model see identical rows.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.scalar import sql_round_half_up
@@ -104,16 +106,34 @@ _VIEW_SQL: dict[str, str] = {
                COUNT(DISTINCT nom_client) AS nb_clients
         FROM v_fait_paiement GROUP BY nom_magasin, mois
     """,
+    # v_retard_location (vues.sql:217-230): the ROW-LEVEL late-days
+    # base view the per-store/per-client aggregates are defined over —
+    # rental → order line, store → supplier, rental_duration → the
+    # corpus's fixed 60-day term, return_date → shipdate. Elapsed-day
+    # semantics + GREATEST clamp, matching the aggregates exactly so
+    # the late-days surface is compositional like the reference's.
+    "v_retard_location": """
+        SELECT l.l_orderkey AS location_id,
+               l.l_linenumber AS ligne,
+               o.o_custkey AS client_id,
+               l.l_suppkey AS magasin_id,
+               CAST(o.o_orderdate AS DATE) AS date_location,
+               CAST(l.l_shipdate AS DATE) AS date_retour,
+               60 AS duree_location_jours,
+               GREATEST(CAST(floor((CAST(l.l_shipdate AS LONG) - CAST(o.o_orderdate AS LONG)) / 86400) AS INT) - 60, 0) AS retard_jours
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate IS NOT NULL
+    """,
     # v_retard_par_magasin (vues.sql:232-247): late-days stats per
-    # store — elapsed-day semantics + GREATEST clamp + exact median.
+    # store, derived from the row-level base view like the reference.
     "v_retard_par_magasin": """
         SELECT s.s_name AS nom_magasin,
                COUNT(*) AS nb_lignes,
-               MAX(GREATEST(CAST(floor((CAST(l.l_shipdate AS LONG) - CAST(o.o_orderdate AS LONG)) / 86400) AS INT) - 60, 0)) AS retard_max,
-               percentile(GREATEST(CAST(floor((CAST(l.l_shipdate AS LONG) - CAST(o.o_orderdate AS LONG)) / 86400) AS INT) - 60, 0), 0.5) AS retard_median
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               MAX(r.retard_jours) AS retard_max,
+               percentile(r.retard_jours, 0.5) AS retard_median
+        FROM v_retard_location r
+        JOIN supplier s ON r.magasin_id = s.s_suppkey
         GROUP BY s.s_name
     """,
     # v_films_jamais_loues (vues.sql:308-315): anti-join spelled as
@@ -229,19 +249,76 @@ _VIEW_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
     # v_retard_par_client (vues.sql:241-251): avg late days per client
-    # with the reference's HAVING >= 5 floor — same elapsed-day +
-    # GREATEST clamp semantics as v_retard_par_magasin. nb_locations
-    # counts DISTINCT orders (rental grain, matching v_valeur_client's
-    # mapping rental→order) and the HAVING floor applies at that same
-    # grain.
+    # with the reference's HAVING >= 5 floor, derived from
+    # v_retard_location. nb_locations counts DISTINCT orders (rental
+    # grain, matching v_valeur_client's mapping rental→order) and the
+    # HAVING floor applies at that same grain.
     "v_retard_par_client": f"""
-        SELECT o_custkey AS client_id,
-               {sql_round_half_up("AVG(CAST(GREATEST(CAST(floor((CAST(l_shipdate AS LONG) - CAST(o_orderdate AS LONG)) / 86400) AS INT) - 60, 0) AS DOUBLE))", 2)} AS retard_moyen_jours,
-               COUNT(DISTINCT l_orderkey) AS nb_locations
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
+        SELECT client_id,
+               {sql_round_half_up("AVG(CAST(retard_jours AS DOUBLE))", 2)} AS retard_moyen_jours,
+               COUNT(DISTINCT location_id) AS nb_locations
+        FROM v_retard_location
         GROUP BY 1
-        HAVING COUNT(DISTINCT l_orderkey) >= 5
+        HAVING COUNT(DISTINCT location_id) >= 5
+    """,
+    # v_inventaire_magasin (vues.sql:253-258): per-store per-film copy
+    # counts — inventory item → order line stocked at supplier(store)
+    # for part(film).
+    "v_inventaire_magasin": """
+        SELECT l.l_suppkey AS magasin_id,
+               p.p_partkey AS film_id,
+               p.p_name AS titre_film,
+               COUNT(*) AS exemplaires
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2, 3
+    """,
+    # v_disponibilite_stock (vues.sql:260-282): open (unreturned)
+    # rentals vs total stock per store — the reference's exact
+    # two-CTE + LEFT JOIN + COALESCE shape. "return_date IS NULL" →
+    # the corpus's open line status l_linestatus = 'O'.
+    "v_disponibilite_stock": """
+        WITH en_cours AS (
+          SELECT l_suppkey AS magasin_id, COUNT(*) AS nb_en_cours
+          FROM lineitem
+          WHERE l_linestatus = 'O'
+          GROUP BY l_suppkey
+        ),
+        tot AS (
+          SELECT l_suppkey AS magasin_id, COUNT(*) AS nb_total
+          FROM lineitem
+          GROUP BY l_suppkey
+        )
+        SELECT t.magasin_id,
+               t.nb_total,
+               COALESCE(e.nb_en_cours, 0) AS nb_en_cours,
+               (t.nb_total - COALESCE(e.nb_en_cours, 0)) AS nb_disponibles
+        FROM tot t
+        LEFT JOIN en_cours e ON e.magasin_id = t.magasin_id
+    """,
+    # v_infos_acteurs (vues.sql:2-19): NESTED aggregation — per actor,
+    # a list over categories whose elements are themselves aggregated
+    # film lists. The reference spells the inner level as a correlated
+    # STRING_AGG subquery; the Spark-first shape is two stacked
+    # groupBys with deterministic sort_array(collect_set(...)) at each
+    # level — no correlated subquery, both levels partial-aggregate
+    # map-side. actor → supplier, film → part, category → brand
+    # (the same bridge mapping as v_liste_films_noms_formates).
+    "v_infos_acteurs": """
+        WITH par_categorie AS (
+          SELECT s.s_suppkey, s.s_name, p.p_brand,
+                 array_join(sort_array(collect_set(p.p_name)), ', ') AS films
+          FROM supplier s
+          LEFT JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY s.s_suppkey, s.s_name, p.p_brand
+        )
+        SELECT s_suppkey AS acteur_id,
+               s_name AS nom,
+               NULLIF(array_join(sort_array(collect_set(p_brand || ': ' || films)), ' | '), '')
+                 AS films_par_categorie
+        FROM par_categorie
+        GROUP BY s_suppkey, s_name
     """,
     # v_liste_films_noms_formates (vues.sql:23-59, reference name kept
     # verbatim): film catalog with a formatted, INITCAP'd,
@@ -272,6 +349,7 @@ _VIEW_SQL: dict[str, str] = {
 # foreign session (the driver's gate) never pays — nor depends on —
 # the full warehouse build just to answer a source-level view.
 _SOURCE_ONLY_VIEWS = (
+    "v_retard_location",
     "v_retard_par_magasin",
     "v_films_jamais_loues",
     "v_rotation_stock",
@@ -279,6 +357,9 @@ _SOURCE_ONLY_VIEWS = (
     "v_valeur_client",
     "v_retard_par_client",
     "v_liste_films_noms_formates",
+    "v_inventaire_magasin",
+    "v_disponibilite_stock",
+    "v_infos_acteurs",
 )
 
 
@@ -287,9 +368,8 @@ def register_source_views(spark: SparkSession, sf_dir: str) -> list[str]:
     reference the star — the cheap subset of :func:`register_all_views`."""
     # Re-pointing the shared source temp tables at a different sf_dir
     # invalidates any earlier full registration on this session.
-    app_id = spark.sparkContext.applicationId
-    if _REGISTERED.get(app_id) not in (None, sf_dir):
-        _REGISTERED.pop(app_id, None)
+    if _REGISTERED.get(spark) not in (None, sf_dir):
+        _REGISTERED.pop(spark, None)
     register_views(spark, sf_dir)
     for name in _SOURCE_ONLY_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {_VIEW_SQL[name]}")
@@ -301,8 +381,11 @@ def register_source_views(spark: SparkSession, sf_dir: str) -> list[str]:
 # re-planning the 3 summary frames) for every view query only costs
 # analysis time — measured ~1-2 s per call across the 17 registered
 # view queries. Registering a DIFFERENT sf_dir on the same session
-# invalidates the memo (temp-view names are session-global).
-_REGISTERED: dict[str, str] = {}
+# invalidates the memo. Keyed WEAKLY on the SparkSession itself, not
+# applicationId: temp views are session-scoped, and a sibling
+# ``spark.newSession()`` shares the applicationId — an app-id memo
+# would skip registration and leave the sibling's catalog empty.
+_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def register_all_views(
@@ -316,8 +399,7 @@ def register_all_views(
         "v_agg_mensuel_magasin", "v_agg_mensuel_categorie", "v_dim_mois",
         *_VIEW_SQL,
     ]
-    app_id = spark.sparkContext.applicationId
-    if not force and _REGISTERED.get(app_id) == sf_dir:
+    if not force and _REGISTERED.get(spark) == sf_dir:
         return names
     register_views(spark, sf_dir)
     star = build_star_frames(spark, sf_dir)
@@ -328,7 +410,7 @@ def register_all_views(
     build_dim_mois(star).createOrReplaceTempView("v_dim_mois")
     for name, sql in _VIEW_SQL.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
-    _REGISTERED[app_id] = sf_dir
+    _REGISTERED[spark] = sf_dir
     return names
 
 
@@ -993,6 +1075,140 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 completion: the reference's last 4 unrepresented views —
+# the row-level late-days base view, the inventory/stock-availability
+# pair, and the nested (two-level) actor aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_view_retard_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level late-days base view (vues.sql:217-230). Deterministic
+    modulo sample keeps the comparator payload bounded while checking
+    every column at row grain."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT location_id, ligne, client_id, magasin_id,
+               date_location, date_retour, duree_location_jours, retard_jours
+        FROM v_retard_location
+        WHERE location_id % 10 = 0
+        ORDER BY location_id, ligne
+        """
+    )
+
+
+ORACLE_VIEW_RETARD_LOCATION = """
+SELECT l_orderkey AS location_id,
+       l_linenumber AS ligne,
+       o_custkey AS client_id,
+       l_suppkey AS magasin_id,
+       CAST(o_orderdate AS DATE) AS date_location,
+       CAST(l_shipdate AS DATE) AS date_retour,
+       60 AS duree_location_jours,
+       GREATEST(CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS INT) - 60, 0)
+         AS retard_jours
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate IS NOT NULL AND l_orderkey % 10 = 0
+ORDER BY 1, 2
+"""
+
+
+def q_view_inventaire_magasin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store per-film copy counts (vues.sql:253-258), sampled by
+    film for a bounded comparator payload."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT magasin_id, film_id, titre_film, exemplaires
+        FROM v_inventaire_magasin
+        WHERE film_id % 20 = 0
+        ORDER BY magasin_id, film_id
+        """
+    )
+
+
+ORACLE_VIEW_INVENTAIRE = """
+SELECT l_suppkey AS magasin_id,
+       p_partkey AS film_id,
+       p_name AS titre_film,
+       COUNT(*) AS exemplaires
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_partkey % 20 = 0
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+def q_view_disponibilite_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open vs total stock per store (vues.sql:260-282) — full result
+    (one row per store)."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT magasin_id, nb_total, nb_en_cours, nb_disponibles
+        FROM v_disponibilite_stock
+        ORDER BY magasin_id
+        """
+    )
+
+
+ORACLE_VIEW_DISPO = """
+WITH en_cours AS (
+  SELECT l_suppkey AS magasin_id, COUNT(*) AS nb_en_cours
+  FROM lineitem
+  WHERE l_linestatus = 'O'
+  GROUP BY 1
+),
+tot AS (
+  SELECT l_suppkey AS magasin_id, COUNT(*) AS nb_total
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT t.magasin_id,
+       t.nb_total,
+       COALESCE(e.nb_en_cours, 0) AS nb_en_cours,
+       (t.nb_total - COALESCE(e.nb_en_cours, 0)) AS nb_disponibles
+FROM tot t
+LEFT JOIN en_cours e ON e.magasin_id = t.magasin_id
+ORDER BY 1
+"""
+
+
+def q_view_infos_acteurs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested two-level aggregate (vues.sql:2-19): per actor, the
+    category-grouped film lists — full result (one row per actor)."""
+    register_source_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT acteur_id, nom, films_par_categorie
+        FROM v_infos_acteurs
+        ORDER BY acteur_id
+        """
+    )
+
+
+ORACLE_VIEW_INFOS_ACTEURS = """
+WITH par_categorie AS (
+  SELECT s_suppkey, s_name, p_brand,
+         string_agg(DISTINCT p_name, ', ' ORDER BY p_name) AS films
+  FROM supplier
+  LEFT JOIN lineitem ON s_suppkey = l_suppkey
+  LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT s_suppkey AS acteur_id,
+       s_name AS nom,
+       string_agg(DISTINCT p_brand || ': ' || films, ' | '
+                  ORDER BY p_brand || ': ' || films) AS films_par_categorie
+FROM par_categorie
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
     "view_surface_pack": q_view_surface_pack,
@@ -1020,6 +1236,10 @@ QUERIES = {
     "view_types_par_categorie": q_view_types_par_categorie,
     "view_paiements_recents": q_view_paiements_recents,
     "view_profil_jour_semaine": q_view_profil_jour_semaine,
+    "view_retard_location": q_view_retard_location,
+    "view_inventaire_magasin": q_view_inventaire_magasin,
+    "view_disponibilite_stock": q_view_disponibilite_stock,
+    "view_infos_acteurs": q_view_infos_acteurs,
 }
 
 ORACLES = {
@@ -1049,4 +1269,8 @@ ORACLES = {
     "view_types_par_categorie": ORACLE_VIEW_TYPES,
     "view_paiements_recents": ORACLE_VIEW_RECENTS,
     "view_profil_jour_semaine": ORACLE_VIEW_PROFIL_JOUR,
+    "view_retard_location": ORACLE_VIEW_RETARD_LOCATION,
+    "view_inventaire_magasin": ORACLE_VIEW_INVENTAIRE,
+    "view_disponibilite_stock": ORACLE_VIEW_DISPO,
+    "view_infos_acteurs": ORACLE_VIEW_INFOS_ACTEURS,
 }

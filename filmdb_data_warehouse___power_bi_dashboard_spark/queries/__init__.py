@@ -55,28 +55,37 @@ _GATE_ORDER: tuple[str, ...] = (
     # shipping_delays, brand_type_list, orders_last_full_month,
     # customer_segments) were driver-green in r2-r4 and keep the SAME
     # comparator running in pytest past the cap.
-    # corpus core (9)
-    "events_json_props",
-    "kpi_supplier_month",
-    "rfm",
-    "daily_zscore",
-    "mom_yoy",
-    "rolling_30d",
-    "pareto_brands",
-    "corpus_curation",
-    "events_asof_purchase_view",
-    # rotated in: previously pytest-only oracle entries (7)
-    "month_spine_coverage",
-    "top_part_per_brand",
-    "date_key_rollup",
-    "text_vocabulary",
-    "sessionize_builtin",
-    "stream_dedup_ingest",
-    "view_kpi_magasin_mois",
-    # rotated in: round-4 views' oracle spot queries (5)
-    "view_revenu_film_mois",
-    "view_revenu_film_total",
-    "view_valeur_client",
+    # ROUND-6 ROTATION (see comment below the window): the 15
+    # round-5 entries that never had a driver-recorded row, plus this
+    # round's 4 new views, rotate IN; the 9 corpus-core queries
+    # (green r2-r5), the 7 r5-rotated entries (now driver-green), and
+    # 3 r4-view spot queries rotate OUT to the pytest replica.
+    # rotated in: round-5 streaming joins (2)
+    "stream_click_attribution",
+    "stream_enriched_profile",
+    # rotated in: the 9 early-view spot queries (9)
+    "view_clients",
+    "view_produits",
+    "view_magasins",
+    "view_ca_par_categorie",
+    "view_top_clients",
+    "view_panier_moyen_magasin",
+    "view_types_par_categorie",
+    "view_paiements_recents",
+    "view_profil_jour_semaine",
+    # rotated in: round-5 extension operators (4)
+    "scd2_dim_client",
+    "dedup_clusters",
+    "pivot_nation_segment",
+    "unpivot_nation_segment",
+    # NEW this round: the reference's last 4 unrepresented views (4)
+    "view_retard_location",
+    "view_inventaire_magasin",
+    "view_disponibilite_stock",
+    "view_infos_acteurs",
+    # kept in gate: the spot query whose definition changed this round
+    # (v_retard_par_client now derives from v_retard_location) and the
+    # ordered-DISTINCT-agg shape not otherwise covered (2)
     "view_retard_par_client",
     "view_liste_films_noms_formates",
     # LLM-pipeline operators with oracles (9)
@@ -120,7 +129,28 @@ _GATE_ORDER: tuple[str, ...] = (
     # this round; the SAME comparator runs on them in pytest
     # (tests/test_oracle_parity.py uses the measured driver
     # normalization). All were driver-green in at least one of
-    # CORRECTNESS_r02-r04.
+    # CORRECTNESS_r02-r05.
+    # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "events_json_props",
+    "kpi_supplier_month",
+    "rfm",
+    "daily_zscore",
+    "mom_yoy",
+    "rolling_30d",
+    "pareto_brands",
+    "corpus_curation",
+    "events_asof_purchase_view",
+    "month_spine_coverage",
+    "top_part_per_brand",
+    "date_key_rollup",
+    "text_vocabulary",
+    "sessionize_builtin",
+    "stream_dedup_ingest",
+    "view_kpi_magasin_mois",
+    "view_revenu_film_mois",
+    "view_revenu_film_total",
+    "view_valeur_client",
+    # displaced in earlier rotations:
     "rollup_region_magasin",
     "top_parts_by_revenue",
     "brand_revenue_share",
@@ -140,24 +170,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
-    # round-5 additions (oracle-bearing; gate-eligible next rotation):
-    # stream-stream interval join + direct spot queries for the 9
-    # early views that previously rode on analogy coverage.
-    "stream_click_attribution",
-    "stream_enriched_profile",
-    "view_clients",
-    "view_produits",
-    "view_magasins",
-    "view_ca_par_categorie",
-    "view_top_clients",
-    "view_panier_moyen_magasin",
-    "view_types_par_categorie",
-    "view_paiements_recents",
-    "view_profil_jour_semaine",
-    "scd2_dim_client",
-    "dedup_clusters",
-    "pivot_nation_segment",
-    "unpivot_nation_segment",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",
