@@ -1177,8 +1177,6 @@ def _pivot_wide_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PIVOT_WIDE_CACHE.get(key)
     if cached is not None:
         return cached
-    from ..runtime import track_persist
-
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -1200,7 +1198,11 @@ def _pivot_wide_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = out.select(
         "pays", *[F.coalesce(F.col(s), F.lit(0).cast(MONEY)).alias(s) for s in _SEGMENTS]
     )
-    wide = track_persist(wide.persist())
+    # UNtracked persist, deliberately: the wide matrix is one row per
+    # nation (25 rows x 6 cols — bytes, not blocks), and the whole
+    # point is surviving the between-query release_persisted() sweep
+    # so the unpivot round-trip reuses the materialized 3-join.
+    wide = wide.persist()
     _PIVOT_WIDE_CACHE[key] = wide
     return wide
 

@@ -17,5 +17,7 @@ def test_all_views_register_and_run(spark, sf_small):
 
 
 def test_view_count_matches_reference_surface():
-    # 25 vues.sql views; the 3 dw summaries are registered separately.
-    assert len(_VIEW_SQL) == 25
+    # 29 vues.sql-derived views (round 6 completed the surface with
+    # v_retard_location, v_inventaire_magasin, v_disponibilite_stock,
+    # v_infos_acteurs); the 3 dw summaries are registered separately.
+    assert len(_VIEW_SQL) == 29
