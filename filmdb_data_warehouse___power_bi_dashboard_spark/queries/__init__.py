@@ -170,6 +170,12 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
+    # NEW round 6 (oracle-bearing, past cap this round — rotate into
+    # the gate window next round): quality/curation operators
+    "text_bm25",
+    "text_repetition_profile",
+    "pii_scrub_summary",
+    "corpus_mix_weights",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",
