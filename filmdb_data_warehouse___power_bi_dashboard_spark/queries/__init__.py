@@ -176,6 +176,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_repetition_profile",
     "pii_scrub_summary",
     "corpus_mix_weights",
+    "events_cdc_latest",
+    "etl_incremental_agg_refresh",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",

@@ -29,6 +29,7 @@ import os
 import tempfile
 import uuid
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,6 +41,34 @@ from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import convert_event_ts, events_disk_schema
 
 _GAP_MINUTES = 30
+
+# Streaming state sizing: the number of state-store partitions is
+# pinned by spark.sql.shuffle.partitions at FIRST query start and
+# baked into the checkpoint — it is a deliberate sizing decision, not
+# something AQE can fix later (AQE does not re-plan stateful stages).
+# Each per-partition store costs task + commit-file overhead every
+# micro-batch, so size to expected STATE volume: the bounded test
+# corpus wants few, a production firehose wants many. Measured at
+# sf0.1: the stream-stream interval join at 32 stores took 23.5 s,
+# at 4 stores 2.9 s — identical results.
+_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _sized_state(spark: SparkSession, n: int | None = _STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions around a streaming run (the
+    conf is read at query start; batch queries built outside the
+    scope are unaffected)."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,15 +123,16 @@ def stream_tumbling_agg(
     )
     name = f"stream_agg_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -300,15 +330,16 @@ def sessionize_stream(
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Consolidate progressive snapshots: with input split across
     # micro-batches (maxFilesPerTrigger=1), an open session is flushed
     # once per batch with growing stats and possibly closed later —
@@ -369,15 +400,16 @@ def stream_tumbling_to_parquet(
         )
     )
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -411,15 +443,16 @@ def stream_dedup_ingest(
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="dedup-sink-")
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
@@ -597,15 +630,16 @@ def stream_interval_join(
     ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -661,15 +695,16 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
