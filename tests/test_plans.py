@@ -167,3 +167,58 @@ def test_scd2_update_batch_broadcasts(spark, sf_small):
     plan = _plan(q_scd2_dim_client(spark, sf_small))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_small):
+    """PII redaction must be a pure projection over the scan — zero
+    exchanges; regexp_replace/extract_all are codegen expressions."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        _PII_EMAIL,
+        _PII_URL,
+        pii_scrub,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    plan = _plan(pii_scrub(docs, "text", {"email": _PII_EMAIL, "url": _PII_URL}))
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bm25_is_one_broadcast_stats_join_plus_takeordered(spark, sf_small):
+    """BM25's corpus statistics are a 1-row aggregate broadcast back;
+    top-k must be TakeOrderedAndProject, and nothing may sort-merge
+    or explode tokens."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        q_text_bm25,
+    )
+
+    plan = _plan(q_text_bm25(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan, "BM25 must not explode tokens for a fixed term list"
+
+
+def test_repetition_profile_partial_aggregates(spark, sf_small):
+    """The gram counts must shrink map-side (partial+final
+    HashAggregate) over ONE scan of documents."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        q_text_repetition_profile,
+    )
+
+    plan = _plan(q_text_repetition_profile(spark, sf_small))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cdc_latest_is_hash_agg_not_window(spark, sf_small):
+    """Latest-state compaction must be max_by hash aggregation with
+    map-side combine — a regression to the row_number window would
+    sort full per-user history and cannot partially aggregate."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.cdc import (
+        q_events_cdc_latest,
+    )
+
+    plan = _plan(q_events_cdc_latest(spark, sf_small))
+    assert "Window" not in plan, plan[:2000]
+    agg_nodes = plan.count("HashAggregate") + plan.count("ObjectHashAggregate") + plan.count("SortAggregate")
+    assert agg_nodes >= 2, plan[:2000]
