@@ -65,9 +65,10 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-def _shingles(col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles, built with transform/sequence —
-    whole-stage-codegen friendly, no UDF.
+def _shingles(col: str = "text", n: int = 3, distinct: bool = True):
+    """Word n-gram shingles, built with transform/sequence —
+    whole-stage-codegen friendly, no UDF. ``distinct=False`` keeps
+    repeats (the multiset the tf-idf weighting needs).
 
     Documents shorter than ``n`` tokens yield an EMPTY shingle set
     (guarded explicitly: Spark's concat_ws would silently skip the
@@ -80,7 +81,9 @@ def _shingles(col: str = "text", n: int = 3):
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
     )
-    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+    if distinct:
+        gram = F.array_distinct(gram)
+    return F.when(F.size(w) >= n, gram).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -203,6 +206,171 @@ def jaccard_pairs(
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, threshold=0.6, n=3)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine similarity join — the WEIGHTED complement of Jaccard
+# ---------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with tf-idf cosine >= threshold over word
+    n-gram shingles — the weighted similarity join (rare shared
+    shingles count more than common ones), vs Jaccard's set overlap.
+
+    Same inverted-index shape as :func:`jaccard_pairs`: postings
+    grouped per (block, shingle), pairs expanded from each SORTED
+    posting list (never an all-pairs self-join), cost Σ df² bounded
+    by ``max_df``. Stop-shingles (df == block size ⇒ idf 0) drop out
+    BEFORE pair expansion — the hottest lists never expand at all.
+
+    Determinism across engines: idf is INTEGER-scaled
+    (``floor(ln(N/df)·1e6)``), so weights and dot products are exact
+    BIGINT sums — no float reassociation across partitions — and the
+    only floating point is one ``dot/(norm_a·norm_b)`` per pair with
+    a fixed operation order (hash-matches the DuckDB oracle).
+    """
+    d = _spread(docs).select(
+        "doc_id", F.col("lang").alias("block"), _shingles(n=n, distinct=False).alias("sh")
+    )
+    grams = d.select("block", "doc_id", F.explode("sh").alias("g"))
+    tf = grams.groupBy("block", "doc_id", "g").agg(F.count("*").alias("tf"))
+    nd = docs.groupBy(F.col("lang").alias("block")).agg(F.count("*").alias("n_docs"))
+    # ONE posting groupBy yields both df (= list size) and the sorted
+    # (doc_id, tf) list — no separate df aggregation or idf join back
+    # onto the tf stream (3 fewer shuffles than the naive spelling).
+    posts = (
+        tf.groupBy("block", "g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("ds"))
+        .join(F.broadcast(nd), "block")
+        .withColumn(
+            "idf_scaled",
+            F.floor(
+                F.log(F.col("n_docs").cast("double") / F.size("ds"))
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .filter(F.col("idf_scaled") > 0)
+    )
+    if max_df is not None:
+        posts = posts.filter(F.size("ds") <= max_df)
+    # The weighted postings feed BOTH the norm pass and the pair
+    # expansion, and the norms frame is consumed twice (doc_a and
+    # doc_b lookups) — pin both so the shingle pipeline (the dominant
+    # cost) executes exactly once. track_persist: bench/callers
+    # release after materialization; at cluster scale the weighted
+    # postings are the inverted index you would materialize anyway.
+    weighted = track_persist(
+        posts.select(
+            "block",
+            F.transform(
+                "ds",
+                lambda x: F.struct(
+                    x["doc_id"].alias("doc_id"),
+                    (x["tf"] * F.col("idf_scaled")).alias("wt"),
+                ),
+            ).alias("ds"),
+        ).persist()
+    )
+    norms = track_persist(
+        weighted.select(F.col("block"), F.explode("ds").alias("e"))
+        .groupBy("block", F.col("e.doc_id").alias("doc_id"))
+        .agg(F.sqrt(F.sum(F.col("e.wt") * F.col("e.wt")).cast("double")).alias("nrm"))
+        .persist()
+    )
+    pair = weighted.filter(F.size("ds") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    dots = pair.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ).agg(F.sum(F.col("p.a.wt") * F.col("p.b.wt")).alias("dot"))
+    # Norm lookups at the end, on the (threshold-pruned-soon) pair
+    # set. No broadcast hint: norms is CORPUS-sized — AQE picks
+    # broadcast when it fits and falls back to shuffle join when the
+    # corpus doesn't, which is the 100 TB-safe default.
+    scored = dots.join(
+        norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")),
+        "doc_a",
+    ).join(
+        norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")),
+        "doc_b",
+    )
+    cos = F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        scored.select("doc_a", "doc_b", round_half_up(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.5, n=3)
+
+
+_SH_RAW = (
+    "CASE WHEN len(w) >= 3"
+    " THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 2 + 1)]"
+    " ELSE [] END"
+)
+
+ORACLE_TFIDF_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, lang AS block, {_SH_RAW} AS sh
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+tf AS (
+  SELECT block, doc_id, g, COUNT(*) AS tf
+  FROM (SELECT block, doc_id, unnest(sh) AS g FROM d) GROUP BY 1, 2, 3
+),
+nd AS (SELECT lang AS block, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+idf AS (
+  SELECT f.block, f.g,
+         CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE) / f.df) * 1000000.0) AS BIGINT)
+           AS idf_scaled
+  FROM (SELECT block, g, COUNT(*) AS df FROM tf GROUP BY 1, 2) f
+  JOIN nd n ON f.block = n.block
+),
+w AS (
+  SELECT t.block, t.doc_id, t.g, t.tf * i.idf_scaled AS wt
+  FROM tf t JOIN idf i ON t.block = i.block AND t.g = i.g
+  WHERE i.idf_scaled > 0
+),
+norms AS (
+  SELECT block, doc_id,
+         sqrt(CAST(CAST(SUM(wt * wt) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM w GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b,
+       {sql_round_half_up("CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)", 6)} AS cosine
+FROM dots
+JOIN norms na ON na.block = dots.block AND na.doc_id = dots.doc_a
+JOIN norms nb ON nb.block = dots.block AND nb.doc_id = dots.doc_b
+WHERE {sql_round_half_up("CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)", 6)} >= 0.5
+ORDER BY doc_a, doc_b
+"""
 
 
 _JAC = sql_round_half_up(
@@ -847,6 +1015,7 @@ ORDER BY 1
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_tfidf_pairs": q_dedup_tfidf_pairs,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -857,6 +1026,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_tfidf_pairs": ORACLE_TFIDF_PAIRS,
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -178,6 +178,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "corpus_mix_weights",
     "events_cdc_latest",
     "etl_incremental_agg_refresh",
+    "dedup_tfidf_pairs",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",
@@ -186,6 +187,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "multimodal_features",
 )
 

@@ -382,3 +382,34 @@ def test_connected_components_multi_hop_chain(spark):
     )
     got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_ann_pq_recall_and_exactness_vs_bruteforce(spark, sf_small):
+    """PQ-ADC scan + exact re-rank: the 8x16 codebook compresses each
+    vector to 8 bytes, so candidate SELECTION is approximate, but the
+    rerank is the strict fold — every emitted hit that brute force
+    also ranks must carry the identical cosine, and recall@10 must
+    clear 0.5 with a 4k rerank margin."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_bruteforce,
+        q_ann_topk_pq,
+    )
+
+    exact_rows = q_ann_topk_bruteforce(spark, sf_small).collect()
+    approx_rows = q_ann_topk_pq(spark, sf_small).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key], f"rerank not exact at {key}"
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"PQ recall@10 {mean_recall:.2f}"

@@ -38,6 +38,7 @@ NON_SQL_WHITELIST: set[str] = {
     "dedup_embedding_lsh",    # seeded hyperplanes; recall tested in pytest
     "ann_topk_lsh",           # seeded hyperplanes; recall tested in pytest
     "ann_topk_ivf",           # iterative k-means quantizer; recall tested in pytest
+    "ann_topk_pq",            # sample-trained PQ codebooks; recall tested in pytest
     "multimodal_features",    # mapInPandas path; equality tested in pytest
     "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
     "corpus_split_summary",   # xxhash64 split assignment; properties tested in pytest
