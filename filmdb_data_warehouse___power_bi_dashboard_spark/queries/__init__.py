@@ -88,23 +88,27 @@ _GATE_ORDER: tuple[str, ...] = (
     # ordered-DISTINCT-agg shape not otherwise covered (2)
     "view_retard_par_client",
     "view_liste_films_noms_formates",
-    # LLM-pipeline operators with oracles (9)
-    "dedup_exact",
+    # LLM-pipeline operators with oracles (4 kept; 5 multi-round-green
+    # displaced to the replica to make room for this round's additions)
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
-    "text_language_id",
-    "text_profile",
-    "text_fingerprint_clusters",
-    "text_search",
     "multimodal_byte_stats",
-    # ETL star (6)
+    # NEW mid-round-6 (oracle-bearing): quality/curation + CDC +
+    # incremental maintenance + tf-idf similarity join — in the gate
+    # NOW so CORRECTNESS_r06 records their first driver rows.
+    "text_bm25",
+    "text_repetition_profile",
+    "pii_scrub_summary",
+    "corpus_mix_weights",
+    "events_cdc_latest",
+    "etl_incremental_agg_refresh",
+    "dedup_tfidf_pairs",
+    # ETL star (4 kept; dim_date/dim_mois green r2-r5 displaced)
     "etl_dim_client",
     "etl_dim_film",
-    "etl_dim_date",
     "etl_fact_paiement",
     "etl_agg_mensuel_magasin",
-    "etl_dim_mois",
     # metrics / semantic layer (7)
     "metrics_kpi_global",
     "metrics_drill_localisation",
@@ -131,6 +135,13 @@ _GATE_ORDER: tuple[str, ...] = (
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "dedup_exact",
+    "text_language_id",
+    "text_profile",
+    "text_fingerprint_clusters",
+    "text_search",
+    "etl_dim_date",
+    "etl_dim_mois",
     "events_json_props",
     "kpi_supplier_month",
     "rfm",
@@ -170,15 +181,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_repartition_segment",
     "view_pareto_categories",
     "view_agg_mensuel_categorie",
-    # NEW round 6 (oracle-bearing, past cap this round — rotate into
-    # the gate window next round): quality/curation operators
-    "text_bm25",
-    "text_repetition_profile",
-    "pii_scrub_summary",
-    "corpus_mix_weights",
-    "events_cdc_latest",
-    "etl_incremental_agg_refresh",
-    "dedup_tfidf_pairs",
     # rows-only operators (recall/equivalence pytest-asserted)
     "approx_month_profile",
     "corpus_split_summary",
