@@ -134,6 +134,9 @@ _GATE_ORDER: tuple[str, ...] = (
     # (tests/test_oracle_parity.py uses the measured driver
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
+    # NEW late round-6 (oracle-bearing; rotate into the gate next
+    # round): streaming summary maintenance (foreachBatch merge sink)
+    "stream_summary_maintenance",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "dedup_exact",
     "text_language_id",

@@ -727,6 +727,91 @@ ORDER BY 1, 2
 """
 
 
+def stream_summary_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming maintenance of a warehouse summary table: a
+    watermarked tumbling aggregation in UPDATE output mode, sunk
+    through ``foreachBatch`` into a parquet summary via the same
+    merge-upsert the batch ETL uses (sources/sinks.merge_upsert +
+    stage-and-swap) — the production shape where a stream keeps a BI
+    summary current instead of landing raw rows.
+
+    Semantics: update mode re-emits a (window, event_type) row each
+    micro-batch its aggregate changes; the merge keeps the LATEST row
+    per key, so after a bounded (availableNow) run the summary equals
+    the batch GROUP BY exactly (oracle-checked), and re-running is
+    idempotent. State is bounded by the watermark; the merge per
+    micro-batch touches only the keys that changed — at scale with a
+    month-partitioned summary this is the dynamic-partition-overwrite
+    of plans/etl.refresh_summary_incremental driven by arrival
+    instead of by batch schedule (multi-batch redelivery + late-key
+    update asserted in tests/test_streaming_maintenance.py).
+    """
+    from ..sources.sinks import merge_upsert, stage_and_swap_write
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream-summary-")
+    table_path = os.path.join(out_dir, "v_agg_events_jour")
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("jour"),
+            "event_type",
+            "nb_events",
+            "total_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        existing = None
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+        merged = merge_upsert(
+            existing, batch_df, ["jour", "event_type"], do_update=True
+        )
+        stage_and_swap_write(merged, table_path)
+
+    name = f"stream_sm_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    with _sized_state(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(table_path)
+
+
+def q_stream_summary_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_summary_maintenance(spark, sf_dir).orderBy("jour", "event_type")
+
+
+ORACLE_STREAM_SUMMARY = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS jour,
+       event_type,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
@@ -734,6 +819,7 @@ QUERIES = {
     "sessionize_builtin": q_sessionize_builtin,
     "stream_click_attribution": q_stream_click_attribution,
     "stream_enriched_profile": q_stream_enriched_profile,
+    "stream_summary_maintenance": q_stream_summary_maintenance,
 }
 
 ORACLES = {
@@ -743,4 +829,5 @@ ORACLES = {
     "sessionize_builtin": ORACLE_SESSIONIZE_BUILTIN,
     "stream_click_attribution": ORACLE_STREAM_INTERVAL_JOIN,
     "stream_enriched_profile": ORACLE_STREAM_ENRICH,
+    "stream_summary_maintenance": ORACLE_STREAM_SUMMARY,
 }
