@@ -230,16 +230,24 @@ def tfidf_cosine_pairs(
     BEFORE pair expansion — the hottest lists never expand at all.
 
     Determinism across engines: idf is INTEGER-scaled
-    (``floor(ln(N/df)·1e6)``), so weights and dot products are exact
-    BIGINT sums — no float reassociation across partitions — and the
-    only floating point is one ``dot/(norm_a·norm_b)`` per pair with
-    a fixed operation order (hash-matches the DuckDB oracle).
+    (``floor(ln(N/df)·1e3)``) and tf saturates at 8 (BM25-style —
+    repetition beyond a few occurrences adds no near-dup signal), so
+    weights and dot products are exact BIGINT sums — no float
+    reassociation across partitions — and the only floating point is
+    one ``dot/(norm_a·norm_b)`` per pair with a fixed operation order
+    (hash-matches the DuckDB oracle). Overflow headroom: wt ≤
+    8·ln(N)·1e3 < 2^18 even at N=10^12, so wt² < 2^36 and the norm/dot
+    sums stay inside int64 for documents up to ~2^26 shingles — a
+    spammy mega-document cannot wrap the sum (the naive 1e6 scale
+    could: one repeated rare trigram at tf≈400 pushed wt² past 2^63).
     """
     d = _spread(docs).select(
         "doc_id", F.col("lang").alias("block"), _shingles(n=n, distinct=False).alias("sh")
     )
     grams = d.select("block", "doc_id", F.explode("sh").alias("g"))
-    tf = grams.groupBy("block", "doc_id", "g").agg(F.count("*").alias("tf"))
+    tf = grams.groupBy("block", "doc_id", "g").agg(
+        F.least(F.count("*"), F.lit(8)).alias("tf")
+    )
     nd = docs.groupBy(F.col("lang").alias("block")).agg(F.count("*").alias("n_docs"))
     # ONE posting groupBy yields both df (= list size) and the sorted
     # (doc_id, tf) list — no separate df aggregation or idf join back
@@ -252,7 +260,7 @@ def tfidf_cosine_pairs(
             "idf_scaled",
             F.floor(
                 F.log(F.col("n_docs").cast("double") / F.size("ds"))
-                * F.lit(1_000_000.0)
+                * F.lit(1_000.0)
             ).cast("long"),
         )
         .filter(F.col("idf_scaled") > 0)
@@ -336,13 +344,13 @@ WITH d AS (
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
 ),
 tf AS (
-  SELECT block, doc_id, g, COUNT(*) AS tf
+  SELECT block, doc_id, g, LEAST(COUNT(*), 8) AS tf
   FROM (SELECT block, doc_id, unnest(sh) AS g FROM d) GROUP BY 1, 2, 3
 ),
 nd AS (SELECT lang AS block, COUNT(*) AS n_docs FROM documents GROUP BY 1),
 idf AS (
   SELECT f.block, f.g,
-         CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE) / f.df) * 1000000.0) AS BIGINT)
+         CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE) / f.df) * 1000.0) AS BIGINT)
            AS idf_scaled
   FROM (SELECT block, g, COUNT(*) AS df FROM tf GROUP BY 1, 2) f
   JOIN nd n ON f.block = n.block
@@ -958,12 +966,27 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
-        # The last round still moved labels: a component with diameter
-        # > max_iter would silently get partial (wrong) cluster ids.
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter}"
-            " rounds (graph diameter exceeds the budget); raise max_iter"
+        # The budget's LAST round still moved labels. That is correct
+        # exactly when the graph's diameter equals max_iter (the final
+        # move was the fixpoint) — detectable only by one more
+        # propagation round, so run the check before rejecting.
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), F.col("label")
         )
+        check_sum = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .agg(F.sum("label"))
+            .first()[0]
+        )
+        if check_sum != prev_sum:
+            # Labels would still move: a component with diameter
+            # > max_iter would silently get partial (wrong) ids.
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter={max_iter}"
+                " rounds (graph diameter exceeds the budget); raise max_iter"
+            )
     return labels
 
 
@@ -971,9 +994,9 @@ def _materialized_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float, n: int
 ) -> DataFrame:
     """The near-dup pair set as a corpus-versioned warehouse artifact
-    (keyed by documents.parquet mtime+size, like the IVF quantizer):
-    pairs → clusters is a staged pipeline, and re-deriving the pair
-    stage from raw text on every clustering run re-pays the dominant
+    (runtime.corpus_artifact, like the IVF quantizer): pairs →
+    clusters is a staged pipeline, and re-deriving the pair stage
+    from raw text on every clustering run re-pays the dominant
     shingle cost. First call computes + writes (atomic dir rename);
     later calls — clustering reruns, fresh processes, the next
     bench — read the tiny parquet. The gate's dedup_ngram_jaccard
@@ -981,35 +1004,26 @@ def _materialized_jaccard_pairs(
     would be caught by its oracle the same round."""
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        ver = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        ver = "unknown"
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        "spark-warehouse",
-        "dedup_pairs",
-    )
-    import hashlib
+    from ..runtime import corpus_artifact
 
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{ver}|{threshold}|{n}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(store, f"p_{tag}.parquet")
-    if not os.path.exists(path):
+    def build():
         docs = read_table(spark, sf_dir, "documents")
-        pairs = jaccard_pairs(docs, threshold=threshold, n=n)
-        try:
-            os.makedirs(store, exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pairs.write.mode("overwrite").parquet(tmp)
-            os.replace(tmp, path)
-        except OSError:
-            return pairs  # read-only store: fall back to the live plan
-    return spark.read.parquet(path)
+        return jaccard_pairs(docs, threshold=threshold, n=n)
+
+    def save(pairs, path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pairs.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
+
+    def load(path):
+        df = spark.read.parquet(path)
+        df.schema  # force a footer read so a corrupt record fails HERE
+        return df
+
+    return corpus_artifact(
+        sf_dir, "documents", "jacpairs", (threshold, n), build, save, load,
+        memo=False,  # the artifact is a session-bound DataFrame
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,14 +98,22 @@ def _collect_query_matrix(queries: DataFrame):
     return q_ids, q_mat, _fold_norms(q_mat)
 
 
+def _nan_first_desc_key(c):
+    """Sort key matching Spark/DuckDB DESC semantics where NaN ranks
+    FIRST (NaN > +Inf in both engines' total order); numpy/pandas
+    sort NaN last, which would prune block-locally a row the final
+    window ranks at the top (zero-norm vectors cosine to NaN)."""
+    return np.where(np.isnan(c), np.inf, c)
+
+
 def _pair_score_kernel(q_ids, q_mat, q_norms, k: int):
     """mapInPandas kernel for candidate (query_id, vec_id, embedding)
     rows: strict-order fold cosine (bit-identical to the JVM
     ``aggregate(zip_with)`` expression — see _fold_gram), rounded at
     6, then BATCH-LOCAL top-k per query so only ~blocks·k rows per
     query reach the final window. Batch-local selection by the same
-    total order (cosine desc, vec_id asc) keeps two-stage top-k
-    exact."""
+    total order (cosine desc NANS FIRST, vec_id asc) keeps two-stage
+    top-k exact."""
     qindex = {int(q): i for i, q in enumerate(q_ids)}
 
     def score(it):
@@ -123,15 +131,21 @@ def _pair_score_kernel(q_ids, q_mat, q_norms, k: int):
             cos = acc / (q_norms[qi] * _fold_norms(mat))
             c6 = np.floor(cos * 1e6 + 0.5) / 1e6
             out = pd.DataFrame(
-                {"query_id": q_ids[qi], "vec_id": ids, "cosine": c6}
+                {
+                    "query_id": q_ids[qi],
+                    "vec_id": ids,
+                    "cosine": c6,
+                    "__key": _nan_first_desc_key(c6),
+                }
             )
             yield (
                 out.sort_values(
-                    ["query_id", "cosine", "vec_id"],
+                    ["query_id", "__key", "vec_id"],
                     ascending=[True, False, True],
                 )
                 .groupby("query_id", sort=False)
                 .head(k)
+                .drop(columns="__key")
             )
 
     return score
@@ -203,7 +217,7 @@ def bruteforce_topk(
             kk = min(k, len(ids))
             for j in range(len(q_ids)):
                 col = c6[:, j]
-                order = np.lexsort((ids, -col))[:kk]
+                order = np.lexsort((ids, -_nan_first_desc_key(col)))[:kk]
                 for i in order:
                     if col[i] == -np.inf:
                         continue
@@ -407,15 +421,21 @@ def lsh_topk_broadcast(
             cos = acc / (q_norms[qi] * bnorms[pi])
             c6 = np.floor(cos * 1e6 + 0.5) / 1e6
             out = pd.DataFrame(
-                {"query_id": q_ids[qi], "vec_id": ids[pi], "cosine": c6}
+                {
+                    "query_id": q_ids[qi],
+                    "vec_id": ids[pi],
+                    "cosine": c6,
+                    "__key": _nan_first_desc_key(c6),
+                }
             )
             yield (
                 out.sort_values(
-                    ["query_id", "cosine", "vec_id"],
+                    ["query_id", "__key", "vec_id"],
                     ascending=[True, False, True],
                 )
                 .groupby("query_id", sort=False)
                 .head(k)
+                .drop(columns="__key")
             )
 
     cand = base.mapInPandas(kernel, "query_id long, vec_id long, cosine double")
@@ -691,56 +711,24 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb, k=10, n_clusters=16, nprobe=8, centroids=centroids)
 
 
-# Trained coarse quantizers, in-process memo over the on-disk store.
-_IVF_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
-
-
 def _load_or_train_quantizer(
     emb, sf_dir: str, n_clusters: int, iters: int
 ) -> list[list[float]]:
     """Centroids for the embeddings corpus at ``sf_dir``, trained at
-    most once per corpus version. The on-disk record (JSON, k x dim
-    floats — driver-bounded by construction) is keyed by the source
-    parquet's (mtime, size), so a regenerated corpus invalidates it."""
-    import json
+    most once per corpus version (runtime.corpus_artifact: JSON
+    record keyed by the source parquet's mtime_ns+size)."""
+    from ..runtime import corpus_artifact, json_artifact_io
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        ver = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        ver = "unknown"
-    key = (os.path.abspath(sf_dir), ver, n_clusters, iters)
-    cached = _IVF_CENTROID_CACHE.get(key)
-    if cached is not None:
-        return cached
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        "spark-warehouse",
-        "ivf_quantizer",
+    save, load = json_artifact_io()
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "ivf",
+        (n_clusters, iters),
+        lambda: train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters),
+        save,
+        load,
     )
-    tag = hashlib.sha256("|".join(map(str, key)).encode()).hexdigest()[:16]
-    path = os.path.join(store, f"q_{tag}.json")
-    if os.path.exists(path):
-        try:
-            with open(path) as fh:
-                centroids = json.load(fh)
-            _IVF_CENTROID_CACHE[key] = centroids
-            return centroids
-        except (OSError, ValueError):
-            pass  # unreadable record: retrain and rewrite
-    centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
-    try:
-        os.makedirs(store, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(centroids, fh)
-        os.replace(tmp, path)
-    except OSError:
-        pass  # read-only filesystem: fall back to per-process training
-    _IVF_CENTROID_CACHE[key] = centroids
-    return centroids
 
 
 # ---------------------------------------------------------------------------
@@ -849,6 +837,9 @@ def pq_topk(
                 approx += lut[s][codes[:, s]]
             bnorms = _fold_norms(mat)
             approx /= np.multiply.outer(bnorms, q_norms)
+            # NaN (zero-norm vector) must survive ADC selection: both
+            # engines rank NaN first under DESC.
+            approx = _nan_first_desc_key(approx)
             if exclude_self:
                 approx = np.where(np.equal.outer(ids, q_ids), -np.inf, approx)
             kk = min(take, len(ids))
@@ -866,7 +857,7 @@ def pq_topk(
                     acc += amat[:, d] * q_mat[j, d]
                 cos = acc / (q_norms[j] * bnorms[cand])
                 c6 = np.floor(cos * 1e6 + 0.5) / 1e6
-                order = np.lexsort((ids[cand], -c6))[: min(k, len(cand))]
+                order = np.lexsort((ids[cand], -_nan_first_desc_key(c6)))[: min(k, len(cand))]
                 for i in order:
                     out_q.append(q_ids[j])
                     out_v.append(ids[cand[i]])
@@ -888,49 +879,19 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb, k=10, codebooks=books)
 
 
-_PQ_CACHE: dict[tuple, list] = {}
-
-
 def _load_or_train_pq(emb, sf_dir: str, m: int, k_codes: int) -> list[list[list[float]]]:
-    import json
+    from ..runtime import corpus_artifact, json_artifact_io
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        ver = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        ver = "unknown"
-    key = (os.path.abspath(sf_dir), ver, "pq", m, k_codes)
-    cached = _PQ_CACHE.get(key)
-    if cached is not None:
-        return cached
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        "spark-warehouse",
-        "ivf_quantizer",
+    save, load = json_artifact_io()
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "pq",
+        (m, k_codes),
+        lambda: train_pq_codebooks(emb, m=m, k_codes=k_codes),
+        save,
+        load,
     )
-    tag = hashlib.sha256("|".join(map(str, key)).encode()).hexdigest()[:16]
-    path = os.path.join(store, f"pq_{tag}.json")
-    if os.path.exists(path):
-        try:
-            with open(path) as fh:
-                books = json.load(fh)
-            _PQ_CACHE[key] = books
-            return books
-        except (OSError, ValueError):
-            pass
-    books = train_pq_codebooks(emb, m=m, k_codes=k_codes)
-    try:
-        os.makedirs(store, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(books, fh)
-        os.replace(tmp, path)
-    except OSError:
-        pass
-    _PQ_CACHE[key] = books
-    return books
 
 
 QUERIES = {

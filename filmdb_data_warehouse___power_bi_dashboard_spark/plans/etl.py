@@ -36,6 +36,7 @@ column avoids many-small-files).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -267,7 +268,12 @@ def build_fact_paiement(
     )
 
 
-_STAR_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# WeakKeyDictionary keyed by the SESSION (the views.py _REGISTERED
+# pattern): strong id(spark) keys would pin dead sessions and their
+# persisted blocks forever in a sessions-per-task process, and an
+# evicted entry could collide with a recycled id(). Value: one
+# {sf_dir: frames} dict per live session.
+_STAR_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -282,8 +288,8 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # spark.newSession() shares the app id, but DataFrames are bound
     # to the session that created them — handing session A's frames
     # to session B would register temp views into A's catalog.
-    key = (id(spark), sf_dir)
-    cached = _STAR_CACHE.get(key)
+    per_session = _STAR_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
     dim_categorie = build_dim_categorie(spark, sf_dir)
@@ -303,7 +309,7 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dims["fact_paiement"] = build_fact_paiement(spark, sf_dir, dims).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _STAR_CACHE[key] = dims
+    per_session[sf_dir] = dims
     return dims
 
 

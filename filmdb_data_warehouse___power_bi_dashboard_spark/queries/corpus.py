@@ -26,6 +26,8 @@ query for parity checking.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1169,12 +1171,14 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 # persisted frame is tracked, so bench/tests can release the blocks;
 # recomputation stays correct (the plan is deterministic) — the memo
 # only buys the materialized reuse within a run.
-_PIVOT_WIDE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# WeakKeyDictionary keyed by the session (see plans/etl._STAR_CACHE):
+# a strong id(spark) key would pin dead sessions + persisted blocks.
+_PIVOT_WIDE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _pivot_wide_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    cached = _PIVOT_WIDE_CACHE.get(key)
+    per_session = _PIVOT_WIDE_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -1203,7 +1207,7 @@ def _pivot_wide_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point is surviving the between-query release_persisted() sweep
     # so the unpivot round-trip reuses the materialized 3-join.
     wide = wide.persist()
-    _PIVOT_WIDE_CACHE[key] = wide
+    per_session[sf_dir] = wide
     return wide
 
 

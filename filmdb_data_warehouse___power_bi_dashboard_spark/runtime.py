@@ -45,3 +45,100 @@ def release_persisted() -> int:
             pass
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Corpus-versioned artifact store
+# ---------------------------------------------------------------------------
+
+# In-process memo over the on-disk store; keys embed the corpus
+# version, so entries never go stale within a process.
+_ARTIFACT_MEMO: dict = {}
+
+
+def corpus_artifact(
+    sf_dir: str,
+    src_name: str,
+    kind: str,
+    params: tuple,
+    build,
+    save,
+    load,
+    memo: bool = True,
+):
+    """A derived artifact (trained quantizer, PQ codebook, near-dup
+    pair set, …) built at most once per CORPUS VERSION.
+
+    The version key is the source parquet's (mtime_ns, size) —
+    nanosecond mtime so a corpus regenerated within the same second
+    cannot serve a stale artifact. If the source cannot be stat'ed,
+    the artifact is built fresh and NOT stored (an 'unknown' version
+    key would alias every unstatable corpus to one record).
+
+    ``build()`` produces the artifact; ``save(artifact, path)`` must
+    write to ``path`` atomically-enough for a local store (write tmp +
+    os.replace for files; write dir + os.replace for parquet dirs);
+    ``load(path)`` reads it back. Store failures (read-only fs,
+    corrupt record) degrade to per-process building, never to errors.
+
+    ``memo=False`` skips the in-process memo — REQUIRED when the
+    artifact is a session-bound object (a DataFrame): the memo is
+    keyed by corpus version only, so a second SparkSession would
+    receive a frame bound to the first.
+    """
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{src_name}.parquet")
+    try:
+        st = os.stat(src)
+        ver = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return build()
+    key = (os.path.abspath(sf_dir), ver, kind, params)
+    if memo:
+        cached = _ARTIFACT_MEMO.get(key)
+        if cached is not None:
+            return cached
+    store = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "corpus_artifacts",
+    )
+    tag = hashlib.sha256("|".join(map(str, key)).encode()).hexdigest()[:16]
+    path = os.path.join(store, f"{kind}_{tag}")
+    if os.path.exists(path):
+        try:
+            art = load(path)
+            if memo:
+                _ARTIFACT_MEMO[key] = art
+            return art
+        except Exception:
+            pass  # unreadable record: rebuild and rewrite
+    art = build()
+    try:
+        os.makedirs(store, exist_ok=True)
+        save(art, path)
+    except OSError:
+        return art  # read-only store: per-process artifact only
+    if memo:
+        _ARTIFACT_MEMO[key] = art
+    return art
+
+
+def json_artifact_io():
+    """(save, load) pair for JSON-serializable artifacts."""
+    import json
+    import os
+
+    def save(art, path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(art, fh)
+        os.replace(tmp, path)
+
+    def load(path):
+        with open(path) as fh:
+            return json.load(fh)
+
+    return save, load

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Deterministic timestamp bucketing vs naive-timestamp oracles.
         .config("spark.sql.session.timeZone", timezone)
+        # Reliable checkpoint files (connected_components truncates
+        # its per-round lineage with checkpoint() when a dir is set)
+        # are deleted when their RDD is GC'd — without this, every
+        # iteration leaks one checkpoint dir for the app's lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Arrow for any pandas-UDF path (the sanctioned slow path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -744,8 +744,15 @@ def stream_summary_maintenance(
     Semantics: update mode re-emits a (window, event_type) row each
     micro-batch its aggregate changes; the merge keeps the LATEST row
     per key, so after a bounded (availableNow) run the summary equals
-    the batch GROUP BY exactly (oracle-checked), and re-running is
-    idempotent. State is bounded by the watermark; the merge per
+    the batch GROUP BY over all NON-LATE rows, and re-running is
+    idempotent. Rows later than ``watermark`` behind the stream's
+    max event time are dropped by the aggregation — correct streaming
+    semantics, NOT a merge property — so exact batch equality holds
+    when the watermark covers the input's disorder: trivially true
+    for a single-file landing dir (one micro-batch, oracle-checked),
+    and for multi-file redelivery the caller sizes ``watermark`` to
+    the lateness horizon (tests/test_streaming_maintenance.py does
+    exactly this for its round-robin split). State is bounded by the watermark; the merge per
     micro-batch touches only the keys that changed — at scale with a
     month-partitioned summary this is the dynamic-partition-overwrite
     of plans/etl.refresh_summary_incremental driven by arrival
