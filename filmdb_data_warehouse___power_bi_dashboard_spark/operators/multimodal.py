@@ -167,11 +167,136 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(docs)).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# Video frame sampling
+# ---------------------------------------------------------------------------
+
+FRAME_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frame_indices(media: DataFrame, k: int = 8) -> DataFrame:
+    """Uniform deterministic k-of-n frame selection as a pure JVM
+    expression: idx_i = floor(i·n_frames/k), deduplicated (short
+    videos yield fewer than k). Non-video rows get an empty list, so
+    the downstream explode drops them without a filter pass."""
+    n = F.col("meta.n_frames")
+    idx = F.when(
+        (F.col("kind") == "video") & n.isNotNull() & (n > 0),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.floor(i * n / F.lit(k)).cast("int"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return media.withColumn("frame_indices", idx)
+
+
+def extract_frame_features(media: DataFrame, k: int = 8) -> DataFrame:
+    """Per-sampled-frame features: frame index selection is JVM-side
+    (:func:`sample_frame_indices`), then an Arrow-batched pandas
+    function "decodes" each frame and features it. The decode stub
+    slices the payload proportionally (frame f of n covers bytes
+    [f·len/n, (f+1)·len/n)) — a real deployment replaces the slice
+    with a container seek + codec decode, keeping the identical
+    batch shape, schema, and partitioning (no shuffle anywhere).
+    """
+
+    frames = (
+        sample_frame_indices(media, k)
+        .select(
+            "media_id",
+            "payload",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.explode("frame_indices").alias("frame_idx"),
+        )
+    )
+
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload, n_frames, fi in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"], pdf["frame_idx"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                n = int(n_frames)
+                start = (int(fi) * len(b)) // n
+                end = ((int(fi) + 1) * len(b)) // n
+                fb = b[start:end]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "frame_idx": int(fi),
+                        "frame_len": len(fb),
+                        "frame_md5": hashlib.md5(fb).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_FEATURES.fields])
+
+    return frames.mapInPandas(_batches, schema=FRAME_FEATURES)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked frame sampling: the byte-slice decode stub is
+    reproducible in SQL (substring on the blob), so unlike
+    multimodal_features this mapInPandas path gets a full value-hash
+    check, not just rows-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return extract_frame_features(media, k=8).orderBy("media_id", "frame_idx")
+
+
+# DuckDB has no BLOB substring; the corpus text is pure ASCII
+# (verified: octet_length(encode(text)) == length(text) for every
+# row), so byte slicing of the utf-8 payload equals character
+# slicing of the text — the oracle slices the VARCHAR.
+ORACLE_FRAME_SAMPLE = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         text AS payload,
+         CAST(doc_id % 300 + 1 AS INT) AS n_frames
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2
+),
+idx AS (
+  SELECT media_id, payload, n_frames,
+         unnest(list_distinct([CAST(FLOOR(i * n_frames / 8) AS INT)
+                               for i in range(0, 8)])) AS frame_idx
+  FROM vids
+),
+sliced AS (
+  SELECT media_id, frame_idx,
+         substring(payload,
+                   CAST(frame_idx * length(payload) // n_frames AS INT) + 1,
+                   CAST((frame_idx + 1) * length(payload) // n_frames AS INT)
+                   - CAST(frame_idx * length(payload) // n_frames AS INT))
+           AS fb
+  FROM idx
+)
+SELECT media_id, frame_idx,
+       CAST(length(fb) AS BIGINT) AS frame_len,
+       md5(fb) AS frame_md5
+FROM sliced
+ORDER BY media_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_byte_stats": ORACLE_BYTE_STATS,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
 }

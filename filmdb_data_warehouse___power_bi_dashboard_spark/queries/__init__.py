@@ -136,7 +136,9 @@ _GATE_ORDER: tuple[str, ...] = (
     # CORRECTNESS_r02-r05.
     # NEW late round-6 (oracle-bearing; rotate into the gate next
     # round): streaming summary maintenance (foreachBatch merge sink)
+    # + oracle-checked video frame sampling (byte-slice decode stub)
     "stream_summary_maintenance",
+    "multimodal_frame_sample",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "dedup_exact",
     "text_language_id",
