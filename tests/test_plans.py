@@ -222,3 +222,33 @@ def test_cdc_latest_is_hash_agg_not_window(spark, sf_small):
     assert "Window" not in plan, plan[:2000]
     agg_nodes = plan.count("HashAggregate") + plan.count("ObjectHashAggregate") + plan.count("SortAggregate")
     assert agg_nodes >= 2, plan[:2000]
+
+
+def test_tfidf_pairs_no_cartesian_and_partial_agg(spark, sf_small):
+    """The tf-idf similarity join must stay inverted-index shaped:
+    no cartesian/nested-loop anywhere, partial+final aggregation for
+    the tf and dot sums."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        q_dedup_tfidf_pairs,
+    )
+
+    plan = _plan(q_dedup_tfidf_pairs(spark, sf_small))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
+def test_frame_sample_is_shuffle_free_map_pipeline(spark, sf_small):
+    """Frame sampling must be scan → project → explode → Arrow map —
+    zero exchanges before the mapInPandas node (the final orderBy is
+    the only sort)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        extract_frame_features,
+        synthesize_media,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    plan = _plan(extract_frame_features(synthesize_media(docs)))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+    assert "Generate" in plan  # the explode of sampled indices
