@@ -209,6 +209,127 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Test-set decontamination — cross-set near-dup (train × holdout only)
+# ---------------------------------------------------------------------------
+
+
+def decontamination_pairs(
+    docs: DataFrame,
+    test_pred,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Training docs whose shingle Jaccard against any HOLDOUT doc
+    clears ``threshold`` — the decontamination pass a training-data
+    pipeline runs so evaluation data doesn't leak into training.
+    ``test_pred`` is a boolean Column marking the holdout side.
+
+    Same inverted-index shape as :func:`jaccard_pairs`, but each
+    posting list splits into (train, test) sublists and ONLY the
+    cross product expands — train×train and test×test pairs are never
+    materialized, so cost is Σ df_train·df_test per shared shingle
+    (asymptotically far below the full df² when the holdout is small,
+    which it always is). Output: one row per contaminated (train,
+    test) pair with the exact Jaccard; dropping ``train_doc``s from
+    the corpus is the pipeline action.
+    """
+    d = _spread(docs).select(
+        "doc_id",
+        F.col("lang").alias("block"),
+        _shingles(n=n).alias("sh"),
+        test_pred.alias("is_test"),
+    ).select("doc_id", "block", "is_test", F.col("sh"), F.size("sh").alias("sz"))
+    post = d.select("block", "doc_id", "sz", "is_test", F.explode("sh").alias("s"))
+    # collect_list skips NULLs: the two conditional collects split
+    # each posting list by side in ONE aggregation pass.
+    grouped = (
+        post.groupBy("block", "s")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(~F.col("is_test"), F.struct("doc_id", "sz"))
+                )
+            ).alias("tr"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("is_test"), F.struct("doc_id", "sz"))
+                )
+            ).alias("te"),
+        )
+        .filter((F.size("tr") >= 1) & (F.size("te") >= 1))
+    )
+    if max_df is not None:
+        grouped = grouped.filter(F.size("tr") + F.size("te") <= max_df)
+    pair = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "te",
+                    lambda t: F.transform(
+                        F.col("tr"), lambda r: F.struct(t.alias("t"), r.alias("r"))
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pair.groupBy(
+        F.col("p.r.doc_id").alias("train_doc"),
+        F.col("p.t.doc_id").alias("test_doc"),
+        F.col("p.r.sz").alias("sz_tr"),
+        F.col("p.t.sz").alias("sz_te"),
+    ).agg(F.count("*").alias("inter"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_tr") + F.col("sz_te") - F.col("inter")
+    )
+    return (
+        inter.select(
+            "train_doc", "test_doc", round_half_up(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("train_doc", "test_doc")
+    )
+
+
+_DECON_TEST_SOURCES = ("src0", "src1")
+
+
+def q_dedup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate against a 10% holdout (sources src0/src1) at
+    Jaccard >= 0.5 — more aggressive than the 0.6 dedup threshold,
+    as decontamination should be."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decontamination_pairs(
+        docs, F.col("source").isin(*_DECON_TEST_SOURCES), threshold=0.5, n=3
+    )
+
+
+_JAC_RT = sql_round_half_up(
+    "CAST(len(list_intersect(r.sh, t.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(r.sh, t.sh)))",
+    6,
+)
+
+ORACLE_DECONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, lang AS block, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 2 + 1)])
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
+)
+SELECT r.doc_id AS train_doc, t.doc_id AS test_doc, {_JAC_RT} AS jaccard
+FROM d r
+JOIN d t ON r.block = t.block
+WHERE r.source NOT IN ('src0', 'src1')
+  AND t.source IN ('src0', 'src1')
+  AND {_JAC_RT} >= 0.5
+ORDER BY train_doc, test_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF cosine similarity join — the WEIGHTED complement of Jaccard
 # ---------------------------------------------------------------------------
 
@@ -1074,6 +1195,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_tfidf_pairs": q_dedup_tfidf_pairs,
+    "dedup_decontamination": q_dedup_decontamination,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -1085,6 +1207,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_tfidf_pairs": ORACLE_TFIDF_PAIRS,
+    "dedup_decontamination": ORACLE_DECONTAMINATION,
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -139,6 +139,7 @@ _GATE_ORDER: tuple[str, ...] = (
     # + oracle-checked video frame sampling (byte-slice decode stub)
     "stream_summary_maintenance",
     "multimodal_frame_sample",
+    "dedup_decontamination",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "dedup_exact",
     "text_language_id",
