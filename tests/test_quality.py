@@ -129,3 +129,25 @@ def test_latest_state_wins_by_order_and_tiebreak(spark):
     }
     assert out[100]["event_type"] == "b" and out[100]["n_changes"] == 2
     assert out[200]["event_type"] == "d" and out[200]["event_id"] == 4
+
+
+def test_decontamination_artifact_path_equals_pure_path(spark, sf_small):
+    """The materialized-postings spelling of decontamination must
+    return exactly the rows of the pure (raw-text) spelling."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _DECON_TEST_SOURCES,
+        decontamination_pairs,
+        q_dedup_decontamination,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    pure = decontamination_pairs(
+        docs, F.col("source").isin(*_DECON_TEST_SOURCES), threshold=0.5, n=3
+    )
+    art = q_dedup_decontamination(spark, sf_small)
+    assert sorted(map(tuple, art.collect())) == sorted(map(tuple, pure.collect()))
