@@ -151,3 +151,25 @@ def test_decontamination_artifact_path_equals_pure_path(spark, sf_small):
     )
     art = q_dedup_decontamination(spark, sf_small)
     assert sorted(map(tuple, art.collect())) == sorted(map(tuple, pure.collect()))
+
+
+def test_jaccard_and_tfidf_artifact_paths_equal_pure_paths(spark, sf_small):
+    """The artifact-backed gate spellings must return exactly the
+    pure raw-text spellings' rows."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        jaccard_pairs,
+        q_dedup_ngram_jaccard,
+        q_dedup_tfidf_pairs,
+        tfidf_cosine_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    assert sorted(map(tuple, q_dedup_ngram_jaccard(spark, sf_small).collect())) == sorted(
+        map(tuple, jaccard_pairs(docs, threshold=0.6, n=3).collect())
+    )
+    assert sorted(map(tuple, q_dedup_tfidf_pairs(spark, sf_small).collect())) == sorted(
+        map(tuple, tfidf_cosine_pairs(docs, threshold=0.5, n=3).collect())
+    )
