@@ -18,7 +18,9 @@ from . import dedup  # noqa: E402
 QUERIES.update(dedup.QUERIES)
 ORACLES.update(dedup.ORACLES)
 
-for _mod_name in ("similarity", "text", "multimodal", "asof", "sampling", "quality", "cdc"):
+for _mod_name in (
+    "similarity", "text", "multimodal", "asof", "sampling", "quality", "cdc", "health"
+):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=["QUERIES", "ORACLES"])
     except ImportError:

@@ -142,6 +142,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "stream_summary_maintenance",
     "multimodal_frame_sample",
     "dedup_decontamination",
+    "corpus_health_report",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "dedup_exact",
     "text_language_id",
