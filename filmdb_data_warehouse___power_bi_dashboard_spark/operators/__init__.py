@@ -18,12 +18,12 @@ from . import dedup  # noqa: E402
 QUERIES.update(dedup.QUERIES)
 ORACLES.update(dedup.ORACLES)
 
-for _mod_name in (
-    "similarity", "text", "multimodal", "asof", "sampling", "quality", "cdc", "health"
-):
-    try:
-        _mod = __import__(f"{__name__}.{_mod_name}", fromlist=["QUERIES", "ORACLES"])
-    except ImportError:
-        continue
+# STRICT imports: every module here contributes gate-registered
+# queries, so a broken import must fail loudly — a lenient
+# `except ImportError: continue` would silently shrink the registry
+# (registry() only raises for unknown names, not missing ones).
+from . import asof, cdc, health, multimodal, quality, sampling, similarity, text  # noqa: E402
+
+for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -127,6 +127,58 @@ GROUP BY 1 ORDER BY 1
 # Exact n-gram Jaccard near-dup (block-bounded)
 # ---------------------------------------------------------------------------
 
+# The distinct-shingle document CTE shared by every Jaccard-family
+# oracle (jaccard pairs, clusters, decontamination) — ONE SQL spelling
+# of the shingle semantics, mirrored by _shingles/_build_postings.
+_SH_D_CTE = """
+  SELECT doc_id, lang AS block, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 2 + 1)])
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
+"""
+
+_JAC = sql_round_half_up(
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(a.sh, b.sh)))",
+    6,
+)
+
+# Guard against 0/0 for sub-n-token documents (empty shingle sets):
+# DuckDB's NaN orders above every value, so `NaN >= t` would pass and
+# emit pairs the Spark inverted index (which never materializes
+# zero-overlap pairs) cannot produce.
+_JAC_GUARD = "len(a.sh) > 0 AND len(b.sh) > 0"
+
+
+def _build_postings(
+    docs: DataFrame, n: int, extra_cols: tuple = (), distinct: bool = True
+):
+    """The exploded posting stream (block, doc_id, sz, *extra, s) —
+    the ONE spelling of the shingle build every Jaccard-family
+    operator and artifact shares (a drift between a pure path and an
+    artifact build would otherwise only be caught by the equivalence
+    tests)."""
+    d = _spread(docs).select(
+        "doc_id",
+        F.col("lang").alias("block"),
+        *extra_cols,
+        _shingles(n=n, distinct=distinct).alias("sh"),
+    ).select("doc_id", "block", *extra_cols, F.col("sh"), F.size("sh").alias("sz"))
+    return d.select("block", "doc_id", "sz", *extra_cols, F.explode("sh").alias("s"))
+
+
+def _build_tf(docs: DataFrame, n: int) -> DataFrame:
+    """The saturated multiset term stream (block, doc_id, g, tf) the
+    tf-idf join consumes — shared by the pure path and its artifact."""
+    grams = _build_postings(docs, n, distinct=False).select(
+        "block", "doc_id", F.col("s").alias("g")
+    )
+    return grams.groupBy("block", "doc_id", "g").agg(
+        F.least(F.count("*"), F.lit(8)).alias("tf")
+    )
+
 
 def jaccard_pairs(
     docs: DataFrame,
@@ -162,10 +214,7 @@ def jaccard_pairs(
     production-scale run. tests assert cap ∞ ≡ cap 64 on the corpus,
     where no near-dup pair depends on a hot shingle.
     """
-    d = _spread(docs).select(
-        "doc_id", F.col("lang").alias("block"), _shingles(n=n).alias("sh")
-    ).select("doc_id", "block", F.col("sh"), F.size("sh").alias("sz"))
-    post = d.select("block", "doc_id", "sz", F.explode("sh").alias("s"))
+    post = _build_postings(docs, n)
     return _jaccard_from_postings(post, threshold=threshold, max_df=max_df)
 
 
@@ -215,10 +264,10 @@ def _jaccard_from_postings(
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumes the materialized postings artifact (the prebuilt
     inverted index — the same amortization PostgreSQL gets from its
-    prebuilt GiST/btree indexes). Equivalence with the pure raw-text
-    path is pytest-asserted, and the DuckDB oracle recomputes from
-    raw text every round, so a stale or buggy artifact goes red here
-    rather than hiding."""
+    prebuilt GiST/btree indexes). Not a from-scratch recompute:
+    equivalence with the pure raw-text path is pytest-asserted, and
+    the DuckDB oracle recomputes from raw text every round, so a
+    stale or buggy artifact goes red here rather than hiding."""
     post = _materialized_postings(spark, sf_dir, n=3).select(
         "block", "doc_id", "sz", "s"
     )
@@ -251,13 +300,9 @@ def decontamination_pairs(
     test) pair with the exact Jaccard; dropping ``train_doc``s from
     the corpus is the pipeline action.
     """
-    d = _spread(docs).select(
-        "doc_id",
-        F.col("lang").alias("block"),
-        _shingles(n=n).alias("sh"),
-        test_pred.alias("is_test"),
-    ).select("doc_id", "block", "is_test", F.col("sh"), F.size("sh").alias("sz"))
-    post = d.select("block", "doc_id", "sz", "is_test", F.explode("sh").alias("s"))
+    post = _build_postings(
+        docs.withColumn("__is_test", test_pred), n, extra_cols=("__is_test",)
+    ).withColumnRenamed("__is_test", "is_test")
     return _decon_from_postings(post, threshold=threshold, max_df=max_df)
 
 
@@ -327,30 +372,13 @@ def _materialized_postings(spark: SparkSession, sf_dir: str, n: int) -> DataFram
     (and its cold codegen) is the dominant cost of every consumer;
     materializing it once per corpus version is the same staged-
     pipeline move as the pair artifact."""
-    import os
-
-    from ..runtime import corpus_artifact
+    from ..runtime import corpus_artifact, parquet_artifact_io
 
     def build():
         docs = read_table(spark, sf_dir, "documents")
-        d = _spread(docs).select(
-            "doc_id",
-            F.col("lang").alias("block"),
-            "source",
-            _shingles(n=n).alias("sh"),
-        ).select("doc_id", "block", "source", F.col("sh"), F.size("sh").alias("sz"))
-        return d.select("block", "doc_id", "sz", "source", F.explode("sh").alias("s"))
+        return _build_postings(docs, n, extra_cols=("source",))
 
-    def save(df, path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
-
-    def load(path):
-        df = spark.read.parquet(path)
-        df.schema
-        return df
-
+    save, load = parquet_artifact_io(spark)
     return corpus_artifact(
         sf_dir, "documents", f"postings{n}", (), build, save, load, memo=False
     )
@@ -369,27 +397,16 @@ def q_dedup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decon_from_postings(post, threshold=0.5)
 
 
-_JAC_RT = sql_round_half_up(
-    "CAST(len(list_intersect(r.sh, t.sh)) AS DOUBLE)"
-    " / len(list_distinct(list_concat(r.sh, t.sh)))",
-    6,
-)
+_SQL_TEST_SOURCES = ", ".join(f"'{x}'" for x in _DECON_TEST_SOURCES)
 
 ORACLE_DECONTAMINATION = f"""
-WITH d AS (
-  SELECT doc_id, lang AS block, source,
-         CASE WHEN len(w) >= 3
-              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 2 + 1)])
-              ELSE [] END AS sh
-  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
-)
-SELECT r.doc_id AS train_doc, t.doc_id AS test_doc, {_JAC_RT} AS jaccard
-FROM d r
-JOIN d t ON r.block = t.block
-WHERE r.source NOT IN ('src0', 'src1')
-  AND t.source IN ('src0', 'src1')
-  AND {_JAC_RT} >= 0.5
+WITH d AS ({_SH_D_CTE})
+SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, {_JAC} AS jaccard
+FROM d a
+JOIN d b ON a.block = b.block
+WHERE a.source NOT IN ({_SQL_TEST_SOURCES})
+  AND b.source IN ({_SQL_TEST_SOURCES})
+  AND {_JAC_GUARD} AND {_JAC} >= 0.5
 ORDER BY train_doc, test_doc
 """
 
@@ -427,13 +444,7 @@ def tfidf_cosine_pairs(
     spammy mega-document cannot wrap the sum (the naive 1e6 scale
     could: one repeated rare trigram at tf≈400 pushed wt² past 2^63).
     """
-    d = _spread(docs).select(
-        "doc_id", F.col("lang").alias("block"), _shingles(n=n, distinct=False).alias("sh")
-    )
-    grams = d.select("block", "doc_id", F.explode("sh").alias("g"))
-    tf = grams.groupBy("block", "doc_id", "g").agg(
-        F.least(F.count("*"), F.lit(8)).alias("tf")
-    )
+    tf = _build_tf(docs, n)
     nd = docs.groupBy(F.col("lang").alias("block")).agg(F.count("*").alias("n_docs"))
     return _tfidf_from_tf(tf, nd, threshold=threshold, max_df=max_df)
 
@@ -527,32 +538,12 @@ def _materialized_tf_postings(spark: SparkSession, sf_dir: str, n: int) -> DataF
     corpus-versioned artifact — the tf-idf analog of the distinct
     postings artifact (a multiset index: it carries term frequencies,
     so it cannot be derived from the distinct postings)."""
-    import os
-
-    from ..runtime import corpus_artifact
+    from ..runtime import corpus_artifact, parquet_artifact_io
 
     def build():
-        docs = read_table(spark, sf_dir, "documents")
-        d = _spread(docs).select(
-            "doc_id",
-            F.col("lang").alias("block"),
-            _shingles(n=n, distinct=False).alias("sh"),
-        )
-        grams = d.select("block", "doc_id", F.explode("sh").alias("g"))
-        return grams.groupBy("block", "doc_id", "g").agg(
-            F.least(F.count("*"), F.lit(8)).alias("tf")
-        )
+        return _build_tf(read_table(spark, sf_dir, "documents"), n)
 
-    def save(df, path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
-
-    def load(path):
-        df = spark.read.parquet(path)
-        df.schema
-        return df
-
+    save, load = parquet_artifact_io(spark)
     return corpus_artifact(
         sf_dir, "documents", f"tfpostings{n}", (), build, save, load, memo=False
     )
@@ -620,25 +611,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-_JAC = sql_round_half_up(
-    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
-    " / len(list_distinct(list_concat(a.sh, b.sh)))",
-    6,
-)
-
 ORACLE_NGRAM_JACCARD = f"""
-WITH d AS (
-  SELECT doc_id, lang AS block,
-         CASE WHEN len(w) >= 3
-              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 2 + 1)])
-              ELSE [] END AS sh
-  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-)
+WITH d AS ({_SH_D_CTE})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {_JAC} AS jaccard
 FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE {_JAC} >= 0.6
+WHERE {_JAC_GUARD} AND {_JAC} >= 0.6
 ORDER BY 1, 2
 """
 
@@ -1238,12 +1216,12 @@ def _materialized_jaccard_pairs(
     from raw text on every clustering run re-pays the dominant
     shingle cost. First call computes + writes (atomic dir rename);
     later calls — clustering reruns, fresh processes, the next
-    bench — read the tiny parquet. The gate's dedup_ngram_jaccard
-    entry stays PURE (recomputes every round), so a stale-wrong cache
-    would be caught by its oracle the same round."""
-    import os
-
-    from ..runtime import corpus_artifact
+    bench — read the tiny parquet. Staleness safety rests on the
+    version key (source mtime_ns+size — note `cp -p` preserves
+    mtime) plus the fact that every consumer's DuckDB oracle
+    recomputes from raw text, so a stale-wrong artifact goes red the
+    same round."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
 
     def build():
         # Stage on the postings artifact: the pair artifact then costs
@@ -1253,16 +1231,7 @@ def _materialized_jaccard_pairs(
         )
         return _jaccard_from_postings(post, threshold=threshold)
 
-    def save(pairs, path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pairs.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
-
-    def load(path):
-        df = spark.read.parquet(path)
-        df.schema  # force a footer read so a corrupt record fails HERE
-        return df
-
+    save, load = parquet_artifact_io(spark)
     return corpus_artifact(
         sf_dir, "documents", "jacpairs", (threshold, n), build, save, load,
         memo=False,  # the artifact is a session-bound DataFrame
@@ -1282,18 +1251,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id, lang AS block,
-         CASE WHEN len(w) >= 3
-              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 2 + 1)])
-              ELSE [] END AS sh
-  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-),
+WITH RECURSIVE d AS ({_SH_D_CTE}),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
-  WHERE {_JAC} >= 0.6
+  WHERE {_JAC_GUARD} AND {_JAC} >= 0.6
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs

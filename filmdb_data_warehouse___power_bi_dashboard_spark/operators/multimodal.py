@@ -209,8 +209,11 @@ def extract_frame_features(media: DataFrame, k: int = 8) -> DataFrame:
     batch shape, schema, and partitioning (no shuffle anywhere).
     """
 
+    # NULL payloads are excluded on BOTH sides (there is nothing to
+    # decode; the oracle mirrors with text IS NOT NULL — a b'' stub
+    # here would emit md5('') rows the SQL NULL propagation doesn't).
     frames = (
-        sample_frame_indices(media, k)
+        sample_frame_indices(media.filter(F.col("payload").isNotNull()), k)
         .select(
             "media_id",
             "payload",
@@ -265,7 +268,7 @@ WITH vids AS (
          text AS payload,
          CAST(doc_id % 300 + 1 AS INT) AS n_frames
   FROM documents
-  WHERE CAST(doc_id % 3 AS INT) = 2
+  WHERE CAST(doc_id % 3 AS INT) = 2 AND text IS NOT NULL
 ),
 idx AS (
   SELECT media_id, payload, n_frames,

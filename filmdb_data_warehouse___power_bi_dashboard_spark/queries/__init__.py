@@ -42,8 +42,9 @@ from . import corpus
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # First 50 = the driver-checked set (see module docstring). Entries
-# past index 49: one redundant oracle-bearing query + the four
-# rows-only operators whose guarantees are asserted in pytest.
+# past index 49: previously driver-green oracle-bearing queries,
+# late-round additions awaiting rotation, and the rows-only
+# operators — all covered by the pytest replica comparator.
 _GATE_ORDER: tuple[str, ...] = (
     # ROUND-5 ROTATION: every oracle-bearing entry that had never
     # appeared in a driver-recorded CORRECTNESS_r*.json (the round-4

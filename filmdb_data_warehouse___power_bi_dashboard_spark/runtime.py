@@ -121,6 +121,15 @@ def corpus_artifact(
         save(art, path)
     except OSError:
         return art  # read-only store: per-process artifact only
+    # Return the STORED record, not the build plan: for DataFrame
+    # artifacts the build is a lazy plan whose save already executed
+    # the expensive pipeline — handing the plan back would make the
+    # consumer execute it a second time (measured ~2x on the postings
+    # artifacts' cold path).
+    try:
+        art = load(path)
+    except Exception:
+        pass  # unreadable round-trip: the built artifact still serves
     if memo:
         _ARTIFACT_MEMO[key] = art
     return art
@@ -140,5 +149,24 @@ def json_artifact_io():
     def load(path):
         with open(path) as fh:
             return json.load(fh)
+
+    return save, load
+
+
+def parquet_artifact_io(spark):
+    """(save, load) pair for DataFrame artifacts stored as parquet
+    dirs (tmp-write + atomic dir rename; load forces a footer read so
+    a corrupt record fails inside corpus_artifact's retry)."""
+    import os
+
+    def save(df, path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
+
+    def load(path):
+        df = spark.read.parquet(path)
+        df.schema
+        return df
 
     return save, load
