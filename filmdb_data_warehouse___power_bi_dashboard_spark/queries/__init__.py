@@ -119,32 +119,32 @@ _GATE_ORDER: tuple[str, ...] = (
     "metrics_magasin_mois_europe",
     "metrics_top_entities",
     "metrics_reachat_par_magasin",
-    "metrics_weekday_profile",
-    # SQL-text view layer: 4 standalone + the surface pack, which
+    # SQL-text view layer: the spot query + the surface pack, which
     # value-checks the 7 views whose standalone entries sit past the
-    # cap in one normalized union.
-    "view_clients_directory",
-    "view_films_jamais_loues",
-    "view_rotation_stock",
+    # cap in one normalized union (clients_directory / films_jamais_
+    # loues / rotation_stock, green r2-r5, displaced late-round).
     "view_retard_par_magasin",
     "view_surface_pack",
     # streaming (2)
     "stream_tumbling_hour",
     "sessionize_events",
+    # NEW late round-6, rotated straight into the gate (displacing
+    # three view spot queries + one metrics row, all green r2-r5):
+    "stream_summary_maintenance",
+    "multimodal_frame_sample",
+    "dedup_decontamination",
+    "corpus_health_report",
     # --- past the driver's 50-entry cap ---
     # Oracle-bearing entries here are gate-eligible but over the cap
     # this round; the SAME comparator runs on them in pytest
     # (tests/test_oracle_parity.py uses the measured driver
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
-    # NEW late round-6 (oracle-bearing; rotate into the gate next
-    # round): streaming summary maintenance (foreachBatch merge sink)
-    # + oracle-checked video frame sampling (byte-slice decode stub)
-    "stream_summary_maintenance",
-    "multimodal_frame_sample",
-    "dedup_decontamination",
-    "corpus_health_report",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "view_clients_directory",
+    "view_films_jamais_loues",
+    "view_rotation_stock",
+    "metrics_weekday_profile",
     "dedup_exact",
     "text_language_id",
     "text_profile",
