@@ -22,8 +22,18 @@ ORACLES.update(dedup.ORACLES)
 # queries, so a broken import must fail loudly — a lenient
 # `except ImportError: continue` would silently shrink the registry
 # (registry() only raises for unknown names, not missing ones).
-from . import asof, cdc, health, multimodal, quality, sampling, similarity, text  # noqa: E402
+from . import (  # noqa: E402
+    asof,
+    cdc,
+    chunking,
+    health,
+    multimodal,
+    quality,
+    sampling,
+    similarity,
+    text,
+)
 
-for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health):
+for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health, chunking):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -108,10 +108,13 @@ _GATE_ORDER: tuple[str, ...] = (
     "etl_incremental_agg_refresh",
     "dedup_tfidf_pairs",
     # ETL star (4 kept; dim_date/dim_mois green r2-r5 displaced)
-    "etl_dim_client",
-    "etl_dim_film",
+    # NEW this session (oracle-bearing) — in the gate NOW for their
+    # first driver-recorded rows; three r2-r5-green ETL/metrics
+    # entries rotate out to the pytest replica to make room.
+    "text_chunking",
+    "corpus_pack_spans",
+    "embedding_centroid_outliers",
     "etl_fact_paiement",
-    "etl_agg_mensuel_magasin",
     # metrics / semantic layer (7)
     "metrics_kpi_global",
     "metrics_drill_localisation",
@@ -141,6 +144,9 @@ _GATE_ORDER: tuple[str, ...] = (
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "etl_dim_client",
+    "etl_dim_film",
+    "etl_agg_mensuel_magasin",
     "view_clients_directory",
     "view_films_jamais_loues",
     "view_rotation_stock",

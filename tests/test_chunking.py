@@ -1,0 +1,104 @@
+"""Property tests for the chunking / packing / centroid-outlier
+operators beyond the oracle parity check (tests/test_oracle_parity.py
+covers value-exactness; these pin the semantic invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PACK_WINDOW,
+    centroid_outliers,
+    chunk_documents,
+    pack_spans,
+)
+from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+
+def test_chunks_cover_every_char_with_overlap(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents")
+    chunks = chunk_documents(docs)
+    # Chunk ids are dense 0..last; every chunk's length is exactly
+    # min(CHUNK_SIZE, n_chars - start) — and a non-last chunk always
+    # holds more than the stride (it overlaps its successor's start).
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_id"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_start").alias("max_start"),
+    )
+    bad_count = per_doc.filter(F.col("n_chunks") != F.col("last_id") + 1).count()
+    assert bad_count == 0  # chunk ids are dense 0..last
+    sized = chunks.join(docs.select("doc_id", "n_chars"), "doc_id").join(
+        per_doc, "doc_id"
+    )
+    wrong_len = sized.filter(
+        F.col("n_chunk_chars")
+        != F.least(F.lit(CHUNK_SIZE), F.col("n_chars") - F.col("chunk_start"))
+    ).count()
+    assert wrong_len == 0
+    short_mid = sized.filter(
+        (F.col("chunk_id") < F.col("last_id"))
+        & (F.col("n_chunk_chars") <= CHUNK_STRIDE)
+    ).count()
+    assert short_mid == 0
+    # Coverage: last chunk start < doc length <= last start + CHUNK_SIZE
+    # is implied by the start rule; check directly against n_chars.
+    uncovered = (
+        chunks.groupBy("doc_id")
+        .agg((F.max("chunk_start") + F.max("n_chunk_chars")).alias("covered"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .filter(F.col("covered") < F.col("n_chars"))
+        .count()
+    )
+    assert uncovered == 0
+    starts = chunks.filter(
+        F.col("chunk_start") != F.col("chunk_id") * CHUNK_STRIDE
+    ).count()
+    assert starts == 0
+
+
+def test_pack_spans_are_contiguous_per_source(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents")
+    spans = pack_spans(docs).cache()
+    try:
+        # Token stream is gapless: per source, this doc's start equals
+        # the previous doc's start + length (concat-and-split model).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        gaps = (
+            spans.withColumn(
+                "prev_end",
+                F.lag(F.col("tok_start") + F.col("n_tokens"), 1, 0).over(w),
+            )
+            .filter(F.col("tok_start") != F.col("prev_end"))
+            .count()
+        )
+        assert gaps == 0
+        # A doc spans ceil bins consistent with its length: n_bins is
+        # between ceil(n/PACK) and ceil(n/PACK)+1 (straddle adds one).
+        bad = spans.filter(
+            (F.col("n_bins") < F.ceil(F.col("n_tokens") / PACK_WINDOW))
+            | (F.col("n_bins") > F.ceil(F.col("n_tokens") / PACK_WINDOW) + 1)
+        ).count()
+        assert bad == 0
+    finally:
+        spans.unpersist()
+
+
+def test_centroid_outliers_rank_and_determinism(spark, sf_small):
+    emb = read_table(spark, sf_small, "embeddings")
+    a = centroid_outliers(emb, top_n=5)
+    rows = a.collect()
+    # 5 rows per label, ranks dense 1..5, distances non-increasing.
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, lr in by_label.items():
+        assert [r.rnk for r in lr] == list(range(1, len(lr) + 1))
+        dists = [r.dist_to_centroid for r in lr]
+        assert dists == sorted(dists, reverse=True)
+    # Deterministic across recomputation (exact integer-scaled sums).
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, centroid_outliers(emb, top_n=5).collect()))
