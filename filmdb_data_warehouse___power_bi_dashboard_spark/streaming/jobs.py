@@ -819,6 +819,202 @@ ORDER BY 1, 2
 """
 
 
+def stream_sliding_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (overlapping windows:
+    every event lands in duration/slide windows) — the trend-smoothing
+    shape tumbling windows can't express (a 1 h metric refreshed every
+    15 min). Same state story as tumbling: the watermark closes
+    windows ``watermark`` past their end, so state is bounded by
+    (active windows × group keys), with the multiplier duration/slide.
+    Complete mode on bounded input yields exactly the batch answer
+    (oracle: each event replicated to its duration/slide windows).
+    """
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("nb_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "nb_events",
+            "total_value",
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    with _sized_state(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sliding_agg(spark, sf_dir).orderBy("window_start", "event_type")
+
+
+# Sliding-window membership in ANSI SQL: an event at ts belongs to the
+# 4 slide-aligned (epoch-anchored, like Spark's window()) starts
+# bucket15(ts) - k*15min, k = 0..3. The bucket is built from
+# date_trunc so fractional seconds can't leak into the window start.
+ORACLE_STREAM_SLIDING = f"""
+WITH exploded AS (
+  SELECT date_trunc('hour', ts)
+            + (CAST(minute(ts) AS BIGINT) // 15) * INTERVAL 15 MINUTE
+            - k * INTERVAL 15 MINUTE AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS nb_events,
+       {sql_round_half_up("SUM(value)", 2)} AS total_value
+FROM exploded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def stream_left_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    purchase emits — attributed to each click by the same user in the
+    preceding ``lookback_minutes``, or once with a -1 click sentinel
+    when no click matched. The distinct semantics vs the inner join
+    (:func:`stream_interval_join`): unmatched left rows are HELD in
+    state until the watermark proves no future match can arrive, then
+    emitted null-padded — so the outer result is late by exactly the
+    watermark, the price of correctness under out-of-order arrival.
+    The sentinel projection (post-join, stateless) keeps numeric
+    outputs NULL-free for the cross-engine comparator.
+    """
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            F.expr(
+                f"""
+                user_id = click_user
+                AND click_ts >= purchase_ts - INTERVAL {lookback_minutes} MINUTES
+                AND click_ts <= purchase_ts
+                """
+            ),
+            "leftOuter",
+        )
+        .select(
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            "user_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    with _sized_state(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_left_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join, oracle-checked against
+    the batch LEFT JOIN (unmatched purchases carry click_id = -1).
+
+    Compared over the CLOSED region of the stream only: a left-outer
+    result for purchase p is final once the click-side watermark has
+    passed p's match horizon. The engine's global watermark is the MIN
+    across the two watermark operators (each computed from ITS side's
+    max event time), so the provably-emitted region ends at
+    least(max_click_ts, max_purchase_ts) - (watermark + lookback),
+    minus one minute of slack for the frontier's boundary strictness.
+    Purchases newer than that may still be held in state when a
+    bounded run terminates (their no-match verdict isn't provable
+    yet); both engines restrict to the closed region with the
+    identical cutoff timestamp. This mirrors how an outer-join stream
+    is consumed in production: downstream reads are correct up to the
+    watermark frontier, never ahead of it."""
+    from ..sources.catalog import read_table
+
+    result = stream_left_interval_join(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    maxes = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    import datetime as _dt
+
+    cutoff = min(maxes["mc"], maxes["mp"]) - _dt.timedelta(minutes=91)
+    return result.filter(F.col("purchase_ts") <= F.lit(cutoff)).orderBy(
+        "purchase_id", "click_id"
+    )
+
+
+ORACLE_STREAM_LEFT_JOIN = """
+SELECT p.event_id AS purchase_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       CAST(p.value AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase'
+        AND ts <= (SELECT LEAST(
+                     MAX(ts) FILTER (WHERE event_type = 'click'),
+                     MAX(ts) FILTER (WHERE event_type = 'purchase'))
+                   FROM events) - INTERVAL 91 MINUTE) p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
@@ -827,6 +1023,8 @@ QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_enriched_profile": q_stream_enriched_profile,
     "stream_summary_maintenance": q_stream_summary_maintenance,
+    "stream_sliding_hour": q_stream_sliding_hour,
+    "stream_left_attribution": q_stream_left_attribution,
 }
 
 ORACLES = {
@@ -837,4 +1035,6 @@ ORACLES = {
     "stream_click_attribution": ORACLE_STREAM_INTERVAL_JOIN,
     "stream_enriched_profile": ORACLE_STREAM_ENRICH,
     "stream_summary_maintenance": ORACLE_STREAM_SUMMARY,
+    "stream_sliding_hour": ORACLE_STREAM_SLIDING,
+    "stream_left_attribution": ORACLE_STREAM_LEFT_JOIN,
 }
