@@ -90,7 +90,6 @@ _GATE_ORDER: tuple[str, ...] = (
     # (v_retard_par_client now derives from v_retard_location) and the
     # ordered-DISTINCT-agg shape not otherwise covered (2)
     "view_retard_par_client",
-    "view_liste_films_noms_formates",
     # LLM-pipeline operators with oracles (4 kept; 5 multi-round-green
     # displaced to the replica to make room for this round's additions)
     "dedup_ngram_jaccard",
@@ -117,20 +116,27 @@ _GATE_ORDER: tuple[str, ...] = (
     "etl_fact_paiement",
     # metrics / semantic layer (7)
     "metrics_kpi_global",
-    "metrics_drill_localisation",
     "metrics_pareto_categorie",
-    "metrics_magasin_mois_europe",
     "metrics_top_entities",
     "metrics_reachat_par_magasin",
     # SQL-text view layer: the spot query + the surface pack, which
     # value-checks the 7 views whose standalone entries sit past the
     # cap in one normalized union (clients_directory / films_jamais_
     # loues / rotation_stock, green r2-r5, displaced late-round).
-    "view_retard_par_magasin",
     "view_surface_pack",
-    # streaming (2)
+    # NEW this session: observability pair (histogram + skew profile),
+    # displacing view_retard_par_magasin / view_liste_films_noms_
+    # formates (both driver-green r5 and earlier, definitions
+    # unchanged) to the pytest replica.
+    "events_value_histogram",
+    "join_key_skew_profile",
+    # streaming (4): the two NEW session additions (sliding windows,
+    # left-outer interval join) go straight into the gate, displacing
+    # two r2-r5-green metrics entries to the pytest replica.
     "stream_tumbling_hour",
     "sessionize_events",
+    "stream_sliding_hour",
+    "stream_left_attribution",
     # NEW late round-6, rotated straight into the gate (displacing
     # three view spot queries + one metrics row, all green r2-r5):
     "stream_summary_maintenance",
@@ -144,6 +150,10 @@ _GATE_ORDER: tuple[str, ...] = (
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "view_retard_par_magasin",
+    "view_liste_films_noms_formates",
+    "metrics_drill_localisation",
+    "metrics_magasin_mois_europe",
     "etl_dim_client",
     "etl_dim_film",
     "etl_agg_mensuel_magasin",

@@ -252,3 +252,55 @@ def test_frame_sample_is_shuffle_free_map_pipeline(spark, sf_small):
     assert "Exchange" not in plan, plan[:2000]
     assert "MapInPandas" in plan
     assert "Generate" in plan  # the explode of sampled indices
+
+
+def test_chunking_is_single_scan_no_join(spark, sf_small):
+    """Document chunking must be scan → explode → project: no join,
+    no aggregation, and the only exchange is the final presentation
+    sort."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+        q_text_chunking,
+    )
+
+    plan = _plan(q_text_chunking(spark, sf_small))
+    for bad in ("Join", "HashAggregate", "Window"):
+        assert bad not in plan, bad
+    assert "Generate" in plan  # the explode of chunk ids
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_pack_spans_window_is_source_partitioned(spark, sf_small):
+    """The packing running sum must ride a window PARTITIONED BY
+    source — never a single-partition global window."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+        q_corpus_pack_spans,
+    )
+
+    plan = _plan(q_corpus_pack_spans(spark, sf_small))
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan, plan[:2000]
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_small):
+    """The per-label centroid table (labels × dim, tiny) must join
+    back by BROADCAST; the vector side never sort-merge shuffles."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+        q_embedding_centroid_outliers,
+    )
+
+    plan = _plan(q_embedding_centroid_outliers(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_profile_is_takeordered_with_scalar_broadcast(spark, sf_small):
+    """Top-N hot keys must plan as TakeOrderedAndProject (never a full
+    sort) with the 1-row total joined by broadcast."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.health import (
+        q_join_key_skew_profile,
+    )
+
+    plan = _plan(q_join_key_skew_profile(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
