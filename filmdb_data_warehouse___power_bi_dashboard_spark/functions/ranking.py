@@ -90,10 +90,44 @@ def global_row_number(
     (callers that already materialized a count, e.g. RFM's shared
     aggregate).
     """
-    spark = df.sparkSession
     pairs = _normalize_order(order_cols)
-    cols = [c for c, _ in pairs]
     sort_cols = [c if asc else c.desc() for c, asc in pairs]
+    bucketed, n = _assign_range_buckets(df, pairs, num_partitions, n_rows)
+
+    # 3. Per-bucket counts → offsets (deterministic: bucket assignment
+    #    is a pure function of the row). n_parts rows — trivially
+    #    collectable at any scale.
+    counts = bucketed.groupBy(_PID).agg(F.count("*").alias("c")).collect()
+    acc = 0
+    offset_map: list[Column] = []
+    for row in sorted(counts, key=lambda r: r[_PID]):
+        offset_map.extend([F.lit(row[_PID]), F.lit(acc)])
+        acc += row["c"]
+    offs = F.create_map(*offset_map) if offset_map else F.create_map()
+
+    w = Window.partitionBy(_PID).orderBy(*sort_cols)
+    return (
+        bucketed.withColumn(
+            alias,
+            (F.row_number().over(w) + F.element_at(offs, F.col(_PID))).cast("long"),
+        )
+        .drop(_PID)
+    )
+
+
+def _assign_range_buckets(
+    df: DataFrame,
+    pairs: list[tuple[Column, bool]],
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Steps 1-2 of the range-bucketed sort, shared by every global-
+    order primitive (row_number, running sum): returns ``df`` with the
+    deterministic contiguous-range bucket id column ``_PID`` attached,
+    plus the total row count (already paid for by the boundary
+    sample)."""
+    spark = df.sparkSession
+    cols = [c for c, _ in pairs]
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # 1. Deterministic boundary sample: filter on a hash of the key —
@@ -142,24 +176,47 @@ def global_row_number(
     bucket = F.lit(0)
     for b in boundaries:
         bucket = bucket + F.when(_ge_boundary(pairs[:prefix_len], b), 1).otherwise(0)
-    bucketed = df.withColumn(_PID, bucket.cast("int"))
+    return df.withColumn(_PID, bucket.cast("int")), n
 
-    # 3. Per-bucket counts → offsets (deterministic: bucket assignment
-    #    is a pure function of the row). n_parts rows — trivially
-    #    collectable at any scale.
-    counts = bucketed.groupBy(_PID).agg(F.count("*").alias("c")).collect()
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    alias: str = "running_sum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over a total order, without
+    a single-partition window — the prefix-sum twin of
+    :func:`global_row_number` (same deterministic range buckets;
+    per-bucket SUMS instead of counts feed the offset map).
+
+    ``exclusive=True`` yields ``SUM(...) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` (0 for the first row) —
+    the packing/offset-assignment shape; ``False`` includes the
+    current row. The value column must be non-null numeric; sums are
+    computed in the column's own type (use BIGINT inputs for exact
+    order-independent totals).
+    """
+    pairs = _normalize_order(order_cols)
+    sort_cols = [c if asc else c.desc() for c, asc in pairs]
+    bucketed, _ = _assign_range_buckets(df, pairs, num_partitions)
+
+    sums = bucketed.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
     acc = 0
     offset_map: list[Column] = []
-    for row in sorted(counts, key=lambda r: r[_PID]):
+    for row in sorted(sums, key=lambda r: r[_PID]):
         offset_map.extend([F.lit(row[_PID]), F.lit(acc)])
-        acc += row["c"]
+        acc += row["s"] or 0
     offs = F.create_map(*offset_map) if offset_map else F.create_map()
 
     w = Window.partitionBy(_PID).orderBy(*sort_cols)
+    frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    local = F.coalesce(F.sum(value_col).over(frame), F.lit(0))
     return (
         bucketed.withColumn(
-            alias,
-            (F.row_number().over(w) + F.element_at(offs, F.col(_PID))).cast("long"),
+            alias, (local + F.element_at(offs, F.col(_PID))).cast("long")
         )
         .drop(_PID)
     )

@@ -167,6 +167,71 @@ ORDER BY source, doc_id
 """
 
 
+def pack_spans_global(docs: DataFrame, window_tokens: int = PACK_WINDOW) -> DataFrame:
+    """Concat-and-split packing over ONE GLOBAL sequence (all sources
+    concatenated in doc_id order) — the single-giant-source case
+    :func:`pack_spans` names as its scale limit.
+
+    A naive spelling is ``SUM(n) OVER (ORDER BY doc_id)`` — a
+    single-partition window, the canonical 100 TB anti-pattern. This
+    uses functions/ranking.global_running_sum instead: deterministic
+    range buckets on doc_id, per-bucket BIGINT sums (exact,
+    order-independent) collected as the offset map (n_buckets rows on
+    the driver), local windows add the offsets. Results are bit-equal
+    to the global window (oracle-checked) at any partition count.
+    """
+    from ..functions.ranking import global_running_sum
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.filter(F.length("text") > 0).select(
+        "doc_id", n_tokens.alias("n_tokens")
+    )
+    out = global_running_sum(
+        base, ["doc_id"], "n_tokens", alias="tok_start", exclusive=True
+    )
+    first_bin = F.floor(F.col("tok_start") / F.lit(window_tokens))
+    last_bin = F.floor(
+        (F.col("tok_start") + F.col("n_tokens") - 1) / F.lit(window_tokens)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        (last_bin - first_bin + 1).alias("n_bins"),
+    )
+
+
+def q_corpus_pack_spans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_spans_global(docs).orderBy("doc_id")
+
+
+ORACLE_PACK_SPANS_GLOBAL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {PACK_WINDOW} AS first_bin,
+       (tok_start + n_tokens - 1) // {PACK_WINDOW} AS last_bin,
+       (tok_start + n_tokens - 1) // {PACK_WINDOW} - tok_start // {PACK_WINDOW} + 1
+         AS n_bins
+FROM s
+ORDER BY doc_id
+"""
+
+
 def _scaled_long(x):
     """float32 coordinate -> exact integer-scaled BIGINT (1e-6 grid),
     identical in both engines: float->double widening is exact and
@@ -269,11 +334,13 @@ ORDER BY label, rnk
 QUERIES = {
     "text_chunking": q_text_chunking,
     "corpus_pack_spans": q_corpus_pack_spans,
+    "corpus_pack_spans_global": q_corpus_pack_spans_global,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
 }
 
 ORACLES = {
     "text_chunking": ORACLE_CHUNKING,
     "corpus_pack_spans": ORACLE_PACK_SPANS,
+    "corpus_pack_spans_global": ORACLE_PACK_SPANS_GLOBAL,
     "embedding_centroid_outliers": ORACLE_CENTROID_OUTLIERS,
 }

@@ -149,6 +149,9 @@ _GATE_ORDER: tuple[str, ...] = (
     # (tests/test_oracle_parity.py uses the measured driver
     # normalization). All were driver-green in at least one of
     # CORRECTNESS_r02-r05.
+    # NEW late-session, past the cap (pytest replica; rotate into the
+    # gate next round): the global-sequence packing variant.
+    "corpus_pack_spans_global",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "view_retard_par_magasin",
     "view_liste_films_noms_formates",

@@ -304,3 +304,16 @@ def test_skew_profile_is_takeordered_with_scalar_broadcast(spark, sf_small):
     plan = _plan(q_join_key_skew_profile(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_spans_global_no_single_partition_window(spark, sf_small):
+    """The global-sequence packing must ride range-bucketed prefix
+    sums — a regression to SUM() OVER (ORDER BY doc_id) would plan a
+    window over SinglePartition."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+        q_corpus_pack_spans_global,
+    )
+
+    plan = _plan(q_corpus_pack_spans_global(spark, sf_small))
+    assert "Window" in plan
+    assert "hashpartitioning(__sg_bucket" in plan, plan[:2000]
