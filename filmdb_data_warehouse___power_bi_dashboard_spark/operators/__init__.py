@@ -26,6 +26,7 @@ from . import (  # noqa: E402
     asof,
     cdc,
     chunking,
+    funnel,
     health,
     multimodal,
     quality,
@@ -34,6 +35,6 @@ from . import (  # noqa: E402
     text,
 )
 
-for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health, chunking):
+for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health, chunking, funnel):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

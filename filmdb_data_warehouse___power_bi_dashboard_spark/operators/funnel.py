@@ -1,0 +1,175 @@
+"""Event-sequence analytics over ``events``: ordered conversion
+funnels and per-user date-spine gap filling — the two event-table
+workloads every warehouse dashboard adds on top of plain aggregation
+(the reference's closest analog is the weekday-profile view,
+vues.sql:308-316, which profiles volume but has no ordering or
+completeness semantics).
+
+Scale design:
+- The funnel never joins raw events to raw events: each stage reduces
+  to a per-user MIN(ts) aggregate FIRST (map-side combined), and the
+  stage chaining joins those per-user 1-row frames — shuffle volume
+  is O(|users|) per stage, not O(|events|).
+- Gap filling builds the day spine from a 1-row min/max aggregate
+  (explode(sequence(...)) — the S7 date-spine generator) and
+  cross-joins it to the DISTINCT user set; the left join back to
+  daily counts is a broadcast of the spine side at any realistic
+  horizon (days × users on the build side only when users are few —
+  Catalyst picks hash join on (user_id, day) otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when an
+    event of type ``stages[k]`` exists STRICTLY AFTER the user's
+    first qualifying event of stage k-1 (first-touch chaining — the
+    standard funnel definition; re-orderings like purchase-then-view
+    do not count).
+
+    Output: one row per stage with the user count and the conversion
+    percentage relative to stage 1.
+    """
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        ev = events.filter(F.col("event_type") == stage).select("user_id", "ts")
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.withColumnRenamed("t", "t_prev"), "user_id")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(cur)
+        prev = cur
+    counts = [df.agg(F.count(F.lit(1)).alias("n")) for df in reached]
+    rows = None
+    for i, (stage, cnt) in enumerate(zip(stages, counts)):
+        labeled = cnt.select(
+            F.lit(i + 1).alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.col("n").alias("n_users"),
+        )
+        rows = labeled if rows is None else rows.unionByName(labeled)
+    base = counts[0].select(F.col("n").alias("n_base"))
+    return (
+        rows.crossJoin(F.broadcast(base))
+        .select(
+            "stage_no",
+            "stage",
+            "n_users",
+            round_half_up(
+                F.col("n_users") / F.col("n_base") * 100.0, 4
+            ).alias("pct_of_first"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+stacked AS (
+  SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT stage_no, stage, n_users,
+       {sql_round_half_up("n_users / (SELECT n_users FROM stacked WHERE stage_no = 1) * 100.0", 4)}
+         AS pct_of_first
+FROM stacked
+ORDER BY stage_no
+"""
+
+
+def gap_filled_daily(events: DataFrame) -> DataFrame:
+    """Per-user daily event counts with ZERO-FILLED gaps over the
+    corpus's full [min_day, max_day] span — the completeness shape
+    every retention/heatmap visual needs (a missing day must render
+    as 0, not disappear).
+    """
+    span = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = events.select("user_id").distinct()
+    daily = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        users.crossJoin(F.broadcast(spine))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+def q_events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_filled_daily(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_GAP_FILLED = """
+WITH span AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM users u CROSS JOIN spine s
+LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+ORDER BY u.user_id, s.day
+"""
+
+
+QUERIES = {
+    "events_funnel": q_events_funnel,
+    "events_gap_filled_daily": q_events_gap_filled_daily,
+}
+
+ORACLES = {
+    "events_funnel": ORACLE_FUNNEL,
+    "events_gap_filled_daily": ORACLE_GAP_FILLED,
+}

@@ -194,14 +194,132 @@ LIMIT 10
 """
 
 
+def robust_value_stats(events: DataFrame) -> DataFrame:
+    """Winsorized (clipped) robust statistics of ``events.value`` per
+    event type: p05/p95 bounds, then mean and population stddev of the
+    values clipped to those bounds — the outlier-resistant profile a
+    curation pipeline trusts over raw moments.
+
+    Exactness: values are scaled to integer cents (floor(v*100+0.5) —
+    exact in both engines), so every SUM is an order-independent
+    BIGINT; the only floating ops are the percentile interpolation and
+    the final mean/variance divisions, identical IEEE sequences in
+    Spark's ``percentile`` and DuckDB's ``quantile_cont``.
+
+    Scale shape: two grouped aggregations over a bounded key domain
+    (event types) joined back by broadcast — percentiles are exact
+    (sort within group); at larger group cardinality swap in the
+    approx-sketch twin (approx_month_profile's percentile_approx).
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", cents.alias("vc")
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.05)").alias("p05"),
+        F.expr("percentile(vc, 0.95)").alias("p95"),
+    )
+    clipped = (
+        base.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "p05",
+            "p95",
+            F.least(F.greatest(F.col("vc").cast("double"), F.col("p05")), F.col("p95")).alias("w"),
+        )
+    )
+    # w is a double holding either an exact integer (clipped to vc) or
+    # the interpolated bound — sum order still matters in principle,
+    # so accumulate the two parts separately: exact BIGINT sums of the
+    # interior values, counts of rows pinned to each bound.
+    agg = clipped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("w") == F.col("p05"), 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("w") == F.col("p95"), 1).otherwise(0)).alias("n_hi"),
+        F.sum(
+            F.when(
+                (F.col("w") != F.col("p05")) & (F.col("w") != F.col("p95")),
+                F.col("w").cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("s_mid"),
+        F.sum(
+            F.when(
+                (F.col("w") != F.col("p05")) & (F.col("w") != F.col("p95")),
+                F.col("w").cast("long") * F.col("w").cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("s2_mid"),
+    )
+    s1 = F.col("s_mid") + F.col("n_lo") * F.col("p05") + F.col("n_hi") * F.col("p95")
+    s2 = (
+        F.col("s2_mid")
+        + F.col("n_lo") * F.col("p05") * F.col("p05")
+        + F.col("n_hi") * F.col("p95") * F.col("p95")
+    )
+    mean = s1 / F.col("n")
+    var = s2 / F.col("n") - mean * mean
+    return agg.select(
+        "event_type",
+        "n",
+        round_half_up(F.col("p05") / 100.0, 4).alias("p05_value"),
+        round_half_up(F.col("p95") / 100.0, 4).alias("p95_value"),
+        round_half_up(mean / 100.0, 4).alias("winsor_mean"),
+        round_half_up(F.sqrt(var) / 100.0, 4).alias("winsor_std"),
+    ).orderBy("event_type")
+
+
+def q_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robust_value_stats(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_ROBUST_STATS = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type,
+         quantile_cont(vc, 0.05) AS p05,
+         quantile_cont(vc, 0.95) AS p95
+  FROM base GROUP BY 1
+),
+clipped AS (
+  SELECT b.event_type, p05, p95,
+         LEAST(GREATEST(CAST(vc AS DOUBLE), p05), p95) AS w
+  FROM base b JOIN bounds USING (event_type)
+),
+agg AS (
+  SELECT event_type, p05, p95,
+         COUNT(*) AS n,
+         SUM(CASE WHEN w = p05 THEN 1 ELSE 0 END) AS n_lo,
+         SUM(CASE WHEN w = p95 THEN 1 ELSE 0 END) AS n_hi,
+         CAST(SUM(CASE WHEN w <> p05 AND w <> p95 THEN CAST(w AS BIGINT) ELSE 0 END) AS BIGINT) AS s_mid,
+         CAST(SUM(CASE WHEN w <> p05 AND w <> p95 THEN CAST(w AS BIGINT) * CAST(w AS BIGINT) ELSE 0 END) AS BIGINT) AS s2_mid
+  FROM clipped GROUP BY 1, 2, 3
+)
+SELECT event_type, n,
+       {sql_round_half_up("p05 / 100.0", 4)} AS p05_value,
+       {sql_round_half_up("p95 / 100.0", 4)} AS p95_value,
+       {sql_round_half_up("(s_mid + n_lo * p05 + n_hi * p95) / n / 100.0", 4)} AS winsor_mean,
+       {sql_round_half_up(
+           "sqrt((s2_mid + n_lo * p05 * p05 + n_hi * p95 * p95) / n"
+           " - ((s_mid + n_lo * p05 + n_hi * p95) / n)"
+           " * ((s_mid + n_lo * p05 + n_hi * p95) / n)) / 100.0", 4)} AS winsor_std
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "corpus_health_report": q_corpus_health_report,
     "events_value_histogram": q_events_value_histogram,
     "join_key_skew_profile": q_join_key_skew_profile,
+    "robust_value_stats": q_robust_value_stats,
 }
 
 ORACLES = {
     "corpus_health_report": ORACLE_HEALTH,
     "events_value_histogram": ORACLE_HISTOGRAM,
     "join_key_skew_profile": ORACLE_SKEW_PROFILE,
+    "robust_value_stats": ORACLE_ROBUST_STATS,
 }

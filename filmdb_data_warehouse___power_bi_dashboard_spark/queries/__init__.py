@@ -152,6 +152,9 @@ _GATE_ORDER: tuple[str, ...] = (
     # NEW late-session, past the cap (pytest replica; rotate into the
     # gate next round): the global-sequence packing variant.
     "corpus_pack_spans_global",
+    "events_funnel",
+    "events_gap_filled_daily",
+    "robust_value_stats",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "view_retard_par_magasin",
     "view_liste_films_noms_formates",
