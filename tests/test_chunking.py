@@ -102,3 +102,29 @@ def test_centroid_outliers_rank_and_determinism(spark, sf_small):
         assert dists == sorted(dists, reverse=True)
     # Deterministic across recomputation (exact integer-scaled sums).
     assert sorted(map(tuple, rows)) == sorted(map(tuple, centroid_outliers(emb, top_n=5).collect()))
+
+
+def test_gap_fill_is_complete_grid(spark, sf_small):
+    """Gap-filled daily counts must be a complete users × days grid
+    whose nonzero cells sum to the event count."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+        gap_filled_daily,
+    )
+
+    events = read_table(spark, sf_small, "events")
+    grid = gap_filled_daily(events).cache()
+    try:
+        n_users = events.select("user_id").distinct().count()
+        days = (
+            events.agg(
+                F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("d")
+            ).collect()[0]["d"]
+            + 1
+        )
+        assert grid.count() == n_users * days
+        total = grid.agg(F.sum("n_events")).collect()[0][0]
+        assert total == events.count()
+    finally:
+        grid.unpersist()

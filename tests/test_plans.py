@@ -317,3 +317,35 @@ def test_pack_spans_global_no_single_partition_window(spark, sf_small):
     plan = _plan(q_corpus_pack_spans_global(spark, sf_small))
     assert "Window" in plan
     assert "hashpartitioning(__sg_bucket" in plan, plan[:2000]
+
+
+def test_funnel_never_joins_raw_events_to_raw_events(spark, sf_small):
+    """Funnel stages must reduce to per-user MIN aggregates BEFORE
+    chaining: every join input on the build side is an aggregated
+    per-user frame, so no shuffle moves raw event rows twice. We
+    assert the plan has (at least) one aggregate per stage and no
+    cartesian/nested-loop joins except the final 1-row base
+    broadcast."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+        q_events_funnel,
+    )
+
+    plan = _plan(q_events_funnel(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    agg_nodes = (
+        plan.count("HashAggregate")
+        + plan.count("ObjectHashAggregate")
+        + plan.count("SortAggregate")
+    )
+    assert agg_nodes >= 6, plan[:2000]  # 3 stages x (partial+final) at least
+
+
+def test_gap_fill_broadcasts_spine(spark, sf_small):
+    """The day spine (bounded by the corpus horizon) must broadcast
+    into the user cross join — the fact side never shuffles for it."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+        q_events_gap_filled_daily,
+    )
+
+    plan = _plan(q_events_gap_filled_daily(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
