@@ -92,7 +92,7 @@ def global_row_number(
     """
     pairs = _normalize_order(order_cols)
     sort_cols = [c if asc else c.desc() for c, asc in pairs]
-    bucketed, n = _assign_range_buckets(df, pairs, num_partitions, n_rows)
+    bucketed, _ = _assign_range_buckets(df, pairs, num_partitions, n_rows)
 
     # 3. Per-bucket counts → offsets (deterministic: bucket assignment
     #    is a pure function of the row). n_parts rows — trivially
@@ -196,12 +196,17 @@ def global_running_sum(
     UNBOUNDED PRECEDING AND 1 PRECEDING)`` (0 for the first row) —
     the packing/offset-assignment shape; ``False`` includes the
     current row. The value column must be non-null numeric; sums are
-    computed in the column's own type (use BIGINT inputs for exact
-    order-independent totals).
+    computed in the column's own type. Integral inputs return a long
+    column and are EXACT (order-independent BIGINT sums); fractional
+    inputs keep their floating type, with the usual caveat that
+    per-bucket partial sums reassociate the addition order.
     """
     pairs = _normalize_order(order_cols)
     sort_cols = [c if asc else c.desc() for c, asc in pairs]
     bucketed, _ = _assign_range_buckets(df, pairs, num_partitions)
+    integral = dict(df.dtypes).get(value_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
 
     sums = bucketed.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
     acc = 0
@@ -214,10 +219,9 @@ def global_running_sum(
     w = Window.partitionBy(_PID).orderBy(*sort_cols)
     frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     local = F.coalesce(F.sum(value_col).over(frame), F.lit(0))
+    total = local + F.element_at(offs, F.col(_PID))
     return (
-        bucketed.withColumn(
-            alias, (local + F.element_at(offs, F.col(_PID))).cast("long")
-        )
+        bucketed.withColumn(alias, total.cast("long") if integral else total)
         .drop(_PID)
     )
 

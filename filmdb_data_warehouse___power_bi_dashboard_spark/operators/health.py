@@ -232,10 +232,18 @@ def robust_value_stats(events: DataFrame) -> DataFrame:
     # the interpolated bound — sum order still matters in principle,
     # so accumulate the two parts separately: exact BIGINT sums of the
     # interior values, counts of rows pinned to each bound.
+    # A row pinned to a bound counts in exactly ONE bucket: when the
+    # distribution is degenerate (p05 == p95, e.g. a constant column)
+    # every row equals both bounds — double-counting them would double
+    # the mean and drive the variance negative.
     agg = clipped.groupBy("event_type", "p05", "p95").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("w") == F.col("p05"), 1).otherwise(0)).alias("n_lo"),
-        F.sum(F.when(F.col("w") == F.col("p95"), 1).otherwise(0)).alias("n_hi"),
+        F.sum(
+            F.when(
+                (F.col("w") == F.col("p95")) & (F.col("p95") != F.col("p05")), 1
+            ).otherwise(0)
+        ).alias("n_hi"),
         F.sum(
             F.when(
                 (F.col("w") != F.col("p05")) & (F.col("w") != F.col("p95")),
@@ -292,7 +300,7 @@ agg AS (
   SELECT event_type, p05, p95,
          COUNT(*) AS n,
          SUM(CASE WHEN w = p05 THEN 1 ELSE 0 END) AS n_lo,
-         SUM(CASE WHEN w = p95 THEN 1 ELSE 0 END) AS n_hi,
+         SUM(CASE WHEN w = p95 AND p95 <> p05 THEN 1 ELSE 0 END) AS n_hi,
          CAST(SUM(CASE WHEN w <> p05 AND w <> p95 THEN CAST(w AS BIGINT) ELSE 0 END) AS BIGINT) AS s_mid,
          CAST(SUM(CASE WHEN w <> p05 AND w <> p95 THEN CAST(w AS BIGINT) * CAST(w AS BIGINT) ELSE 0 END) AS BIGINT) AS s2_mid
   FROM clipped GROUP BY 1, 2, 3

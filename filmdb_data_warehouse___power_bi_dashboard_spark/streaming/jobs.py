@@ -826,14 +826,20 @@ def stream_sliding_agg(
     slide: str = "15 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Watermarked SLIDING-window aggregation (overlapping windows:
-    every event lands in duration/slide windows) — the trend-smoothing
-    shape tumbling windows can't express (a 1 h metric refreshed every
-    15 min). Same state story as tumbling: the watermark closes
-    windows ``watermark`` past their end, so state is bounded by
-    (active windows × group keys), with the multiplier duration/slide.
-    Complete mode on bounded input yields exactly the batch answer
-    (oracle: each event replicated to its duration/slide windows).
+    """SLIDING-window aggregation (overlapping windows: every event
+    lands in duration/slide windows) — the trend-smoothing shape
+    tumbling windows can't express (a 1 h metric refreshed every
+    15 min).
+
+    This bounded demo runs in COMPLETE mode so every window is emitted
+    at the final commit and the result equals the batch answer
+    (oracle: each event replicated to its duration/slide windows);
+    complete mode retains all window state, so it is only for bounded
+    runs / small window domains. The production unbounded shape is
+    the same expression in APPEND mode, where the watermark closes
+    windows ``watermark`` past their end and state is bounded by
+    (active windows × group keys) with the duration/slide multiplier
+    — identical to stream_tumbling_to_parquet's deployment story.
     """
     events = _read_events_stream(spark, sf_dir)
     agg = (
@@ -988,6 +994,11 @@ def q_stream_left_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
     ).collect()[0]
+    if maxes["mc"] is None or maxes["mp"] is None:
+        # One side never arrived: no watermark frontier exists, so the
+        # closed region is empty (matches the oracle's LEAST(NULL, ...)
+        # cutoff filtering everything out).
+        return result.filter(F.lit(False)).orderBy("purchase_id", "click_id")
     import datetime as _dt
 
     cutoff = min(maxes["mc"], maxes["mp"]) - _dt.timedelta(minutes=91)

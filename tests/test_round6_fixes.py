@@ -160,3 +160,68 @@ def test_sibling_session_gets_its_own_views(spark, sf_small):
     finally:
         # Temp views die with the session object; nothing to clean.
         pass
+
+
+def test_robust_stats_degenerate_constant_distribution(spark):
+    """p05 == p95 (constant values): pinned rows must count in exactly
+    one bucket — mean equals the constant, stddev is 0 (the
+    double-count bug doubled the mean and drove variance negative)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.health import (
+        robust_value_stats,
+    )
+
+    rows = [(i, "buy", 5.0) for i in range(20)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = robust_value_stats(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.winsor_mean == 5.0
+    assert r.winsor_std == 0.0
+    assert r.p05_value == 5.0 and r.p95_value == 5.0
+
+
+def test_global_running_sum_keeps_fractional_type(spark):
+    """A double value column must yield exact fractional running sums,
+    not long-truncated ones."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.functions.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(6)], "id long, amount double"
+    )
+    out = {
+        r.id: r.running_sum
+        for r in global_running_sum(df, ["id"], "amount").collect()
+    }
+    assert out == {0: 0.0, 1: 0.5, 2: 1.0, 3: 1.5, 4: 2.0, 5: 2.5}
+    # Integral input still returns exact longs.
+    dfi = spark.createDataFrame([(i, 2) for i in range(4)], "id long, n int")
+    outi = {r.id: r.running_sum for r in global_running_sum(dfi, ["id"], "n").collect()}
+    assert outi == {0: 0, 1: 2, 2: 4, 3: 6}
+
+
+def test_stream_left_attribution_empty_side_returns_empty(spark, tmp_path):
+    """With zero click events the closed region is empty: the query
+    must return an empty frame (matching the oracle's NULL cutoff),
+    not crash on min(None, ts)."""
+    import datetime
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        q_stream_left_attribution,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 10, i), 1, "purchase", 5.0, "{}")
+        for i in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    ev.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = q_stream_left_attribution(spark, sf)
+    assert out.count() == 0
