@@ -31,10 +31,25 @@ from . import (  # noqa: E402
     multimodal,
     quality,
     sampling,
+    segments,
     similarity,
     text,
+    vectors,
 )
 
-for _mod in (similarity, text, multimodal, asof, sampling, quality, cdc, health, chunking, funnel):
+for _mod in (
+    similarity,
+    text,
+    multimodal,
+    asof,
+    sampling,
+    quality,
+    cdc,
+    health,
+    chunking,
+    funnel,
+    segments,
+    vectors,
+):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

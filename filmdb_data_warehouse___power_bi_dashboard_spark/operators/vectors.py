@@ -1,0 +1,237 @@
+"""Embedding-column care: referential/shape integrity auditing and
+int8 quantization error reporting — the checks a 100 TB multimodal
+corpus runs before (and after) shipping vectors to a trainer or an
+ANN index build.
+
+Everything here is pure ``pyspark.sql.functions`` higher-order
+expressions over ``array<float>`` — whole-stage codegen, no Python in
+the data path, no shuffle except the final 1-row / per-label
+aggregates (map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+def _dzero():
+    # built lazily: F.lit at module import would require an active
+    # SparkContext before any session exists
+    return F.lit(0.0).cast("double")
+
+
+def _norm(col):
+    """L2 norm via a left-fold — identical op order to the DuckDB
+    oracle's list_sum at fp-negligible (<1e-15) divergence, absorbed
+    by the 4-decimal reporting rounds."""
+    return F.sqrt(
+        F.aggregate(
+            col, _dzero(), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """One-row corpus audit joining the documents and embeddings
+    tables: row counts, referential orphans on both sides, dimension
+    drift vs the modal dimension, NaN vectors, zero-norm vectors, and
+    the norm distribution over clean vectors.
+
+    Every branch is a 1-row aggregate (or a count over an anti-join
+    whose build side is keys-only); the driver never holds more than
+    the single report row.
+    """
+    vec = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.exists("embedding", F.isnan).alias("has_nan"),
+        _norm(F.col("embedding")).alias("norm"),
+    )
+    # Modal dimension, ties broken toward the larger dim — a 1-row
+    # frame cross-joined in (never collected).
+    modal = (
+        vec.groupBy("dim")
+        .count()
+        .agg(F.max_by("dim", F.struct("count", "dim")).alias("expected_dim"))
+    )
+    vec_stats = vec.crossJoin(F.broadcast(modal)).agg(
+        F.count("*").alias("n_vecs"),
+        F.first("expected_dim").alias("expected_dim"),
+        F.sum((F.col("dim") != F.col("expected_dim")).cast("long")).alias(
+            "n_bad_dim"
+        ),
+        F.sum(F.col("has_nan").cast("long")).alias("n_nan_vecs"),
+        F.sum(
+            (~F.col("has_nan") & (F.col("norm") == 0.0)).cast("long")
+        ).alias("n_zero_norm"),
+        round_half_up(F.min(F.when(~F.col("has_nan"), F.col("norm"))), 4).alias(
+            "norm_min"
+        ),
+        round_half_up(F.avg(F.when(~F.col("has_nan"), F.col("norm"))), 4).alias(
+            "norm_avg"
+        ),
+        round_half_up(F.max(F.when(~F.col("has_nan"), F.col("norm"))), 4).alias(
+            "norm_max"
+        ),
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    orphan_vecs = (
+        emb.select("vec_id")
+        .join(docs.select("doc_id"), F.col("vec_id") == F.col("doc_id"), "left_anti")
+        .agg(F.count("*").alias("n_orphan_vecs"))
+    )
+    missing_vecs = (
+        docs.select("doc_id")
+        .join(emb.select("vec_id"), F.col("doc_id") == F.col("vec_id"), "left_anti")
+        .agg(F.count("*").alias("n_docs_missing_vec"))
+    )
+    out = (
+        n_docs.crossJoin(vec_stats)
+        .crossJoin(orphan_vecs)
+        .crossJoin(missing_vecs)
+    )
+    return out.select(
+        "n_docs",
+        "n_vecs",
+        "n_orphan_vecs",
+        "n_docs_missing_vec",
+        F.col("expected_dim").cast("long").alias("expected_dim"),
+        "n_bad_dim",
+        "n_nan_vecs",
+        "n_zero_norm",
+        "norm_min",
+        "norm_avg",
+        "norm_max",
+    )
+
+
+def q_embedding_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return integrity_audit(docs, emb)
+
+
+ORACLE_INTEGRITY = f"""
+WITH v AS (
+  SELECT vec_id,
+         len(embedding) AS dim,
+         len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+         sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         ))) AS norm
+  FROM embeddings
+), modal AS (
+  SELECT dim AS expected_dim
+  FROM (SELECT dim, COUNT(*) AS c FROM v GROUP BY dim)
+  ORDER BY c DESC, dim DESC LIMIT 1
+)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(*) FROM v) AS n_vecs,
+  (SELECT COUNT(*) FROM embeddings e
+     LEFT JOIN documents d ON e.vec_id = d.doc_id
+     WHERE d.doc_id IS NULL) AS n_orphan_vecs,
+  (SELECT COUNT(*) FROM documents d
+     LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+     WHERE e.vec_id IS NULL) AS n_docs_missing_vec,
+  (SELECT CAST(expected_dim AS BIGINT) FROM modal) AS expected_dim,
+  (SELECT COUNT(*) FROM v, modal WHERE dim <> expected_dim) AS n_bad_dim,
+  (SELECT COUNT(*) FROM v WHERE has_nan) AS n_nan_vecs,
+  (SELECT COUNT(*) FROM v WHERE NOT has_nan AND norm = 0.0) AS n_zero_norm,
+  (SELECT {sql_round_half_up('MIN(norm)', 4)} FROM v WHERE NOT has_nan) AS norm_min,
+  (SELECT {sql_round_half_up('AVG(norm)', 4)} FROM v WHERE NOT has_nan) AS norm_avg,
+  (SELECT {sql_round_half_up('MAX(norm)', 4)} FROM v WHERE NOT has_nan) AS norm_max
+"""
+
+
+def quantize_report(emb: DataFrame) -> DataFrame:
+    """Per-label int8 symmetric-quantization error report.
+
+    Per vector: scale = amax/127 (max-abs calibration), each element
+    quantized as floor(x/scale*127... spelled floor(x*inv+0.5) with
+    inv = 127/amax), dequantized back, and the max absolute
+    reconstruction error taken over the vector. The report aggregates
+    per label: vectors, mean calibration range, mean and worst max
+    error. Zero vectors (amax = 0) quantize losslessly (error 0).
+
+    The whole computation is elementwise codegen (transform/aggregate
+    HOFs); the only shuffle is the per-label partial-combined agg.
+    The floor(x+0.5) spelling keeps the Spark and DuckDB IEEE op
+    sequences identical (see functions.scalar.round_half_up).
+    """
+    amax = F.aggregate(
+        F.col("embedding"),
+        _dzero(),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    v = emb.select("label", F.col("embedding"), amax.alias("amax"))
+    inv = F.lit(127.0) / F.col("amax")  # elements/scale; inf when amax=0
+    err_elem = lambda x: F.abs(  # noqa: E731 — readable lambda chain
+        x.cast("double")
+        - F.floor(x.cast("double") * inv + F.lit(0.5)) / inv
+    )
+    max_err = F.when(F.col("amax") == 0.0, _dzero()).otherwise(
+        F.aggregate(
+            F.col("embedding"), _dzero(), lambda a, x: F.greatest(a, err_elem(x))
+        )
+    )
+    scored = v.select("label", "amax", max_err.alias("max_err"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round_half_up(F.avg("amax"), 5).alias("avg_amax"),
+            round_half_up(F.avg("max_err"), 6).alias("avg_max_abs_err"),
+            round_half_up(F.max("max_err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_report(emb)
+
+
+ORACLE_QUANTIZE = f"""
+WITH v AS (
+  SELECT label,
+         embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+), scored AS (
+  SELECT label,
+         amax,
+         CASE WHEN amax = 0.0 THEN 0.0 ELSE
+           list_max(list_transform(
+             embedding,
+             x -> abs(CAST(x AS DOUBLE)
+                      - floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+                        / (127.0 / amax))
+           ))
+         END AS max_err
+  FROM v
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       {sql_round_half_up('AVG(amax)', 5)} AS avg_amax,
+       {sql_round_half_up('AVG(max_err)', 6)} AS avg_max_abs_err,
+       {sql_round_half_up('MAX(max_err)', 6)} AS max_abs_err
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "embedding_integrity_audit": q_embedding_integrity_audit,
+    "embedding_quantize_report": q_embedding_quantize_report,
+}
+
+ORACLES = {
+    "embedding_integrity_audit": ORACLE_INTEGRITY,
+    "embedding_quantize_report": ORACLE_QUANTIZE,
+}

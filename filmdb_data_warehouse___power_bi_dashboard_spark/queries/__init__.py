@@ -90,12 +90,15 @@ _GATE_ORDER: tuple[str, ...] = (
     # (v_retard_par_client now derives from v_retard_location) and the
     # ordered-DISTINCT-agg shape not otherwise covered (2)
     "view_retard_par_client",
-    # LLM-pipeline operators with oracles (4 kept; 5 multi-round-green
-    # displaced to the replica to make room for this round's additions)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
-    "ann_topk_bruteforce",
+    # LLM-pipeline operators with oracles (1 kept; dedup_ngram_jaccard
+    # / dedup_embedding_pairs / ann_topk_bruteforce — all driver-green
+    # in r5 — displaced to the replica to make room for this session's
+    # three NEW oracle-bearing operators, which take their first
+    # driver-recorded rows now)
     "multimodal_byte_stats",
+    "text_segment_dedup",
+    "embedding_integrity_audit",
+    "embedding_quantize_report",
     # NEW mid-round-6 (oracle-bearing): quality/curation + CDC +
     # incremental maintenance + tf-idf similarity join — in the gate
     # NOW so CORRECTNESS_r06 records their first driver rows.
@@ -159,6 +162,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_gap_filled_daily",
     "robust_value_stats",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "ann_topk_bruteforce",
     "view_retard_par_magasin",
     "view_liste_films_noms_formates",
     "metrics_drill_localisation",
