@@ -105,8 +105,74 @@ def q_corpus_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def epoch_order(
+    docs: DataFrame, n_epochs: int = 2, seed: str = "epoch"
+) -> DataFrame:
+    """Deterministic per-epoch training order: for each epoch e, every
+    document gets a position in a pseudo-random permutation keyed by
+    md5(seed:e:doc_id) — the reproducible "shuffle each epoch
+    differently" a data loader needs, computed once as a table instead
+    of at load time.
+
+    Scale shape: the rank over (epoch, key) rides
+    ``functions.ranking.global_row_number`` (range-bucketed, no
+    single-partition window), and the within-epoch position is
+    recovered by subtracting each epoch's minimum global rank — an
+    ``n_epochs``-row broadcast join, never a per-epoch sort. md5 (not
+    xxhash64) keys keep a DuckDB twin possible.
+    """
+    from ..functions.ranking import global_row_number
+
+    e = docs.select("doc_id").withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.lit(n_epochs)))
+    )
+    e = e.withColumn(
+        "__key",
+        F.md5(F.concat_ws(":", F.lit(seed), F.col("epoch"), F.col("doc_id"))),
+    )
+    ranked = global_row_number(
+        e, ["epoch", "__key", "doc_id"], alias="__g"
+    )
+    base = ranked.groupBy("epoch").agg(F.min("__g").alias("__base"))
+    return (
+        ranked.join(F.broadcast(base), "epoch")
+        .select(
+            "epoch",
+            (F.col("__g") - F.col("__base") + F.lit(1)).alias("position"),
+            "doc_id",
+        )
+        .orderBy("epoch", "position")
+    )
+
+
+def q_corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_order(docs, n_epochs=2)
+
+
+ORACLE_EPOCH_ORDER = """
+WITH e AS (
+  SELECT doc_id, epoch
+  FROM documents, unnest([1, 2]) AS t(epoch)
+), k AS (
+  SELECT epoch, doc_id,
+         md5('epoch:' || epoch || ':' || doc_id) AS key
+  FROM e
+)
+SELECT epoch,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY key, doc_id)
+            AS BIGINT) AS position,
+       doc_id
+FROM k
+ORDER BY epoch, position
+"""
+
+
 QUERIES = {
     "corpus_split_summary": q_corpus_split_summary,
+    "corpus_epoch_order": q_corpus_epoch_order,
 }
 
-ORACLES: dict = {}
+ORACLES: dict = {
+    "corpus_epoch_order": ORACLE_EPOCH_ORDER,
+}

@@ -95,10 +95,12 @@ _GATE_ORDER: tuple[str, ...] = (
     # in r5 — displaced to the replica to make room for this session's
     # three NEW oracle-bearing operators, which take their first
     # driver-recorded rows now)
-    "multimodal_byte_stats",
+    # (multimodal_byte_stats — driver-green r5 — also displaced to the
+    # replica in favor of corpus_epoch_order's first driver row)
     "text_segment_dedup",
     "embedding_integrity_audit",
     "embedding_quantize_report",
+    "corpus_epoch_order",
     # NEW mid-round-6 (oracle-bearing): quality/curation + CDC +
     # incremental maintenance + tf-idf similarity join — in the gate
     # NOW so CORRECTNESS_r06 records their first driver rows.
@@ -165,6 +167,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
+    "multimodal_byte_stats",
     "view_retard_par_magasin",
     "view_liste_films_noms_formates",
     "metrics_drill_localisation",

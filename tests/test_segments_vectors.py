@@ -158,6 +158,56 @@ def test_quantize_zero_vector_lossless(spark):
     assert row["max_abs_err"] == 0.0 and row["avg_amax"] == 0.0
 
 
+# ------------------------------------------------------------- epoch order
+def test_epoch_order_is_per_epoch_permutation(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import epoch_order
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    n = docs.count()
+    out = epoch_order(docs, n_epochs=3)
+    per = (
+        out.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("position").alias("n_pos"),
+            F.min("position").alias("lo"),
+            F.max("position").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per) == 3
+    for r in per:
+        assert (r["n"], r["n_pos"], r["lo"], r["hi"]) == (n, n, 1, n)
+    # epochs genuinely reorder: epoch 1 and 2 disagree somewhere
+    e1 = out.filter("epoch = 1").select("position", F.col("doc_id").alias("d1"))
+    e2 = out.filter("epoch = 2").select("position", F.col("doc_id").alias("d2"))
+    diff = e1.join(e2, "position").filter("d1 <> d2").count()
+    assert diff > 0
+
+
+def test_epoch_order_stable_across_recompute(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import epoch_order
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    a = {(r["epoch"], r["doc_id"]): r["position"] for r in epoch_order(docs).collect()}
+    b = {(r["epoch"], r["doc_id"]): r["position"] for r in epoch_order(docs).collect()}
+    assert a == b
+
+
+def test_epoch_order_no_single_partition_window(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import epoch_order
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    plan = epoch_order(docs)._jdf.queryExecution().executedPlan().toString()
+    # The global rank must ride the range-bucketed spine (local
+    # windows hash-partitioned on the bucket column), not a global
+    # ROW_NUMBER over SinglePartition.
+    assert "hashpartitioning(__sg_bucket" in plan, "expected bucket-partitioned windows"
+
+
 def test_vector_ops_stay_codegen(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
 
