@@ -28,6 +28,7 @@ from . import (  # noqa: E402
     chunking,
     funnel,
     health,
+    lm,
     multimodal,
     quality,
     sampling,
@@ -50,6 +51,7 @@ for _mod in (
     funnel,
     segments,
     vectors,
+    lm,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

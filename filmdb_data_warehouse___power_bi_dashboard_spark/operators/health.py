@@ -318,8 +318,92 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Exponential time-decay aggregation (recency-weighted measures)
+# ---------------------------------------------------------------------------
+
+_HALF_LIFE_DAYS = 7.0
+_LN2 = 0.6931471805599453  # repr(math.log(2.0)) — shared literal
+
+
+def time_decay_agg(
+    events: DataFrame, half_life_days: float = _HALF_LIFE_DAYS
+) -> DataFrame:
+    """Recency-weighted rollup per event type: each event's value is
+    discounted by 2^(-age/half_life) where age is measured from the
+    corpus's newest timestamp — the decayed sums BI freshness scores,
+    trending widgets and feature-store recency features are built on.
+
+    Determinism contract: ages are exact BIGINT microsecond deltas
+    (``unix_micros`` / ``epoch_us`` — no sub-second truncation), the
+    per-row decayed weight is rounded onto a 1e-6 integer grid before
+    the sum, and both sums reduce in exact BIGINT arithmetic —
+    partition-order independent, bit-stable across engines.
+
+    Scale shape: a 1-row max(ts) aggregate broadcast into a cross join
+    (J4 scalar pattern), then ONE map-side-combined hash aggregation on
+    the bounded event_type domain. Two scans, no wide shuffle; at 100 TB
+    the reference timestamp would come from the ingest watermark instead
+    of a corpus max, removing the first scan entirely.
+    """
+    hl = float(half_life_days)
+    base = events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    ref = base.agg(F.max("ts").alias("ref_ts"))
+    age_days = (
+        F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(86400000000.0)
+    decay = F.exp(F.lit(-_LN2) * age_days / F.lit(hl))
+    w6 = F.floor(F.col("value") * decay * 1e6 + F.lit(0.5)).cast("long")
+    v6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .select("event_type", w6.alias("w"), v6.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("v").cast("double") / F.lit(1e6), 4).alias(
+                "sum_value"
+            ),
+            round_half_up(F.sum("w").cast("double") / F.lit(1e6), 4).alias(
+                "decayed_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_decay_agg(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_TIME_DECAY = f"""
+WITH base AS (
+  SELECT event_type, ts, value FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+ref AS (SELECT MAX(ts) AS ref_ts FROM base),
+w AS (
+  SELECT event_type,
+         CAST(FLOOR(value * exp({-_LN2!r}
+                * (CAST(epoch_us(ref_ts) - epoch_us(ts) AS DOUBLE)
+                   / 86400000000.0) / {_HALF_LIFE_DAYS!r})
+                * 1000000.0 + 0.5) AS BIGINT) AS w,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM base CROSS JOIN ref
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_round_half_up("CAST(SUM(v) AS DOUBLE) / 1000000.0", 4)} AS sum_value,
+       {sql_round_half_up("CAST(SUM(w) AS DOUBLE) / 1000000.0", 4)} AS decayed_sum
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "corpus_health_report": q_corpus_health_report,
+    "events_time_decay": q_events_time_decay,
     "events_value_histogram": q_events_value_histogram,
     "join_key_skew_profile": q_join_key_skew_profile,
     "robust_value_stats": q_robust_value_stats,
@@ -327,6 +411,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_health_report": ORACLE_HEALTH,
+    "events_time_decay": ORACLE_TIME_DECAY,
     "events_value_histogram": ORACLE_HISTOGRAM,
     "join_key_skew_profile": ORACLE_SKEW_PROFILE,
     "robust_value_stats": ORACLE_ROBUST_STATS,

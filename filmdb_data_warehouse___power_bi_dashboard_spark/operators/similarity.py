@@ -879,6 +879,118 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb, k=10, codebooks=books)
 
 
+def hard_negatives_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    (query) vector, the top-``k`` most cosine-similar base vectors with
+    a DIFFERENT label — the near-miss negatives that carry the most
+    gradient signal. Same two-stage exact-top-k shape as
+    :func:`bruteforce_topk`: the anchor matrix (ids, labels, vectors)
+    ships to every task, each base block scores vectorized with the
+    strict-order fold, masks same-label pairs to -inf, keeps its
+    BLOCK-LOCAL top-k per anchor, and only B·k candidate rows reach the
+    final per-anchor window.
+
+    Scale shape: per-task memory = one base block + the anchor matrix
+    (the broadcast-join smallness assumption — anchors are a training
+    batch, not the corpus); shuffle volume is n_anchors·k per block,
+    independent of base cardinality. When the anchor side is also
+    corpus-sized, route through the IVF/LSH candidate generators and
+    apply the same label mask at rescoring.
+    """
+    spark = emb.sparkSession
+    q_rows = (
+        queries.select("vec_id", "embedding", "label")
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float32) for r in q_rows]
+    ).astype(np.float64)
+    q_norms = _fold_norms(q_mat)
+
+    base = _spread(emb.filter(F.col("embedding").isNotNull())).select(
+        "vec_id", "label", "embedding"
+    )
+
+    def score_block(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            labels = pdf["label"].to_numpy().astype(np.int64)
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            cos = _fold_gram(mat, q_mat) / np.multiply.outer(
+                _fold_norms(mat), q_norms
+            )
+            c6 = np.floor(cos * 1e6 + 0.5) / 1e6
+            # Same-label pairs are not negatives: mask BEFORE the
+            # block-local prune (also silences the self-pair, whose
+            # label trivially matches).
+            c6 = np.where(np.equal.outer(labels, q_labels), -np.inf, c6)
+            out_q, out_v, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(q_ids)):
+                col = c6[:, j]
+                order = np.lexsort((ids, -_nan_first_desc_key(col)))[:kk]
+                for i in order:
+                    if col[i] == -np.inf:
+                        continue
+                    out_q.append(q_ids[j])
+                    out_v.append(ids[i])
+                    out_c.append(col[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+            )
+
+    cand = base.mapInPandas(
+        score_block, "query_id long, vec_id long, cosine double"
+    )
+    return _rank_topk(cand, k)
+
+
+_HARDNEG_ANCHOR_LABEL = 0
+_HARDNEG_K = 10
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchors = one training class (label 0 — a contrastive batch);
+    negatives mined from the full corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("label") == _HARDNEG_ANCHOR_LABEL)
+    return hard_negatives_topk(emb, anchors, k=_HARDNEG_K)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         {_SQL_COS_QB} AS cosine
+  FROM embeddings b
+  CROSS JOIN (SELECT * FROM embeddings
+              WHERE label = {_HARDNEG_ANCHOR_LABEL}) q
+  WHERE b.label <> q.label
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_HARDNEG_K}
+ORDER BY query_id, rank
+"""
+
+
 def _load_or_train_pq(emb, sf_dir: str, m: int, k_codes: int) -> list[list[list[float]]]:
     from ..runtime import corpus_artifact, json_artifact_io
 
@@ -899,8 +1011,10 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
 }

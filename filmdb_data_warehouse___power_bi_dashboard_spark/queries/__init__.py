@@ -118,15 +118,21 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_chunking",
     "corpus_pack_spans",
     "embedding_centroid_outliers",
+    # NEW this session (oracle-bearing): bigram LM quality scoring,
+    # cross-label hard-negative mining, and recency-decayed rollups —
+    # in the gate NOW for their first driver-recorded rows, displacing
+    # metrics_pareto_categorie / metrics_top_entities /
+    # metrics_reachat_par_magasin (all driver-green r5, definitions
+    # unchanged) to the pytest replica.
+    "text_lm_score",
+    "embedding_hard_negatives",
+    "events_time_decay",
     # ETL star (1 kept in gate: the fact build; the three other ETL
     # entries are past the cap this round)
     "etl_fact_paiement",
     # metrics / semantic layer (4 kept; drill_localisation and
     # magasin_mois_europe displaced past the cap this round)
     "metrics_kpi_global",
-    "metrics_pareto_categorie",
-    "metrics_top_entities",
-    "metrics_reachat_par_magasin",
     # SQL-text view layer: the surface pack value-checks 7 views whose
     # standalone entries sit past the cap in one normalized union;
     # the retard_par_magasin / liste_films spot queries (green r2-r5)
@@ -164,6 +170,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_gap_filled_daily",
     "robust_value_stats",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "metrics_pareto_categorie",
+    "metrics_top_entities",
+    "metrics_reachat_par_magasin",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
