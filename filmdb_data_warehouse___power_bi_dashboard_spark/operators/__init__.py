@@ -31,6 +31,7 @@ from . import (  # noqa: E402
     lm,
     multimodal,
     quality,
+    retrieval,
     sampling,
     segments,
     similarity,
@@ -52,6 +53,7 @@ for _mod in (
     segments,
     vectors,
     lm,
+    retrieval,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -127,17 +127,21 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_lm_score",
     "embedding_hard_negatives",
     "events_time_decay",
+    # NEW this session (oracle-bearing): RRF hybrid retrieval + the
+    # market-basket affinity pairs — in the gate NOW for their first
+    # driver rows, displacing view_surface_pack / metrics_kpi_global
+    # (both driver-green r5, definitions unchanged) to the replica.
+    "retrieval_rrf",
+    "basket_pair_counts",
     # ETL star (1 kept in gate: the fact build; the three other ETL
     # entries are past the cap this round)
     "etl_fact_paiement",
     # metrics / semantic layer (4 kept; drill_localisation and
     # magasin_mois_europe displaced past the cap this round)
-    "metrics_kpi_global",
     # SQL-text view layer: the surface pack value-checks 7 views whose
     # standalone entries sit past the cap in one normalized union;
     # the retard_par_magasin / liste_films spot queries (green r2-r5)
     # are past the cap this round.
-    "view_surface_pack",
     # NEW this session: observability pair (histogram + skew profile),
     # displacing view_retard_par_magasin / view_liste_films_noms_
     # formates (both driver-green r5 and earlier, definitions
@@ -170,6 +174,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_gap_filled_daily",
     "robust_value_stats",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
+    "metrics_kpi_global",
+    "view_surface_pack",
     "metrics_pareto_categorie",
     "metrics_top_entities",
     "metrics_reachat_par_magasin",

@@ -1299,7 +1299,75 @@ def q_approx_month_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (parts rented together)
+# ---------------------------------------------------------------------------
+
+_BASKET_TOPK = 25
+# Straggler guard: an order with B distinct parts expands to B(B-1)/2
+# pairs — quadratic in the one dimension the data model doesn't bound.
+# TPC-H-shaped baskets hold ≤13 parts (measured), so the cap is a
+# no-op here; at 100 TB it converts a single pathological mega-basket
+# (a bot account, a bulk order) from a task-killing straggler into a
+# dropped outlier, which is the standard affinity-mining treatment.
+_BASKET_CAP = 100
+
+
+def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part-pairs co-occurring in one order ("rented together" —
+    the BI affinity widget behind every recommendation panel).
+
+    Spark shape: distinct (order, part) → self-equi-join on the order
+    key with a ``<`` predicate so each unordered pair counts once.
+    Both join inputs are the SAME deduplicated frame, so Catalyst
+    plans one shuffle and a ReusedExchange for the other side; the
+    pair aggregation is map-side combined on (part, part) keys. The
+    basket-size cap above bounds the join's per-key expansion.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_n"))
+    capped = basket.join(
+        F.broadcast(sized.filter(F.col("basket_n") > _BASKET_CAP)),
+        "l_orderkey",
+        "left_anti",
+    )
+    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_BASKET_TOPK)
+    )
+
+
+ORACLE_BASKET_PAIRS = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+capped AS (
+  SELECT * FROM basket
+  WHERE l_orderkey NOT IN (
+    SELECT l_orderkey FROM basket
+    GROUP BY 1 HAVING COUNT(*) > {_BASKET_CAP}
+  )
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM capped a
+JOIN capped b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOPK}
+"""
+
+
 QUERIES = {
+    "basket_pair_counts": q_basket_pair_counts,
     "events_json_props": q_events_json_props,
     "approx_month_profile": q_approx_month_profile,
     "pivot_nation_segment": q_pivot_nation_segment,
@@ -1329,6 +1397,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_pair_counts": ORACLE_BASKET_PAIRS,
     "pivot_nation_segment": ORACLE_PIVOT,
     "unpivot_nation_segment": ORACLE_UNPIVOT,
     "events_json_props": ORACLE_Q23,
