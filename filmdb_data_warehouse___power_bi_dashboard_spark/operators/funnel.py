@@ -20,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
@@ -164,12 +164,79 @@ ORDER BY u.user_id, s.day
 """
 
 
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of event types, how often does
+    the second IMMEDIATELY follow the first in some user's timeline,
+    and what fraction of the first type's transitions does that
+    represent (``p_next`` — row-stochastic over ``from_type``).
+
+    The canonical session-behavior model behind "users who view
+    usually click next" dashboards and next-event prediction
+    baselines.
+
+    Scale shape: ONE window partitioned by ``user_id`` (the natural
+    shuffle key — millions of small partitions, never a global sort)
+    computes LEAD; the pair aggregation map-side combines onto at
+    most |types|^2 keys, and the row-normalizing second window runs
+    on that k x k frame, not on raw events. Ordering inside a user is
+    (ts, event_id) — a total order, so LEAD is deterministic under
+    recomputation.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round_half_up(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_tot),
+            6,
+        ).alias("p_next"),
+    ).orderBy("from_type", "to_type")
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_matrix(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_TRANSITIONS = f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       {sql_round_half_up(
+           "CAST(n_transitions AS DOUBLE)"
+           " / SUM(n_transitions) OVER (PARTITION BY from_type)",
+           6,
+       )} AS p_next
+FROM c ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_gap_filled_daily": q_events_gap_filled_daily,
+    "events_transition_matrix": q_events_transition_matrix,
 }
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_gap_filled_daily": ORACLE_GAP_FILLED,
+    "events_transition_matrix": ORACLE_TRANSITIONS,
 }

@@ -468,11 +468,115 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum / quality-decile binning
+# ---------------------------------------------------------------------------
+
+_N_DECILES = 10
+
+
+def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
+    """Curriculum binning: rank every document by its composite
+    quality score and split the corpus into ``k`` equal-depth bins
+    (NTILE semantics — the first ``n mod k`` bins get one extra row),
+    then summarize each bin. This is the standard shape behind
+    quality-threshold ablations and curriculum schedules ("train on
+    deciles 8-10 first").
+
+    Scale shape: a naive ``NTILE(k) OVER (ORDER BY score)`` plans ONE
+    single-partition global sort — the canonical 100 TB killer. Here
+    the global rank comes from functions/ranking.global_row_number
+    (range-bucketed, every stage distributed) and the NTILE bucket is
+    recovered arithmetically from (rank, n): bucket sizes are
+    ``q+1`` for the first ``r = n mod k`` buckets and ``q = n div k``
+    after, so ``bucket = ceil(j/(q+1))`` in the front ``r*(q+1)``
+    ranks and ``r + ceil((j - r*(q+1))/q)`` past them — exactly the
+    SQL NTILE assignment, verified against the DuckDB oracle.
+
+    Ties on the (rounded) score are broken by ``doc_id`` so the
+    ranking is a total order on both engines. The per-bin mean goes
+    through an integer basis-point sum (``floor(score*1e4 + 0.5)``)
+    because a float SUM is association-order-dependent — the integer
+    sum is exact, and one double division at the end is IEEE
+    correctly-rounded on both engines.
+    """
+    from ..functions.ranking import global_row_number
+    from .text import text_profile
+
+    prof = text_profile(docs).select("doc_id", "quality_score", "n_tokens_bpe")
+    n = prof.count()
+    ranked = global_row_number(
+        prof, ["quality_score", "doc_id"], alias="__rk", n_rows=n
+    )
+    q, r = divmod(n, k)
+    qq = max(q, 1)  # q=0 (n<k) never reaches the small-bucket branch
+    cut = r * (q + 1)
+    j = F.col("__rk")
+    big = F.floor((j + q) / F.lit(q + 1))
+    small = F.lit(r) + F.floor((j - cut + qq - 1) / F.lit(qq))
+    decile = F.when(j <= F.lit(cut), big).otherwise(small).cast("long")
+    bp = F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        ranked.select(
+            decile.alias("decile"),
+            "quality_score",
+            "n_tokens_bpe",
+            bp.alias("__bp"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(
+                F.sum("__bp").cast("double") / F.count(F.lit(1)) / 10000.0, 6
+            ).alias("avg_quality"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+            F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_deciles(read_table(spark, sf_dir, "documents"))
+
+
+def _deciles_oracle() -> str:
+    from .text import _P_QUALITY, _TOKEN_RE
+
+    return f"""
+WITH prof AS (
+  SELECT doc_id,
+         {_P_QUALITY} AS quality_score,
+         len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens_bpe
+  FROM documents
+),
+ranked AS (
+  SELECT *, NTILE({_N_DECILES}) OVER (ORDER BY quality_score, doc_id) AS decile
+  FROM prof
+)
+SELECT decile, COUNT(*) AS n_docs,
+       {sql_round_half_up(
+           "CAST(SUM(CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+           " / COUNT(*) / 10000.0",
+           6,
+       )} AS avg_quality,
+       MIN(quality_score) AS min_quality,
+       MAX(quality_score) AS max_quality,
+       CAST(SUM(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+ORACLE_DECILES = _deciles_oracle()
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_repetition_profile": q_text_repetition_profile,
     "pii_scrub_summary": q_pii_scrub_summary,
     "corpus_mix_weights": q_corpus_mix_weights,
+    "corpus_quality_deciles": q_corpus_quality_deciles,
 }
 
 ORACLES = {
@@ -480,4 +584,5 @@ ORACLES = {
     "text_repetition_profile": ORACLE_REPETITION,
     "pii_scrub_summary": ORACLE_PII,
     "corpus_mix_weights": ORACLE_MIX,
+    "corpus_quality_deciles": ORACLE_DECILES,
 }

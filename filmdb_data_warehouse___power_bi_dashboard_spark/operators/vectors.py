@@ -226,12 +226,115 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (cluster-bounded)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup_summary(
+    emb: DataFrame, threshold: float = _SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: within each cluster
+    (here the ``label`` column — in production the k-means assignment
+    an IVF build already produces), drop every vector that has a
+    LOWER-id neighbor above the cosine threshold, and report the
+    per-cluster keep/drop tally.
+
+    "Exists a smaller-id near neighbor" is the standard SemDeDup
+    keep-one rule (keep the cluster's first representative of each
+    near-dup neighborhood); unlike greedy transitive dedup it is a
+    pure semi-join — fully declarative, no iteration.
+
+    Scale shape: the quadratic is BOUNDED BY THE CLUSTER — that is
+    the whole point of SemDeDup's cluster-then-compare design. The
+    join shuffles both sides on the cluster key once; within a
+    cluster the pair filter + fold-cosine run inside whole-stage
+    codegen. Clusters too large for one task would be sub-blocked the
+    way dedup.embedding_near_dup_pairs blocks id ranges; at corpus
+    scale the label column comes from the persisted IVF quantizer
+    (similarity.py) so cluster sizes are controlled by k.
+    """
+    from .dedup import cosine
+
+    e = emb.select("label", "vec_id", "embedding")
+    a = e.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = e.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos6 = round_half_up(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    dropped = (
+        a.join(b, "l")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos6 >= F.lit(threshold))
+        .select(F.col("l").alias("label"), F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    d = dropped.groupBy("label").agg(F.count(F.lit(1)).alias("n_dropped"))
+    nd = F.coalesce(F.col("n_dropped"), F.lit(0))
+    return (
+        per_label.join(d, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            nd.alias("n_dropped"),
+            (F.col("n_vectors") - nd).alias("n_kept"),
+            round_half_up(
+                nd.cast("double") / F.col("n_vectors") * 100.0, 4
+            ).alias("drop_pct"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(emb)
+
+
+def _semdedup_oracle() -> str:
+    from .dedup import _SQL_COS
+
+    return f"""
+WITH dropped AS (
+  SELECT b.label, b.vec_id
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS} >= {_SEMDEDUP_THRESHOLD}
+  GROUP BY 1, 2
+),
+per_label AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1),
+d AS (SELECT label, COUNT(*) AS n_dropped FROM dropped GROUP BY 1)
+SELECT p.label, p.n_vectors,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(p.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept,
+       {sql_round_half_up(
+           "CAST(COALESCE(d.n_dropped, 0) AS DOUBLE) / p.n_vectors * 100.0", 4
+       )} AS drop_pct
+FROM per_label p LEFT JOIN d ON p.label = d.label
+ORDER BY p.label
+"""
+
+
+ORACLE_SEMDEDUP = _semdedup_oracle()
+
+
 QUERIES = {
     "embedding_integrity_audit": q_embedding_integrity_audit,
     "embedding_quantize_report": q_embedding_quantize_report,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
 }
 
 ORACLES = {
     "embedding_integrity_audit": ORACLE_INTEGRITY,
     "embedding_quantize_report": ORACLE_QUANTIZE,
+    "embedding_semantic_dedup": ORACLE_SEMDEDUP,
 }

@@ -173,6 +173,13 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_funnel",
     "events_gap_filled_daily",
     "robust_value_stats",
+    # NEW this session, past the cap (pytest replica; rotate into the
+    # gate next round): Markov transitions, curriculum deciles,
+    # association lift, and SemDeDup-style semantic dedup.
+    "events_transition_matrix",
+    "corpus_quality_deciles",
+    "basket_lift",
+    "embedding_semantic_dedup",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

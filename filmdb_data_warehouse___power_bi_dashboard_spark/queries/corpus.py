@@ -1313,6 +1313,30 @@ _BASKET_TOPK = 25
 _BASKET_CAP = 100
 
 
+def _capped_basket(li: DataFrame) -> DataFrame:
+    """Distinct (order, part) pairs with pathological mega-baskets
+    dropped (see _BASKET_CAP note above) — the shared input of the
+    co-occurrence counter and the lift scorer."""
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_n"))
+    return basket.join(
+        F.broadcast(sized.filter(F.col("basket_n") > _BASKET_CAP)),
+        "l_orderkey",
+        "left_anti",
+    )
+
+
+def _pair_counts(capped: DataFrame) -> DataFrame:
+    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part-pairs co-occurring in one order ("rented together" —
     the BI affinity widget behind every recommendation panel).
@@ -1325,23 +1349,97 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-size cap above bounds the join's per-key expansion.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_n"))
-    capped = basket.join(
-        F.broadcast(sized.filter(F.col("basket_n") > _BASKET_CAP)),
-        "l_orderkey",
-        "left_anti",
-    )
-    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _pair_counts(_capped_basket(li))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(_BASKET_TOPK)
     )
+
+
+_LIFT_MIN_SUPPORT = 2
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over the co-occurrence pairs:
+    ``lift(a,b) = P(a,b) / (P(a)·P(b))`` estimated over baskets —
+    the affinity score that separates "popular with everything"
+    pairs from genuinely associated ones (raw counts, the widget's
+    default, rank ubiquitous parts first; lift corrects for margin
+    popularity — the same correction PMI applies in co-occurrence
+    embeddings, minus the log).
+
+    The score is left as the ratio rather than log-lift on purpose:
+    ``/`` is IEEE correctly-rounded on both engines while ``ln`` is
+    only ~1-ulp libm-accurate, so the ratio hash-matches the oracle
+    bit-for-bit where the log may not.
+
+    Scale shape: reuses the capped-basket frame; per-part margins are
+    one map-side-combined aggregate; the basket total is a 1-row
+    broadcast cross join; the two margin lookups join on the pair
+    table AFTER the support filter, so the expensive side is already
+    pruned. Top-k is TakeOrderedAndProject.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    capped = _capped_basket(li)
+    totals = capped.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    # capped rows are distinct (order, part), so a plain count per
+    # part IS the number of distinct baskets containing the part.
+    item = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = _pair_counts(capped).filter(F.col("n_orders") >= _LIFT_MIN_SUPPORT)
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            round_half_up(
+                F.col("n_orders").cast("double")
+                * F.col("n_baskets")
+                / F.col("n_a")
+                / F.col("n_b"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_BASKET_TOPK)
+    )
+
+
+ORACLE_BASKET_LIFT = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+capped AS (
+  SELECT * FROM basket
+  WHERE l_orderkey NOT IN (
+    SELECT l_orderkey FROM basket
+    GROUP BY 1 HAVING COUNT(*) > {_BASKET_CAP}
+  )
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM capped),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM capped GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM capped a
+  JOIN capped b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LIFT_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_orders,
+       {sql_round_half_up(
+           "CAST(n_orders AS DOUBLE) * n_baskets / ia.n_item / ib.n_item", 6
+       )} AS lift
+FROM pair
+JOIN item ia ON pair.part_a = ia.l_partkey
+JOIN item ib ON pair.part_b = ib.l_partkey
+CROSS JOIN tot
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOPK}
+"""
 
 
 ORACLE_BASKET_PAIRS = f"""
@@ -1368,6 +1466,7 @@ LIMIT {_BASKET_TOPK}
 
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
+    "basket_lift": q_basket_lift,
     "events_json_props": q_events_json_props,
     "approx_month_profile": q_approx_month_profile,
     "pivot_nation_segment": q_pivot_nation_segment,
@@ -1398,6 +1497,7 @@ QUERIES = {
 
 ORACLES = {
     "basket_pair_counts": ORACLE_BASKET_PAIRS,
+    "basket_lift": ORACLE_BASKET_LIFT,
     "pivot_nation_segment": ORACLE_PIVOT,
     "unpivot_nation_segment": ORACLE_UNPIVOT,
     "events_json_props": ORACLE_Q23,
