@@ -1,0 +1,116 @@
+"""Behavior tests for the session's new operators: Markov transition
+matrix, curriculum quality deciles, association lift, and SemDeDup
+semantic dedup — crafted-frame semantics plus the scale-shape
+assertions (no single-partition window over raw data). The oracle
+parity gate covers corpus-level value equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+    transition_matrix,
+)
+from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+    quality_deciles,
+)
+from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+    semantic_dedup_summary,
+)
+
+
+def test_transition_matrix_counts_and_probabilities(spark):
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        # user 2: view -> view -> click
+        (4, "2024-01-02 09:00:00", 2, "view"),
+        (5, "2024-01-02 09:05:00", 2, "view"),
+        (6, "2024-01-02 09:06:00", 2, "click"),
+        # user 3: single event, no transition
+        (7, "2024-01-03 08:00:00", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_matrix(ev).collect()
+    }
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("click", "purchase")]["n_transitions"] == 1
+    # row-stochastic: view row = 2/3 click + 1/3 view
+    assert abs(out[("view", "click")]["p_next"] - 0.666667) < 1e-9
+    assert abs(out[("view", "view")]["p_next"] - 0.333333) < 1e-9
+    assert out[("click", "purchase")]["p_next"] == 1.0
+    # no cross-user chaining: user 1's purchase never transitions
+    assert not any(k[0] == "purchase" for k in out)
+
+
+def test_transition_matrix_window_is_partitioned(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "view")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = transition_matrix(ev)._jdf.queryExecution().executedPlan().toString()
+    # The LEAD window must shuffle on user_id, never a global sort of
+    # raw events (the k x k normalizing window has no raw-data input).
+    assert "user_id" in plan
+
+
+def test_quality_deciles_ntile_sizes_and_coverage(spark):
+    # 23 docs -> NTILE(10): first 3 deciles get 3 docs, the rest 2.
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1) + "end", "en", "src", 1) for i in range(23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = quality_deciles(docs).collect()
+    sizes = {r["decile"]: r["n_docs"] for r in out}
+    assert sorted(sizes) == list(range(1, 11))
+    assert [sizes[d] for d in range(1, 11)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    assert sum(sizes.values()) == 23
+    # deciles are ordered by quality: min of decile d+1 >= max of d
+    by_d = {r["decile"]: r for r in out}
+    for d in range(1, 10):
+        assert by_d[d + 1]["min_quality"] >= by_d[d]["max_quality"]
+
+
+def test_quality_deciles_small_corpus(spark):
+    # n < k: each doc its own bucket 1..n (NTILE semantics).
+    docs = spark.createDataFrame(
+        [(i, "a few words here", "en", "s", 1) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = quality_deciles(docs).collect()
+    assert [r["decile"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n_docs"] == 1 for r in out)
+
+
+def test_semantic_dedup_keeps_first_representative(spark):
+    # label 0: vectors 1,2,3 identical -> keep 1, drop 2 and 3.
+    # label 1: orthogonal pair -> nothing dropped.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [2.0, 0.0], 0),  # same direction, different norm
+        (10, [1.0, 0.0], 1),
+        (11, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in semantic_dedup_summary(emb, threshold=0.9).collect()}
+    assert out[0]["n_vectors"] == 3 and out[0]["n_dropped"] == 2
+    assert out[0]["n_kept"] == 1
+    assert out[1]["n_dropped"] == 0 and out[1]["n_kept"] == 2
+    assert abs(out[0]["drop_pct"] - 66.6667) < 1e-9
+
+
+def test_semantic_dedup_never_pairs_across_labels(spark):
+    # identical vectors in different labels are NOT near-dups — the
+    # cluster bound is the semantic (and the scale) contract.
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = semantic_dedup_summary(emb, threshold=0.5).collect()
+    assert all(r["n_dropped"] == 0 for r in out)
