@@ -31,6 +31,7 @@ from . import (  # noqa: E402
     lm,
     multimodal,
     quality,
+    retention,
     retrieval,
     sampling,
     segments,
@@ -54,6 +55,7 @@ for _mod in (
     vectors,
     lm,
     retrieval,
+    retention,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -256,20 +256,32 @@ def semantic_dedup_summary(
     scale the label column comes from the persisted IVF quantizer
     (similarity.py) so cluster sizes are controlled by k.
     """
-    from .dedup import cosine
+    from .dedup import dot_product
 
-    e = emb.select("label", "vec_id", "embedding")
+    # Norms are per-VECTOR, so compute them once on the base frame
+    # instead of twice per pair inside the join (3x fewer HOF folds;
+    # sqrt is deterministic, so the pairwise cosine is bit-identical
+    # to the inline dedup.cosine / oracle spelling).
+    e = emb.select("label", "vec_id", "embedding").withColumn(
+        "nrm", F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    )
     a = e.select(
         F.col("label").alias("l"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = e.select(
         F.col("label").alias("l"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
-    cos6 = round_half_up(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    cos6 = round_half_up(
+        dot_product(F.col("a_emb"), F.col("b_emb"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        6,
+    )
     dropped = (
         a.join(b, "l")
         .filter(F.col("a_id") < F.col("b_id"))

@@ -180,6 +180,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "corpus_quality_deciles",
     "basket_lift",
     "embedding_semantic_dedup",
+    "events_retention_matrix",
+    "text_dup_ratio_by_source",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -1380,7 +1380,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned. Top-k is TakeOrderedAndProject.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    capped = _capped_basket(li)
+    # The capped frame feeds THREE consumers (total, margins, pair
+    # join a+b sides); without persist each one replays the scan +
+    # distinct + anti-join. track_persist: released by bench/driver
+    # after materialization.
+    from ..runtime import track_persist
+
+    capped = track_persist(_capped_basket(li))
     totals = capped.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     # capped rows are distinct (order, part), so a plain count per
     # part IS the number of distinct baskets containing the part.

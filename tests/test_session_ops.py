@@ -107,6 +107,69 @@ def test_semantic_dedup_keeps_first_representative(spark):
     assert abs(out[0]["drop_pct"] - 66.6667) < 1e-9
 
 
+def test_retention_matrix_triangle(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.retention import (
+        retention_matrix,
+    )
+
+    rows = [
+        # cohort week of 2024-01-01 (Mon): users 1,2 start that week
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-02 10:00:00", 2, "view"),
+        # user 1 returns in week +1; user 2 does not
+        (3, "2024-01-08 10:00:00", 1, "click"),
+        # user 3 starts in week +1 (its own cohort)
+        (4, "2024-01-09 10:00:00", 3, "view"),
+        # both 1 and 3 active in week +2
+        (5, "2024-01-15 10:00:00", 1, "view"),
+        (6, "2024-01-16 10:00:00", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in retention_matrix(ev).collect()
+    }
+    c1 = "2024-01-01"
+    c2 = "2024-01-08"
+    assert out[(c1, 0)]["cohort_size"] == 2 and out[(c1, 0)]["n_active"] == 2
+    assert out[(c1, 1)]["n_active"] == 1
+    assert abs(out[(c1, 1)]["retention_pct"] - 50.0) < 1e-9
+    assert out[(c1, 2)]["n_active"] == 1
+    assert out[(c2, 0)]["cohort_size"] == 1
+    assert out[(c2, 1)]["n_active"] == 1
+    # offset-0 cells are always 100%
+    assert all(
+        r["retention_pct"] == 100.0
+        for k, r in out.items()
+        if k[1] == 0
+    )
+
+
+def test_dup_ratio_counts_non_keepers_per_source(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.retention import (
+        dup_ratio_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # same canonical token set (order/repeats ignored): 1 is
+            # keeper, 2 (same source) and 3 (other source) are dups
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "gamma beta alpha alpha", "en", "web", 22),
+            (3, "beta gamma alpha", "en", "books", 16),
+            # unique doc
+            (4, "totally different text", "en", "web", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in dup_ratio_by_source(docs).collect()}
+    assert out["web"]["n_docs"] == 3 and out["web"]["n_dups"] == 1
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_dups"] == 1
+    assert abs(out["books"]["dup_pct"] - 100.0) < 1e-9
+
+
 def test_semantic_dedup_never_pairs_across_labels(spark):
     # identical vectors in different labels are NOT near-dups — the
     # cluster bound is the semantic (and the scale) contract.
