@@ -229,14 +229,96 @@ FROM c ORDER BY from_type, to_type
 """
 
 
+def conversion_latency(
+    events: DataFrame, from_stage: str = "view", to_stage: str = "purchase"
+) -> DataFrame:
+    """Time-to-convert distribution: for every user who reaches
+    ``to_stage`` strictly after their first ``from_stage`` event
+    (the funnel's chaining rule), measure first-touch-to-conversion
+    latency and report exact percentiles — the "how long does the
+    funnel take" companion to the stage-count funnel above.
+
+    Exactness: latency is an integer MICROSECOND delta
+    (``unix_micros`` ↔ DuckDB ``date_diff('microsecond', …)``) —
+    second-truncating first (unix_timestamp) would disagree with a
+    boundary-counting diff whenever timestamps carry sub-second
+    parts, which this corpus's do. The only floating ops are the
+    percentile interpolation (the Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont`` pairing health.robust_value_stats pinned) and
+    the final /1e6 reporting divisions.
+
+    Scale shape: two per-user MIN aggregates and one per-user join —
+    shuffle O(|users|); the final stats are ONE scalar aggregate
+    (exact percentile over the converted-user latencies: sorted
+    within a single reduce only over |converted users| values; at
+    larger scale swap percentile_approx).
+    """
+    first = (
+        events.filter(F.col("event_type") == from_stage)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == to_stage)
+        .join(first, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    lat = conv.select(
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        round_half_up(F.min("us") / 1000000.0, 4).alias("min_s"),
+        round_half_up(F.expr("percentile(us, 0.5)") / 1000000.0, 4).alias("p50_s"),
+        round_half_up(F.expr("percentile(us, 0.9)") / 1000000.0, 4).alias("p90_s"),
+        round_half_up(
+            F.sum("us").cast("double") / F.count(F.lit(1)) / 1000000.0, 4
+        ).alias("avg_s"),
+        round_half_up(F.max("us") / 1000000.0, 4).alias("max_s"),
+    )
+
+
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_latency(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_CONVERSION_LATENCY = f"""
+WITH first AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS t1, MIN(f.t0) AS t0
+  FROM events e JOIN first f ON e.user_id = f.user_id AND e.ts > f.t0
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+lat AS (
+  SELECT date_diff('microsecond', t0, t1) AS us FROM conv
+)
+SELECT COUNT(*) AS n_converted,
+       {sql_round_half_up("MIN(us) / 1000000.0", 4)} AS min_s,
+       {sql_round_half_up("quantile_cont(us, 0.5) / 1000000.0", 4)} AS p50_s,
+       {sql_round_half_up("quantile_cont(us, 0.9) / 1000000.0", 4)} AS p90_s,
+       {sql_round_half_up(
+           "CAST(CAST(SUM(us) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0", 4
+       )} AS avg_s,
+       {sql_round_half_up("MAX(us) / 1000000.0", 4)} AS max_s
+FROM lat
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_gap_filled_daily": q_events_gap_filled_daily,
     "events_transition_matrix": q_events_transition_matrix,
+    "events_conversion_latency": q_events_conversion_latency,
 }
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_gap_filled_daily": ORACLE_GAP_FILLED,
     "events_transition_matrix": ORACLE_TRANSITIONS,
+    "events_conversion_latency": ORACLE_CONVERSION_LATENCY,
 }

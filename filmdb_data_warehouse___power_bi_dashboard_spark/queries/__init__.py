@@ -182,6 +182,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "embedding_semantic_dedup",
     "events_retention_matrix",
     "text_dup_ratio_by_source",
+    "events_conversion_latency",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -107,6 +107,34 @@ def test_semantic_dedup_keeps_first_representative(spark):
     assert abs(out[0]["drop_pct"] - 66.6667) < 1e-9
 
 
+def test_conversion_latency_chains_after_first_touch(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+        conversion_latency,
+    )
+
+    rows = [
+        # user 1: purchase 90s after first view
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:30", 1, "purchase"),
+        # user 2: purchase BEFORE any view -> not a conversion
+        (3, "2024-01-01 09:00:00", 2, "purchase"),
+        (4, "2024-01-01 09:30:00", 2, "view"),
+        # user 3: two purchases after view -> first one counts (30s)
+        (5, "2024-01-02 08:00:00", 3, "view"),
+        (6, "2024-01-02 08:00:30", 3, "purchase"),
+        (7, "2024-01-02 09:00:00", 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = conversion_latency(ev).collect()[0]
+    assert out["n_converted"] == 2
+    assert out["min_s"] == 30.0
+    assert out["max_s"] == 90.0
+    assert out["p50_s"] == 60.0  # interpolated midpoint of {30, 90}
+    assert out["avg_s"] == 60.0
+
+
 def test_retention_matrix_triangle(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.retention import (
         retention_matrix,
