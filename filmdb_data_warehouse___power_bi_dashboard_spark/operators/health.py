@@ -401,12 +401,97 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# MAD-based daily anomaly detection
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0
+_MAD_CONSISTENCY = 1.4826  # normal-consistency constant for MAD->sigma
+
+
+def anomaly_days(events: DataFrame, k: float = _MAD_K) -> DataFrame:
+    """Days whose total event value deviates from the median by more
+    than ``k`` robust sigmas (MAD · 1.4826) — the outlier-day monitor
+    a pipeline runs before trusting a day's data for training or
+    reporting. Median/MAD instead of mean/stddev so one bad day
+    can't mask itself by inflating the threshold (the failure mode
+    of daily_zscore's moments on contaminated data).
+
+    Exactness: daily totals are integer cents (exact BIGINT sums);
+    median and MAD are exact percentile interpolations over the
+    ~|days| aggregate, and the robust z is a fixed IEEE op sequence.
+    A zero MAD (constant series) flags nothing rather than dividing
+    by zero.
+
+    Scale shape: ONE map-side-combined groupBy(day); the median/MAD
+    pass runs over |days| rows (one scalar aggregate, broadcast
+    back); nothing else touches raw events.
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    med = daily.agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    with_med = daily.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = with_med.agg(F.expr("percentile(abs_dev, 0.5)").alias("mad"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter(
+            (F.col("mad") > 0.0)
+            & (F.col("abs_dev") > F.lit(k) * F.lit(_MAD_CONSISTENCY) * F.col("mad"))
+        )
+        .select(
+            "day",
+            round_half_up(F.col("cents") / 100.0, 4).alias("day_value"),
+            round_half_up(F.col("med") / 100.0, 4).alias("median_value"),
+            round_half_up(
+                F.col("abs_dev") / (F.lit(_MAD_CONSISTENCY) * F.col("mad")), 4
+            ).alias("robust_z"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_days(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_ANOMALY_DAYS = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+med AS (SELECT quantile_cont(cents, 0.5) AS med FROM daily),
+dev AS (
+  SELECT day, cents, med, abs(CAST(cents AS DOUBLE) - med) AS abs_dev
+  FROM daily CROSS JOIN med
+),
+mad AS (SELECT quantile_cont(abs_dev, 0.5) AS mad FROM dev)
+SELECT day,
+       {sql_round_half_up("cents / 100.0", 4)} AS day_value,
+       {sql_round_half_up("med / 100.0", 4)} AS median_value,
+       {sql_round_half_up(f"abs_dev / ({_MAD_CONSISTENCY!r} * mad)", 4)} AS robust_z
+FROM dev CROSS JOIN mad
+WHERE mad > 0.0 AND abs_dev > {_MAD_K!r} * {_MAD_CONSISTENCY!r} * mad
+ORDER BY day
+"""
+
+
 QUERIES = {
     "corpus_health_report": q_corpus_health_report,
     "events_time_decay": q_events_time_decay,
     "events_value_histogram": q_events_value_histogram,
     "join_key_skew_profile": q_join_key_skew_profile,
     "robust_value_stats": q_robust_value_stats,
+    "events_anomaly_days": q_events_anomaly_days,
 }
 
 ORACLES = {
@@ -415,4 +500,5 @@ ORACLES = {
     "events_value_histogram": ORACLE_HISTOGRAM,
     "join_key_skew_profile": ORACLE_SKEW_PROFILE,
     "robust_value_stats": ORACLE_ROBUST_STATS,
+    "events_anomaly_days": ORACLE_ANOMALY_DAYS,
 }

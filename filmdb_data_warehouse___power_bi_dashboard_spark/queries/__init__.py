@@ -183,6 +183,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_retention_matrix",
     "text_dup_ratio_by_source",
     "events_conversion_latency",
+    "events_anomaly_days",
+    "supplier_reliability",
+    "orders_open_backlog_daily",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -1356,6 +1356,161 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WILSON_Z = 1.96
+_RELIABILITY_TOPK = 25
+_RELIABILITY_MIN_LINES = 20
+
+
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability ranked by the WILSON LOWER BOUND of the
+    kept (non-returned, ``l_returnflag <> 'R'``) line proportion —
+    the ranking-under-uncertainty correction: a 3/3 supplier must not
+    outrank a 9500/10000 one, which a raw-rate sort does. The bound
+    shrinks as n falls, so thin samples sort below well-measured
+    ones.
+
+    Determinism: the bound is +,-,*,/,sqrt only — every op IEEE
+    correctly-rounded — written as the SAME expression tree in Spark
+    and the oracle, so the doubles are bit-identical before the final
+    rounding.
+
+    Scale shape: one map-side-combined aggregate per supplier over
+    the fact scan (two columns read), then a scalar expression and
+    TakeOrderedAndProject — no joins, no second pass.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") != "R").cast("long")).alias("n_ontime"),
+    ).filter(F.col("n_lines") >= _RELIABILITY_MIN_LINES)
+    z = F.lit(_WILSON_Z)
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_ontime").cast("double") / n
+    wilson = (
+        p
+        + z * z / (2.0 * n)
+        - z * F.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    ) / (1.0 + z * z / n)
+    return (
+        per.select(
+            "l_suppkey",
+            "n_lines",
+            "n_ontime",
+            round_half_up(p, 6).alias("ontime_rate"),
+            round_half_up(wilson, 6).alias("reliability_lb"),
+        )
+        .orderBy(F.desc("reliability_lb"), F.asc("l_suppkey"))
+        .limit(_RELIABILITY_TOPK)
+    )
+
+
+_SQL_WILSON_P = "(CAST(n_ontime AS DOUBLE) / CAST(n_lines AS DOUBLE))"
+_SQL_WILSON_N = "CAST(n_lines AS DOUBLE)"
+_SQL_WILSON = (
+    f"({_SQL_WILSON_P} + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * {_SQL_WILSON_N})"
+    f" - {_WILSON_Z!r} * sqrt(({_SQL_WILSON_P} * (1.0 - {_SQL_WILSON_P})"
+    f" + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * {_SQL_WILSON_N})) / {_SQL_WILSON_N}))"
+    f" / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / {_SQL_WILSON_N})"
+)
+
+ORACLE_SUPPLIER_RELIABILITY = f"""
+WITH per AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ontime
+  FROM lineitem GROUP BY 1
+  HAVING COUNT(*) >= {_RELIABILITY_MIN_LINES}
+)
+SELECT l_suppkey, n_lines, n_ontime,
+       {sql_round_half_up(_SQL_WILSON_P, 6)} AS ontime_rate,
+       {sql_round_half_up(_SQL_WILSON, 6)} AS reliability_lb
+FROM per
+ORDER BY reliability_lb DESC, l_suppkey ASC
+LIMIT {_RELIABILITY_TOPK}
+"""
+
+
+def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series by SWEEP-LINE: each order
+    contributes +1 on its order date and -1 the day after its last
+    line ships; the running sum over the day spine IS the number of
+    orders in flight. This turns an interval-overlap count — a range
+    join of |days| x |orders| if written naively — into one O(|orders|)
+    aggregation plus a window over the tiny day spine.
+
+    Scale shape: the per-order close date is a map-side-combined MAX;
+    the +-1 deltas aggregate onto |days| keys; ONLY the |days|-row
+    spine passes through the cumulative window (a bounded aggregated
+    frame — the documented exception to the no-global-window rule).
+    Output is integer-only, so the oracle comparison is exact.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
+    span = (
+        o.join(close, o.o_orderkey == close.l_orderkey)
+        .select(
+            F.col("o_orderdate").alias("opened"),
+            F.date_add(F.col("close_date"), 1).alias("closed_next"),
+        )
+    )
+    opens = span.groupBy(F.col("opened").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closes = span.groupBy(F.col("closed_next").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    spine = span.agg(
+        F.min("opened").alias("d0"), F.max("closed_next").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(opens, "day", "left")
+        .join(closes, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+        .withColumn(
+            "backlog",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_OPEN_BACKLOG = """
+WITH span AS (
+  SELECT o.o_orderdate AS opened,
+         CAST(MAX(l.l_shipdate) + INTERVAL 1 DAY AS DATE) AS closed_next
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+opens AS (SELECT opened AS day, COUNT(*) AS n_opened FROM span GROUP BY 1),
+closes AS (SELECT closed_next AS day, COUNT(*) AS n_closed FROM span GROUP BY 1),
+bounds AS (SELECT MIN(opened) AS d0, MAX(closed_next) AS d1 FROM span),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT s.day,
+         CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
+         CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed
+  FROM spine s
+  LEFT JOIN opens o ON s.day = o.day
+  LEFT JOIN closes c ON s.day = c.day
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM daily
+ORDER BY day
+"""
+
+
 _LIFT_MIN_SUPPORT = 2
 
 
@@ -1473,6 +1628,8 @@ LIMIT {_BASKET_TOPK}
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "basket_lift": q_basket_lift,
+    "supplier_reliability": q_supplier_reliability,
+    "orders_open_backlog_daily": q_orders_open_backlog_daily,
     "events_json_props": q_events_json_props,
     "approx_month_profile": q_approx_month_profile,
     "pivot_nation_segment": q_pivot_nation_segment,
@@ -1504,6 +1661,8 @@ QUERIES = {
 ORACLES = {
     "basket_pair_counts": ORACLE_BASKET_PAIRS,
     "basket_lift": ORACLE_BASKET_LIFT,
+    "supplier_reliability": ORACLE_SUPPLIER_RELIABILITY,
+    "orders_open_backlog_daily": ORACLE_OPEN_BACKLOG,
     "pivot_nation_segment": ORACLE_PIVOT,
     "unpivot_nation_segment": ORACLE_UNPIVOT,
     "events_json_props": ORACLE_Q23,
