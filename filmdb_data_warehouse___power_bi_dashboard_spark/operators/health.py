@@ -427,7 +427,11 @@ def anomaly_days(events: DataFrame, k: float = _MAD_K) -> DataFrame:
     pass runs over |days| rows (one scalar aggregate, broadcast
     back); nothing else touches raw events.
     """
-    daily = (
+    from ..runtime import track_persist
+
+    # daily feeds three jobs (median, MAD, final output) — persist
+    # the |days|-row aggregate so raw events scan exactly once.
+    daily = track_persist(
         events.filter(F.col("value").isNotNull())
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
@@ -435,6 +439,7 @@ def anomaly_days(events: DataFrame, k: float = _MAD_K) -> DataFrame:
                 "cents"
             )
         )
+        .persist()
     )
     med = daily.agg(F.expr("percentile(cents, 0.5)").alias("med"))
     with_med = daily.crossJoin(F.broadcast(med)).withColumn(
@@ -480,9 +485,12 @@ SELECT day,
        {sql_round_half_up("med / 100.0", 4)} AS median_value,
        {sql_round_half_up(f"abs_dev / ({_MAD_CONSISTENCY!r} * mad)", 4)} AS robust_z
 FROM dev CROSS JOIN mad
-WHERE mad > 0.0 AND abs_dev > {_MAD_K!r} * {_MAD_CONSISTENCY!r} * mad
+WHERE mad > 0.0 AND abs_dev > {_MAD_K * _MAD_CONSISTENCY!r} * mad
 ORDER BY day
 """
+# ^ k·consistency pre-multiplied in Python: DuckDB would otherwise
+# evaluate 3.0 * 1.4826 as EXACT decimals (4.4478) — a potentially
+# different double than Spark's fold of the two double literals.
 
 
 QUERIES = {

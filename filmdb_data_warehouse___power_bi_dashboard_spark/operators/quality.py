@@ -501,10 +501,20 @@ def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
     correctly-rounded on both engines.
     """
     from ..functions.ranking import global_row_number
+    from ..runtime import track_persist
     from .text import text_profile
 
-    prof = text_profile(docs).select("doc_id", "quality_score", "n_tokens_bpe")
-    n = prof.count()
+    # n via the BASE table (parquet metadata count — text_profile is
+    # row-preserving, so the counts are equal and the regex-heavy
+    # profile isn't executed just to count). The profile itself feeds
+    # global_row_number's sample + rank passes plus the final agg, so
+    # persist it once.
+    n = docs.count()
+    prof = track_persist(
+        text_profile(docs)
+        .select("doc_id", "quality_score", "n_tokens_bpe")
+        .persist()
+    )
     ranked = global_row_number(
         prof, ["quality_score", "doc_id"], alias="__rk", n_rows=n
     )

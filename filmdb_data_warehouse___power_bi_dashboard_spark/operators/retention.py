@@ -61,7 +61,11 @@ def retention_matrix(events: DataFrame) -> DataFrame:
             .alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        # active is distinct on (user, week) and first is unique per
+        # user, so each user appears at most once per cell — a plain
+        # count equals COUNT(DISTINCT user_id) without the extra
+        # distinct-aggregation phase.
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     size = cells.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")

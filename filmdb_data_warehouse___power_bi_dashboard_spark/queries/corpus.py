@@ -1406,11 +1406,18 @@ def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WILSON_P = "(CAST(n_ontime AS DOUBLE) / CAST(n_lines AS DOUBLE))"
 _SQL_WILSON_N = "CAST(n_lines AS DOUBLE)"
+# z*z MUST be pre-multiplied in Python: DuckDB parses 1.96 as
+# DECIMAL(3,2), so a literal 1.96 * 1.96 is the EXACT decimal 3.8416
+# — a different double than Spark's fold of
+# double(1.96) * double(1.96). Embedding the Python product (the same
+# IEEE fold Catalyst constant-folds) keeps the expression trees
+# bit-identical, as the docstring promises.
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
 _SQL_WILSON = (
-    f"({_SQL_WILSON_P} + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * {_SQL_WILSON_N})"
+    f"({_SQL_WILSON_P} + {_WILSON_Z2!r} / (2.0 * {_SQL_WILSON_N})"
     f" - {_WILSON_Z!r} * sqrt(({_SQL_WILSON_P} * (1.0 - {_SQL_WILSON_P})"
-    f" + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * {_SQL_WILSON_N})) / {_SQL_WILSON_N}))"
-    f" / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / {_SQL_WILSON_N})"
+    f" + {_WILSON_Z2!r} / (4.0 * {_SQL_WILSON_N})) / {_SQL_WILSON_N}))"
+    f" / (1.0 + {_WILSON_Z2!r} / {_SQL_WILSON_N})"
 )
 
 ORACLE_SUPPLIER_RELIABILITY = f"""
@@ -1431,7 +1438,7 @@ LIMIT {_RELIABILITY_TOPK}
 """
 
 
-def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def open_backlog_daily(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Open-order backlog time series by SWEEP-LINE: each order
     contributes +1 on its order date and -1 the day after its last
     line ships; the running sum over the day spine IS the number of
@@ -1440,20 +1447,26 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation plus a window over the tiny day spine.
 
     Scale shape: the per-order close date is a map-side-combined MAX;
-    the +-1 deltas aggregate onto |days| keys; ONLY the |days|-row
-    spine passes through the cumulative window (a bounded aggregated
-    frame — the documented exception to the no-global-window rule).
-    Output is integer-only, so the oracle comparison is exact.
+    the per-order span frame feeds three consumers (opens, closes,
+    spine bounds), so it is persisted once; the +-1 deltas aggregate
+    onto |days| keys; ONLY the |days|-row spine passes through the
+    cumulative window (a bounded aggregated frame — the documented
+    exception to the no-global-window rule). Output is integer-only,
+    so the oracle comparison is exact.
     """
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = read_table(spark, sf_dir, "lineitem")
-    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
-    span = (
+    from ..runtime import track_persist
+
+    o = orders.select("o_orderkey", "o_orderdate")
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    span = track_persist(
         o.join(close, o.o_orderkey == close.l_orderkey)
         .select(
             F.col("o_orderdate").alias("opened"),
             F.date_add(F.col("close_date"), 1).alias("closed_next"),
         )
+        .persist()
     )
     opens = span.groupBy(F.col("opened").alias("day")).agg(
         F.count(F.lit(1)).alias("n_opened")
@@ -1478,6 +1491,12 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_opened") - F.col("n_closed")).over(w),
         )
         .orderBy("day")
+    )
+
+
+def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return open_backlog_daily(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
     )
 
 
@@ -1537,11 +1556,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     # The capped frame feeds THREE consumers (total, margins, pair
     # join a+b sides); without persist each one replays the scan +
-    # distinct + anti-join. track_persist: released by bench/driver
-    # after materialization.
+    # distinct + anti-join. track_persist only REGISTERS the frame
+    # for release — the persist() call is ours.
     from ..runtime import track_persist
 
-    capped = track_persist(_capped_basket(li))
+    capped = track_persist(_capped_basket(li).persist())
     totals = capped.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     # capped rows are distinct (order, part), so a plain count per
     # part IS the number of distinct baskets containing the part.

@@ -56,9 +56,10 @@ def test_transition_matrix_window_is_partitioned(spark):
         "event_id long, ts string, user_id long, event_type string",
     ).withColumn("ts", F.to_timestamp("ts"))
     plan = transition_matrix(ev)._jdf.queryExecution().executedPlan().toString()
-    # The LEAD window must shuffle on user_id, never a global sort of
-    # raw events (the k x k normalizing window has no raw-data input).
-    assert "user_id" in plan
+    # The LEAD window must shuffle on user_id (hashpartitioning), not
+    # sort all raw events into one partition; the only permissible
+    # SinglePartition exchange is the k x k normalizing window's.
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_quality_deciles_ntile_sizes_and_coverage(spark):
@@ -180,49 +181,39 @@ def test_wilson_bound_ranks_thin_samples_below(spark):
 
 
 def test_open_backlog_sweep_line(spark):
-    import filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus as c
-
     import datetime as dt
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        open_backlog_daily,
+    )
 
     orders = spark.createDataFrame(
         [
             (1, dt.date(2024, 1, 1)),
             (2, dt.date(2024, 1, 2)),
+            (3, dt.date(2024, 1, 1)),  # no lineitem: excluded
         ],
         "o_orderkey long, o_orderdate date",
     )
     li = spark.createDataFrame(
         [
             (1, dt.date(2024, 1, 3)),  # order 1 open Jan1-3
+            (1, dt.date(2024, 1, 2)),  # earlier line: MAX wins
             (2, dt.date(2024, 1, 2)),  # order 2 open Jan2 only
         ],
         "l_orderkey long, l_shipdate date",
     )
-    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
-    span = orders.join(close, orders.o_orderkey == close.l_orderkey).select(
-        F.col("o_orderdate").alias("opened"),
-        F.date_add("close_date", 1).alias("closed_next"),
-    )
-    # replicate the operator body on the crafted frames via the
-    # registered query path would need parquet files; assert the
-    # sweep-line algebra instead: backlog on each day equals the
-    # interval-overlap count.
-    deltas = (
-        span.select(F.col("opened").alias("day"), F.lit(1).alias("d"))
-        .unionByName(span.select(F.col("closed_next").alias("day"), F.lit(-1).alias("d")))
-        .groupBy("day")
-        .agg(F.sum("d").alias("delta"))
-        .orderBy("day")
-        .collect()
-    )
-    running, backlog = 0, {}
-    for r in deltas:
-        running += r["delta"]
-        backlog[str(r["day"])] = running
-    assert backlog["2024-01-01"] == 1  # order 1 open
-    assert backlog["2024-01-02"] == 2  # both open
-    assert backlog["2024-01-03"] == 1  # order 2 closed Jan2 (+1 -> -1 on Jan3)
-    assert backlog["2024-01-04"] == 0
+    out = {str(r["day"]): r for r in open_backlog_daily(orders, li).collect()}
+    assert out["2024-01-01"]["backlog"] == 1  # order 1 open
+    assert out["2024-01-02"]["backlog"] == 2  # both open
+    assert out["2024-01-03"]["backlog"] == 1  # order 2 closed after Jan2
+    assert out["2024-01-04"]["backlog"] == 0  # all closed
+    assert out["2024-01-01"]["n_opened"] == 1
+    assert out["2024-01-02"]["n_opened"] == 1
+    assert out["2024-01-03"]["n_closed"] == 1
+    assert out["2024-01-04"]["n_closed"] == 1
+    # the spine is gap-free from first open to last close+1
+    assert sorted(out) == [f"2024-01-0{d}" for d in range(1, 5)]
 
 
 def test_conversion_latency_chains_after_first_touch(spark):
