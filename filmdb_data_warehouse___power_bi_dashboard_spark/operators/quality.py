@@ -487,11 +487,9 @@ def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
     single-partition global sort — the canonical 100 TB killer. Here
     the global rank comes from functions/ranking.global_row_number
     (range-bucketed, every stage distributed) and the NTILE bucket is
-    recovered arithmetically from (rank, n): bucket sizes are
-    ``q+1`` for the first ``r = n mod k`` buckets and ``q = n div k``
-    after, so ``bucket = ceil(j/(q+1))`` in the front ``r*(q+1)``
-    ranks and ``r + ceil((j - r*(q+1))/q)`` past them — exactly the
-    SQL NTILE assignment, verified against the DuckDB oracle.
+    recovered arithmetically by functions/ranking.ntile_from_rank —
+    the same pairing the RFM quintiles ride (queries/corpus.py),
+    verified against the DuckDB oracle's literal NTILE.
 
     Ties on the (rounded) score are broken by ``doc_id`` so the
     ranking is a total order on both engines. The per-bin mean goes
@@ -500,7 +498,7 @@ def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
     sum is exact, and one double division at the end is IEEE
     correctly-rounded on both engines.
     """
-    from ..functions.ranking import global_row_number
+    from ..functions.ranking import global_row_number, ntile_from_rank
     from ..runtime import track_persist
     from .text import text_profile
 
@@ -518,13 +516,7 @@ def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
     ranked = global_row_number(
         prof, ["quality_score", "doc_id"], alias="__rk", n_rows=n
     )
-    q, r = divmod(n, k)
-    qq = max(q, 1)  # q=0 (n<k) never reaches the small-bucket branch
-    cut = r * (q + 1)
-    j = F.col("__rk")
-    big = F.floor((j + q) / F.lit(q + 1))
-    small = F.lit(r) + F.floor((j - cut + qq - 1) / F.lit(qq))
-    decile = F.when(j <= F.lit(cut), big).otherwise(small).cast("long")
+    decile = ntile_from_rank(F.col("__rk"), n, k).cast("long")
     bp = F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
     return (
         ranked.select(
