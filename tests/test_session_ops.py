@@ -108,6 +108,59 @@ def test_semantic_dedup_keeps_first_representative(spark):
     assert abs(out[0]["drop_pct"] - 66.6667) < 1e-9
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_deciles_plan_has_no_single_partition_window_over_docs(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        q_corpus_quality_deciles,
+    )
+
+    plan = _plan(q_corpus_quality_deciles(spark, sf_small))
+    # Ranks must ride the range-bucketed windows; NTILE arithmetic
+    # must not reintroduce a SinglePartition window over documents.
+    assert "hashpartitioning(__sg_bucket" in plan, plan[:1500]
+
+
+def test_backlog_plan_joins_spine_not_orders(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        q_orders_open_backlog_daily,
+    )
+
+    plan = _plan(q_orders_open_backlog_daily(spark, sf_small))
+    # The cumulative window is allowed exactly once, over the
+    # aggregated day spine; the order/lineitem interval pair must
+    # never appear as a range (non-equi) join.
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_join_is_cluster_keyed(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+        q_embedding_semantic_dedup,
+    )
+
+    plan = _plan(q_embedding_semantic_dedup(spark, sf_small))
+    # The pair join must be an equi-join on the cluster key (label) —
+    # a regression to a cross product would be the 100 TB killer.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reliability_plan_is_single_agg_no_join(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        q_supplier_reliability,
+    )
+
+    plan = _plan(q_supplier_reliability(spark, sf_small))
+    assert "Join" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    # partial (map-side) aggregation before the exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
 def test_anomaly_days_flags_only_outliers(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.health import (
         anomaly_days,
