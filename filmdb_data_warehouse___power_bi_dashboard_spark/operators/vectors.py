@@ -339,14 +339,110 @@ ORDER BY p.label
 ORACLE_SEMDEDUP = _semdedup_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (dead dims, scale drift)
+# ---------------------------------------------------------------------------
+
+
+def dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-DIMENSION statistics of the embedding matrix: mean, std,
+    min/max, and zero counts for every coordinate — the diagnostic
+    that catches dead dimensions (all-zero columns from a broken
+    projection), scale drift between encoder versions, and
+    un-normalized batches before an index build trusts the vectors.
+
+    Exactness: values are scaled to integer 1e-4 units
+    (``floor(x*1e4 + 0.5)`` — the codebase's standard exact-sum
+    device), so the mean/std come from order-independent BIGINT sums;
+    the variance is clamped at zero (the exact-integer E[x²]−E[x]²
+    can round a hair negative for near-constant dims — identically on
+    both engines, so the clamp is hash-safe).
+
+    Scale shape: ``posexplode`` emits (dim, value) pairs — N·d rows,
+    but the aggregation map-side combines onto |d| keys, so the
+    shuffle is |d| rows per task regardless of N. This long-form
+    explode-then-agg is the one array shape the HOF reports above
+    can't express (they fold WITHIN a vector; this folds ACROSS
+    vectors per coordinate).
+    """
+    x = emb.select(F.posexplode("embedding").alias("pos", "xf"))
+    xd = F.col("xf").cast("double")
+    sc = F.floor(xd * 10000 + F.lit(0.5)).cast("long")
+    agg = (
+        x.select((F.col("pos") + 1).alias("dim"), xd.alias("x"), sc.alias("sc"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("sc").alias("s1"),
+            F.sum(F.col("sc") * F.col("sc")).alias("s2"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
+        )
+    )
+    m = F.col("s1").cast("double") / F.col("n_values")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_values") - m * m, F.lit(0.0)
+    )
+    return agg.select(
+        "dim",
+        "n_values",
+        round_half_up(m / 10000.0, 6).alias("mean_val"),
+        round_half_up(F.sqrt(var) / 10000.0, 6).alias("std_val"),
+        round_half_up(F.col("mn"), 6).alias("min_val"),
+        round_half_up(F.col("mx"), 6).alias("max_val"),
+        "n_zero",
+    ).orderBy("dim")
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_stats(read_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_DIM_STATS = f"""
+WITH expl AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS xf
+  FROM embeddings
+),
+s AS (
+  SELECT dim, CAST(xf AS DOUBLE) AS x,
+         CAST(FLOOR(CAST(xf AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sc
+  FROM expl
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n_values,
+         CAST(SUM(sc) AS BIGINT) AS s1,
+         CAST(SUM(sc * sc) AS BIGINT) AS s2,
+         MIN(x) AS mn, MAX(x) AS mx,
+         CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM s GROUP BY dim
+)
+SELECT dim, n_values,
+       {sql_round_half_up("CAST(s1 AS DOUBLE) / n_values / 10000.0", 6)} AS mean_val,
+       {sql_round_half_up(
+           "sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_values"
+           " - (CAST(s1 AS DOUBLE) / n_values) * (CAST(s1 AS DOUBLE) / n_values),"
+           " 0.0)) / 10000.0",
+           6,
+       )} AS std_val,
+       {sql_round_half_up("mn", 6)} AS min_val,
+       {sql_round_half_up("mx", 6)} AS max_val,
+       n_zero
+FROM agg ORDER BY dim
+"""
+
+
 QUERIES = {
     "embedding_integrity_audit": q_embedding_integrity_audit,
     "embedding_quantize_report": q_embedding_quantize_report,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 ORACLES = {
     "embedding_integrity_audit": ORACLE_INTEGRITY,
     "embedding_quantize_report": ORACLE_QUANTIZE,
     "embedding_semantic_dedup": ORACLE_SEMDEDUP,
+    "embedding_dim_stats": ORACLE_DIM_STATS,
 }

@@ -186,6 +186,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_anomaly_days",
     "supplier_reliability",
     "orders_open_backlog_daily",
+    "embedding_dim_stats",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

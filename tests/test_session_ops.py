@@ -360,6 +360,28 @@ def test_dup_ratio_counts_non_keepers_per_source(spark):
     assert abs(out["books"]["dup_pct"] - 100.0) < 1e-9
 
 
+def test_dim_stats_finds_dead_and_constant_dims(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+        dim_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5], 0),
+            (2, [0.0, 1.0, -0.5], 0),
+            (3, [0.0, 1.0, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["dim"]: r for r in dim_stats(emb).collect()}
+    assert out[1]["n_zero"] == 3 and out[1]["std_val"] == 0.0  # dead dim
+    assert out[2]["mean_val"] == 1.0 and out[2]["std_val"] == 0.0  # constant
+    assert out[3]["n_zero"] == 0
+    assert abs(out[3]["mean_val"] - 0.166667) < 1e-9
+    assert out[3]["min_val"] == -0.5 and out[3]["max_val"] == 0.5
+    assert all(r["n_values"] == 3 for r in out.values())
+
+
 def test_semantic_dedup_never_pairs_across_labels(spark):
     # identical vectors in different labels are NOT near-dups — the
     # cluster bound is the semantic (and the scale) contract.
