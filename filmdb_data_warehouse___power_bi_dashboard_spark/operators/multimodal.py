@@ -293,13 +293,128 @@ ORDER BY media_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio windowing: per-window RMS energy (silence/clipping detection)
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 100  # samples per analysis window (non-overlapping)
+
+AUDIO_WINDOWS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("mean_sample", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_window_energy(media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
+    """Windowed audio energy via Arrow-batched ``mapInPandas``: the
+    payload is treated as unsigned 8-bit PCM (the deterministic
+    decode stub — a real deployment swaps in soundfile/ffmpeg here,
+    same schema), cut into non-overlapping ``win``-sample windows,
+    and each window reports its mean sample and RMS — the primitives
+    behind silence trimming and clipping detection in audio curation.
+
+    Exactness: windows are vectorized int64 sums (exact), one IEEE
+    division + sqrt at the end, rounded with the floor(x*1e6+0.5)
+    device — Python floats are IEEE doubles, so the values match the
+    SQL oracle bit-for-bit.
+
+    Scale shape: pure map-side (mapInPandas over column-pruned
+    batches, no shuffle at all); output is the only thing that grows
+    (len/win rows per clip), and the tail shorter than one window is
+    dropped deterministically on both engines.
+    """
+    import math
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "window_idx", "mean_sample", "rms")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_w = len(b) // win
+                if not n_w:
+                    continue
+                arr = (
+                    np.frombuffer(b[: n_w * win], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n_w, win)
+                )
+                sums = arr.sum(axis=1)
+                sumsq = (arr * arr).sum(axis=1)
+                for i in range(n_w):
+                    mean = int(sums[i]) / float(win)
+                    rms = math.sqrt(int(sumsq[i]) / float(win))
+                    out["media_id"].append(media_id)
+                    out["window_idx"].append(i)
+                    out["mean_sample"].append(math.floor(mean * 1e6 + 0.5) / 1e6)
+                    out["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_WINDOWS.fields])
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(_batches, schema=AUDIO_WINDOWS)
+    )
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return audio_window_energy(media).orderBy("media_id", "window_idx")
+
+
+# Same ASCII invariant as ORACLE_FRAME_SAMPLE: the corpus text is
+# pure ASCII, so byte-as-sample equals ascii(char) and the oracle
+# replays the stub decode on the VARCHAR.
+ORACLE_AUDIO_WINDOWS = f"""
+WITH auds AS (
+  SELECT doc_id AS media_id, text AS payload
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 1 AND text IS NOT NULL
+),
+win AS (
+  SELECT media_id, payload,
+         unnest(range(0, length(payload) // {_AUDIO_WIN})) AS window_idx
+  FROM auds
+),
+chunked AS (
+  SELECT media_id, CAST(window_idx AS INT) AS window_idx,
+         substring(payload, CAST(window_idx * {_AUDIO_WIN} AS INT) + 1,
+                   {_AUDIO_WIN}) AS chunk
+  FROM win
+),
+sums AS (
+  SELECT media_id, window_idx,
+         list_sum([ascii(substring(chunk, i, 1))
+                   for i in range(1, {_AUDIO_WIN} + 1)]) AS s1,
+         list_sum([ascii(substring(chunk, i, 1)) * ascii(substring(chunk, i, 1))
+                   for i in range(1, {_AUDIO_WIN} + 1)]) AS s2
+  FROM chunked
+)
+SELECT media_id, window_idx,
+       FLOOR(CAST(s1 AS DOUBLE) / {_AUDIO_WIN}.0 * 1e6 + 0.5) / 1e6
+         AS mean_sample,
+       FLOOR(sqrt(CAST(s2 AS DOUBLE) / {_AUDIO_WIN}.0) * 1e6 + 0.5) / 1e6
+         AS rms
+FROM sums
+ORDER BY media_id, window_idx
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
 ORACLES = {
     "multimodal_byte_stats": ORACLE_BYTE_STATS,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
 }

@@ -187,6 +187,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "supplier_reliability",
     "orders_open_backlog_daily",
     "embedding_dim_stats",
+    "multimodal_audio_windows",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -382,6 +382,35 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_audio_windows_rms_and_tail_drop(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    media = spark.createDataFrame(
+        [
+            # 5 samples at win=4: one full window [1,2,3,4], tail [5] dropped
+            (1, "audio", bytearray([1, 2, 3, 4, 5])),
+            # exactly two windows of constant 10s
+            (2, "audio", bytearray([10] * 8)),
+            # non-audio rows are filtered out
+            (3, "video", bytearray([9] * 8)),
+            # shorter than one window: no rows
+            (4, "audio", bytearray([7, 7])),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = audio_window_energy(media, win=4).collect()
+    by_key = {(r["media_id"], r["window_idx"]): r for r in rows}
+    assert set(by_key) == {(1, 0), (2, 0), (2, 1)}
+    assert by_key[(1, 0)]["mean_sample"] == 2.5
+    # rms of [1,2,3,4] = sqrt(30/4) = sqrt(7.5)
+    import math
+
+    assert abs(by_key[(1, 0)]["rms"] - math.floor(math.sqrt(7.5) * 1e6 + 0.5) / 1e6) < 1e-12
+    assert by_key[(2, 0)]["rms"] == 10.0 and by_key[(2, 1)]["mean_sample"] == 10.0
+
+
 def test_semantic_dedup_never_pairs_across_labels(spark):
     # identical vectors in different labels are NOT near-dups — the
     # cluster bound is the semantic (and the scale) contract.
