@@ -327,13 +327,11 @@ def audio_window_energy(media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
     (len/win rows per clip), and the tail shorter than one window is
     dropped deterministically on both engines.
     """
-    import math
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            out = {k: [] for k in ("media_id", "window_idx", "mean_sample", "rms")}
+            ids, idxs, means, rmss = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n_w = len(b) // win
@@ -344,16 +342,35 @@ def audio_window_energy(media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
                     .astype(np.int64)
                     .reshape(n_w, win)
                 )
-                sums = arr.sum(axis=1)
-                sumsq = (arr * arr).sum(axis=1)
-                for i in range(n_w):
-                    mean = int(sums[i]) / float(win)
-                    rms = math.sqrt(int(sumsq[i]) / float(win))
-                    out["media_id"].append(media_id)
-                    out["window_idx"].append(i)
-                    out["mean_sample"].append(math.floor(mean * 1e6 + 0.5) / 1e6)
-                    out["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
-            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_WINDOWS.fields])
+                # Fully vectorized per-window math: np divide/sqrt/
+                # floor are the same IEEE elementwise ops as the
+                # scalar spelling, so values stay bit-identical to
+                # the SQL oracle with zero per-window Python work.
+                mean = np.floor(arr.sum(axis=1) / float(win) * 1e6 + 0.5) / 1e6
+                rms = (
+                    np.floor(
+                        np.sqrt((arr * arr).sum(axis=1) / float(win)) * 1e6 + 0.5
+                    )
+                    / 1e6
+                )
+                ids.append(np.full(n_w, media_id, dtype=np.int64))
+                idxs.append(np.arange(n_w, dtype=np.int32))
+                means.append(mean)
+                rmss.append(rms)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.concatenate(ids),
+                        "window_idx": np.concatenate(idxs),
+                        "mean_sample": np.concatenate(means),
+                        "rms": np.concatenate(rmss),
+                    },
+                    columns=[f.name for f in AUDIO_WINDOWS.fields],
+                )
+            else:
+                yield pd.DataFrame(
+                    {k: [] for k in (f.name for f in AUDIO_WINDOWS.fields)}
+                )
 
     return (
         media.filter(F.col("kind") == "audio")

@@ -356,7 +356,13 @@ def dim_stats(emb: DataFrame) -> DataFrame:
     device), so the mean/std come from order-independent BIGINT sums;
     the variance is clamped at zero (the exact-integer E[x²]−E[x]²
     can round a hair negative for near-constant dims — identically on
-    both engines, so the clamp is hash-safe).
+    both engines, so the clamp is hash-safe). NaN samples are COUNTED
+    (``n_nan``) and excluded from every statistic — folding them in
+    would silently zero them on the Spark side (floor(NaN)→cast long
+    is 0) and ABORT the DuckDB oracle (CAST(NaN AS BIGINT) throws),
+    the worst cross-engine divergence: one engine errors, the other
+    lies. An all-NaN dimension reports 0.0 stats rather than NULL
+    (the gate bans NULL numerics).
 
     Scale shape: ``posexplode`` emits (dim, value) pairs — N·d rows,
     but the aggregation map-side combines onto |d| keys, so the
@@ -367,12 +373,19 @@ def dim_stats(emb: DataFrame) -> DataFrame:
     """
     x = emb.select(F.posexplode("embedding").alias("pos", "xf"))
     xd = F.col("xf").cast("double")
+    ok = ~F.isnan(xd)
     sc = F.floor(xd * 10000 + F.lit(0.5)).cast("long")
     agg = (
-        x.select((F.col("pos") + 1).alias("dim"), xd.alias("x"), sc.alias("sc"))
+        x.select(
+            (F.col("pos") + 1).alias("dim"),
+            F.when(ok, xd).alias("x"),  # NULL for NaN: aggs skip it
+            F.when(ok, sc).otherwise(F.lit(0)).alias("sc"),
+            (~ok).cast("long").alias("is_nan"),
+        )
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
+            F.sum("is_nan").alias("n_nan"),
             F.sum("sc").alias("s1"),
             F.sum(F.col("sc") * F.col("sc")).alias("s2"),
             F.min("x").alias("mn"),
@@ -380,17 +393,19 @@ def dim_stats(emb: DataFrame) -> DataFrame:
             F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
         )
     )
-    m = F.col("s1").cast("double") / F.col("n_values")
-    var = F.greatest(
-        F.col("s2").cast("double") / F.col("n_values") - m * m, F.lit(0.0)
-    )
+    nn = F.nullif(F.col("n_values") - F.col("n_nan"), F.lit(0))
+    m = F.col("s1").cast("double") / nn
+    var = F.greatest(F.col("s2").cast("double") / nn - m * m, F.lit(0.0))
     return agg.select(
         "dim",
         "n_values",
-        round_half_up(m / 10000.0, 6).alias("mean_val"),
-        round_half_up(F.sqrt(var) / 10000.0, 6).alias("std_val"),
-        round_half_up(F.col("mn"), 6).alias("min_val"),
-        round_half_up(F.col("mx"), 6).alias("max_val"),
+        "n_nan",
+        F.coalesce(round_half_up(m / 10000.0, 6), F.lit(0.0)).alias("mean_val"),
+        F.coalesce(round_half_up(F.sqrt(var) / 10000.0, 6), F.lit(0.0)).alias(
+            "std_val"
+        ),
+        F.coalesce(round_half_up(F.col("mn"), 6), F.lit(0.0)).alias("min_val"),
+        F.coalesce(round_half_up(F.col("mx"), 6), F.lit(0.0)).alias("max_val"),
         "n_zero",
     ).orderBy("dim")
 
@@ -406,28 +421,37 @@ WITH expl AS (
   FROM embeddings
 ),
 s AS (
-  SELECT dim, CAST(xf AS DOUBLE) AS x,
-         CAST(FLOOR(CAST(xf AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sc
+  SELECT dim,
+         CASE WHEN isnan(CAST(xf AS DOUBLE)) THEN NULL
+              ELSE CAST(xf AS DOUBLE) END AS x,
+         CASE WHEN isnan(CAST(xf AS DOUBLE)) THEN 0
+              ELSE CAST(FLOOR(CAST(xf AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         END AS sc,
+         CASE WHEN isnan(CAST(xf AS DOUBLE)) THEN 1 ELSE 0 END AS is_nan
   FROM expl
 ),
 agg AS (
   SELECT dim, COUNT(*) AS n_values,
+         CAST(SUM(is_nan) AS BIGINT) AS n_nan,
          CAST(SUM(sc) AS BIGINT) AS s1,
          CAST(SUM(sc * sc) AS BIGINT) AS s2,
          MIN(x) AS mn, MAX(x) AS mx,
          CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
   FROM s GROUP BY dim
 )
-SELECT dim, n_values,
-       {sql_round_half_up("CAST(s1 AS DOUBLE) / n_values / 10000.0", 6)} AS mean_val,
-       {sql_round_half_up(
-           "sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_values"
-           " - (CAST(s1 AS DOUBLE) / n_values) * (CAST(s1 AS DOUBLE) / n_values),"
+SELECT dim, n_values, n_nan,
+       COALESCE({sql_round_half_up(
+           "CAST(s1 AS DOUBLE) / NULLIF(n_values - n_nan, 0) / 10000.0", 6
+       )}, 0.0) AS mean_val,
+       COALESCE({sql_round_half_up(
+           "sqrt(GREATEST(CAST(s2 AS DOUBLE) / NULLIF(n_values - n_nan, 0)"
+           " - (CAST(s1 AS DOUBLE) / NULLIF(n_values - n_nan, 0))"
+           " * (CAST(s1 AS DOUBLE) / NULLIF(n_values - n_nan, 0)),"
            " 0.0)) / 10000.0",
            6,
-       )} AS std_val,
-       {sql_round_half_up("mn", 6)} AS min_val,
-       {sql_round_half_up("mx", 6)} AS max_val,
+       )}, 0.0) AS std_val,
+       COALESCE({sql_round_half_up("mn", 6)}, 0.0) AS min_val,
+       COALESCE({sql_round_half_up("mx", 6)}, 0.0) AS max_val,
        n_zero
 FROM agg ORDER BY dim
 """

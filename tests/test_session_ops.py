@@ -108,8 +108,7 @@ def test_semantic_dedup_keeps_first_representative(spark):
     assert abs(out[0]["drop_pct"] - 66.6667) < 1e-9
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.test_plans import _plan  # the canonical plan-audit helper
 
 
 def test_deciles_plan_has_no_single_partition_window_over_docs(spark, sf_small):
@@ -380,6 +379,34 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert abs(out[3]["mean_val"] - 0.166667) < 1e-9
     assert out[3]["min_val"] == -0.5 and out[3]["max_val"] == 0.5
     assert all(r["n_values"] == 3 for r in out.values())
+
+
+def test_dim_stats_counts_and_excludes_nan(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+        dim_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [float("nan"), 1.0], 0),
+            (2, [0.5, 1.0], 0),
+            (3, [float("nan"), 1.0], 0),  # dim 1: 2 NaN of 3
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["dim"]: r for r in dim_stats(emb).collect()}
+    assert out[1]["n_values"] == 3 and out[1]["n_nan"] == 2
+    assert out[1]["mean_val"] == 0.5  # over the single clean sample
+    assert out[1]["std_val"] == 0.0
+    assert out[2]["n_nan"] == 0 and out[2]["mean_val"] == 1.0
+    # all-NaN dim reports zeros, never NULL (gate bans NULL numerics)
+    all_nan = spark.createDataFrame(
+        [(1, [float("nan")], 0), (2, [float("nan")], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = dim_stats(all_nan).collect()[0]
+    assert row["n_nan"] == 2 and row["mean_val"] == 0.0
+    assert row["std_val"] == 0.0 and row["min_val"] == 0.0
 
 
 def test_audio_windows_rms_and_tail_drop(spark):
