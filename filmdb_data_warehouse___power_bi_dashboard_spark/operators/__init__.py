@@ -37,6 +37,7 @@ from . import (  # noqa: E402
     segments,
     similarity,
     text,
+    trend,
     vectors,
 )
 
@@ -56,6 +57,7 @@ for _mod in (
     lm,
     retrieval,
     retention,
+    trend,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

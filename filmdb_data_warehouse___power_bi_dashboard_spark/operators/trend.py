@@ -1,0 +1,306 @@
+"""Statistical modeling in pure DataFrame algebra: Pearson
+correlation between daily event-type volumes and least-squares trend
+slopes of daily revenue per nation — the "is this metric moving and
+with what" layer above the descriptive reports.
+
+Neither uses the engines' built-in ``corr``/``regr_slope``
+aggregates: their internal accumulation orders differ between Spark
+and DuckDB (streaming covariance updates), so the results are only
+approximately equal. Instead both operators accumulate the five
+classic power sums (n, Σx, Σy, Σxy, Σx², Σy²) as EXACT integers
+(counts / day indexes / 1e-4-dollar revenue units — all
+order-independent BIGINT sums), convert once to double, and evaluate
+the closed-form formulas as the same IEEE expression tree on both
+engines — bit-identical before the final rounding.
+
+Scale shape (both): one map-side-combined aggregate onto a bounded
+key domain (event types x days, nations x days), a zero-fill against
+a generated spine (missing day = genuinely zero events/revenue — a
+correlation or slope over only-observed days is biased), and a final
+aggregate onto |type pairs| resp. |nations| keys. Nothing wide
+touches raw facts twice.
+
+Overflow note: Σxy as BIGINT is exact while n_days·max(x)·max(y) <
+2^63 (centuries of days x 1e14 daily 1e-4-units — far beyond this
+warehouse); past that, pre-scale y's unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+# ---------------------------------------------------------------------------
+# Pearson correlation between daily event-type volumes
+# ---------------------------------------------------------------------------
+
+
+def type_volume_correlation(events: DataFrame) -> DataFrame:
+    """For every pair of event types, the Pearson correlation of
+    their ZERO-FILLED daily counts — "do purchases move with views"
+    across the corpus' day span.
+
+    Pairs with a constant series (zero variance) are excluded — the
+    correlation is undefined and emitting NULL would violate the
+    gate's no-NULL-numerics contract.
+    """
+    base = events.select(F.to_date("ts").alias("day"), "event_type")
+    daily = base.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    span = base.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = base.select("event_type").distinct()
+    filled = (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = filled.select(
+        "day", F.col("event_type").alias("type_a"), F.col("n").alias("xa")
+    )
+    b = filled.select(
+        "day", F.col("event_type").alias("type_b"), F.col("n").alias("xb")
+    )
+    sums = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sx2"),
+            F.sum(F.col("xb") * F.col("xb")).alias("sy2"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sx * sy
+    var_x = nd * F.col("sx2").cast("double") - sx * sx
+    var_y = nd * F.col("sy2").cast("double") - sy * sy
+    return (
+        sums.filter((var_x > 0.0) & (var_y > 0.0))
+        .select(
+            "type_a",
+            "type_b",
+            "n_days",
+            round_half_up(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+                "pearson_r"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return type_volume_correlation(read_table(spark, sf_dir, "events"))
+
+
+_SQL_CORR_COV = (
+    "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_SQL_CORR_VX = (
+    "(CAST(n_days AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_SQL_CORR_VY = (
+    "(CAST(n_days AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+
+ORACLE_TYPE_CORRELATION = f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, event_type FROM events
+),
+daily AS (
+  SELECT day, event_type, COUNT(*) AS n FROM base GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM base),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+types AS (SELECT DISTINCT event_type FROM base),
+filled AS (
+  SELECT s.day, t.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+),
+sums AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_days,
+         CAST(SUM(a.n) AS BIGINT) AS sx,
+         CAST(SUM(b.n) AS BIGINT) AS sy,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+         CAST(SUM(a.n * a.n) AS BIGINT) AS sx2,
+         CAST(SUM(b.n * b.n) AS BIGINT) AS sy2
+  FROM filled a
+  JOIN filled b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       {sql_round_half_up(
+           f"{_SQL_CORR_COV} / (sqrt({_SQL_CORR_VX}) * sqrt({_SQL_CORR_VY}))", 6
+       )} AS pearson_r
+FROM sums
+WHERE {_SQL_CORR_VX} > 0.0 AND {_SQL_CORR_VY} > 0.0
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Least-squares daily revenue trend per nation
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue_trend(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation least-squares slope of ZERO-FILLED daily revenue
+    over the order-date span — "which markets are growing" as a
+    number instead of a chart.
+
+    Revenue stays exact integers end to end: extended price has two
+    decimals and the discount rate two, so
+    ``price_cents · (100 − discount_bp)`` is an exact BIGINT in
+    1e-4-dollar units; the day index x is the datediff from the span
+    start. The slope formula runs once on the five exact power sums.
+    """
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    rev_u = F.col("rev_u")
+    # Prices/discounts are stored as DOUBLE in this corpus — a bare
+    # cast after *100 would TRUNCATE on Spark but ROUND on DuckDB;
+    # the floor(x*100 + 0.5) device is exact and engine-identical.
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    li = lineitem.select(
+        "l_orderkey", (cents * (F.lit(100) - disc_bp)).alias("rev_u")
+    )
+    per_day = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate").alias("day"))
+        .agg(F.sum(rev_u).alias("rev"))
+    )
+    span = o.agg(F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        "d0",
+    )
+    nations = per_day.select("nation").distinct()
+    filled = (
+        spine.crossJoin(F.broadcast(nations))
+        .join(per_day, ["nation", "day"], "left")
+        .select(
+            "nation",
+            F.datediff("day", "d0").cast("long").alias("x"),
+            F.coalesce("rev", F.lit(0)).alias("y"),
+        )
+    )
+    sums = filled.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope_u = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        nd * F.col("sx2").cast("double") - sx * sx
+    )
+    return sums.select(
+        "nation",
+        "n_days",
+        round_half_up(sy / nd / 10000.0, 4).alias("avg_daily_revenue"),
+        round_half_up(slope_u / 10000.0, 6).alias("trend_per_day"),
+    ).orderBy("nation")
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nation_revenue_trend(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+    )
+
+
+_SQL_TREND_NUM = (
+    "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_SQL_TREND_DEN = (
+    "(CAST(n_days AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+ORACLE_NATION_TREND = f"""
+WITH per_day AS (
+  SELECT n.n_name AS nation, o.o_orderdate AS day,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+         CAST(MAX(o_orderdate) AS DATE) AS d1
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+         d0
+  FROM span
+),
+nations AS (SELECT DISTINCT nation FROM per_day),
+filled AS (
+  SELECT na.nation,
+         CAST(s.day - s.d0 AS BIGINT) AS x,
+         CAST(COALESCE(p.rev, 0) AS BIGINT) AS y
+  FROM spine s CROSS JOIN nations na
+  LEFT JOIN per_day p ON p.nation = na.nation AND p.day = s.day
+),
+sums AS (
+  SELECT nation, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM filled GROUP BY 1
+)
+SELECT nation, n_days,
+       {sql_round_half_up(
+           "CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 10000.0", 4
+       )} AS avg_daily_revenue,
+       {sql_round_half_up(f"{_SQL_TREND_NUM} / {_SQL_TREND_DEN} / 10000.0", 6)}
+         AS trend_per_day
+FROM sums
+ORDER BY nation
+"""
+
+
+QUERIES = {
+    "events_type_correlation": q_events_type_correlation,
+    "nation_revenue_trend": q_nation_revenue_trend,
+}
+
+ORACLES = {
+    "events_type_correlation": ORACLE_TYPE_CORRELATION,
+    "nation_revenue_trend": ORACLE_NATION_TREND,
+}

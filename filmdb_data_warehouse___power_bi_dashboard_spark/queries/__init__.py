@@ -192,6 +192,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "orders_open_backlog_daily",
     "embedding_dim_stats",
     "multimodal_audio_windows",
+    "events_type_correlation",
+    "nation_revenue_trend",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -381,6 +381,64 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_type_correlation_signs_and_zero_fill(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        type_volume_correlation,
+    )
+
+    rows, eid = [], 0
+    # 4 days: "up" counts 1,2,3,4; "down" counts 4,3,2,1 (perfectly
+    # anti-correlated); "gap" appears ONLY on day 1 (zero-fill makes
+    # its series 2,0,0,0 — without fill it would be a 1-point series)
+    for d, (nu, nd) in enumerate([(1, 4), (2, 3), (3, 2), (4, 1)], start=1):
+        for _ in range(nu):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "up"))
+        for _ in range(nd):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d} 11:00:00", 1, "down"))
+    rows += [(900, "2024-01-01 09:00:00", 1, "gap"), (901, "2024-01-01 09:01:00", 1, "gap")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["type_a"], r["type_b"]): r for r in type_volume_correlation(ev).collect()}
+    assert out[("down", "up")]["pearson_r"] == -1.0
+    assert out[("down", "up")]["n_days"] == 4
+    # gap's zero-filled series (2,0,0,0) correlates negatively with up
+    assert out[("gap", "up")]["pearson_r"] < 0
+
+
+def test_nation_trend_slope_on_linear_revenue(spark):
+    import datetime as dt
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        nation_revenue_trend,
+    )
+
+    nation = spark.createDataFrame([(1, "A")], "n_nationkey long, n_name string")
+    customer = spark.createDataFrame([(1, 1)], "c_custkey long, c_nationkey long")
+    orders = spark.createDataFrame(
+        [(i, 1, dt.date(2024, 1, i)) for i in range(1, 4)],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    # revenue 100, 200, 300 dollars on days 0,1,2 -> slope 100/day
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 200.0, 0.0), (3, 300.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    row = nation_revenue_trend(lineitem, orders, customer, nation).collect()[0]
+    assert row["nation"] == "A" and row["n_days"] == 3
+    assert row["trend_per_day"] == 100.0
+    assert row["avg_daily_revenue"] == 200.0
+    # a 10% discount scales revenue exactly (integer basis points)
+    li_disc = spark.createDataFrame(
+        [(1, 100.0, 0.1), (2, 200.0, 0.1), (3, 300.0, 0.1)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    row2 = nation_revenue_trend(li_disc, orders, customer, nation).collect()[0]
+    assert row2["trend_per_day"] == 90.0
+
+
 def test_dim_stats_counts_and_excludes_nan(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
         dim_stats,
