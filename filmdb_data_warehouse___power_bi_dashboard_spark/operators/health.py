@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
@@ -493,6 +493,106 @@ ORDER BY day
 # different double than Spark's fold of the two double literals.
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (structural shift, not point outliers)
+# ---------------------------------------------------------------------------
+
+
+def changepoint_day(events: DataFrame) -> DataFrame:
+    """The single most likely LEVEL-SHIFT day in the daily value
+    series, by the classic CUSUM statistic: the day t maximizing
+    |Σ_{i≤t} x_i − t·x̄| — where the cumulative deviation from the
+    global mean peaks, the series most plausibly changed regime.
+    Complements events_anomaly_days: MAD flags isolated spikes, CUSUM
+    finds persistent shifts that no single day makes anomalous.
+
+    Exactness: |S_t − t·S_n/n| is rescaled by n to
+    |n·S_t − t·S_n| — ALL integer arithmetic (daily cents sums, their
+    cumulative sum, and two products), so the argmax is exact and the
+    only floating op is the final reporting division. A float
+    cumulative sum would be accumulation-order-dependent; the integer
+    one is not.
+
+    Scale shape: one map-side-combined groupBy(day); the cumulative
+    window runs over the bounded |days| aggregate (the documented
+    exception); the argmax is a 1-row TakeOrdered. Ties break toward
+    the earliest day.
+    """
+    from ..runtime import track_persist
+
+    daily = track_persist(
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+        .persist()
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("s_n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.withColumn("s_t", F.sum("cents").over(w))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "day",
+            "n_days",
+            (
+                F.abs(
+                    F.col("n_days") * F.col("s_t") - F.col("t") * F.col("s_n")
+                )
+            ).alias("cusum_scaled"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cusum_scaled"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            round_half_up(
+                F.col("cusum_scaled").cast("double")
+                / F.col("n_days")
+                / 100.0,
+                4,
+            ).alias("cusum_peak"),
+        )
+    )
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changepoint_day(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS s_n FROM daily
+),
+scored AS (
+  SELECT day, n_days,
+         abs(n_days * CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - ROW_NUMBER() OVER (ORDER BY day) * s_n) AS cusum_scaled
+  FROM daily CROSS JOIN tot
+)
+SELECT day AS changepoint_day,
+       {sql_round_half_up(
+           "CAST(cusum_scaled AS DOUBLE) / n_days / 100.0", 4
+       )} AS cusum_peak
+FROM scored
+ORDER BY cusum_scaled DESC, day ASC
+LIMIT 1
+"""
+
+
 QUERIES = {
     "corpus_health_report": q_corpus_health_report,
     "events_time_decay": q_events_time_decay,
@@ -500,6 +600,7 @@ QUERIES = {
     "join_key_skew_profile": q_join_key_skew_profile,
     "robust_value_stats": q_robust_value_stats,
     "events_anomaly_days": q_events_anomaly_days,
+    "events_changepoint": q_events_changepoint,
 }
 
 ORACLES = {
@@ -509,4 +610,5 @@ ORACLES = {
     "join_key_skew_profile": ORACLE_SKEW_PROFILE,
     "robust_value_stats": ORACLE_ROBUST_STATS,
     "events_anomaly_days": ORACLE_ANOMALY_DAYS,
+    "events_changepoint": ORACLE_CHANGEPOINT,
 }

@@ -381,6 +381,26 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_changepoint_finds_level_shift(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.health import (
+        changepoint_day,
+    )
+
+    rows, eid = [], 0
+    # level 10 for days 1-5, level 100 for days 6-10: the CUSUM peak
+    # is the last low-level day (day 5).
+    for d in range(1, 11):
+        eid += 1
+        rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1, "view", 10.0 if d <= 5 else 100.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = changepoint_day(ev).collect()[0]
+    assert str(row["changepoint_day"]) == "2024-01-05"
+    # |5*10 - 5*55| = 225 dollars of cumulative deviation at the peak
+    assert row["cusum_peak"] == 225.0
+
+
 def test_type_correlation_signs_and_zero_fill(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
         type_volume_correlation,
