@@ -117,12 +117,12 @@ def gap_filled_daily(events: DataFrame) -> DataFrame:
     every retention/heatmap visual needs (a missing day must render
     as 0, not disappear).
     """
+    from ..functions.spine import day_spine
+
     span = events.agg(
         F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
     )
-    spine = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
-    )
+    spine = day_spine(span)
     users = events.select("user_id").distinct()
     daily = (
         events.select("user_id", F.to_date("ts").alias("day"))

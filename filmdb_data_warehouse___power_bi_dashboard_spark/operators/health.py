@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.spine import sql_day_spine
 from ..sources.catalog import read_table
 
 # (table, key column, value column whose null-rate matters)
@@ -513,21 +514,29 @@ def changepoint_day(events: DataFrame) -> DataFrame:
     cumulative sum would be accumulation-order-dependent; the integer
     one is not.
 
-    Scale shape: one map-side-combined groupBy(day); the cumulative
-    window runs over the bounded |days| aggregate (the documented
-    exception); the argmax is a 1-row TakeOrdered. Ties break toward
-    the earliest day.
+    The daily series is ZERO-FILLED over the full day span: a
+    skipped empty day would compress the t index and hide the most
+    interesting regime change of all — activity stopping. Same
+    bias argument as the trend/correlation spines.
+
+    Scale shape: one map-side-combined groupBy(day); the spine join
+    and cumulative window run over the bounded |days| aggregate (the
+    documented exception); the argmax is a 1-row TakeOrdered. Ties
+    break toward the earliest day.
     """
+    from ..functions.spine import day_spine
     from ..runtime import track_persist
 
+    observed = events.filter(F.col("value").isNotNull()).select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    per_day = observed.groupBy("day").agg(F.sum("c").alias("cents"))
+    span = observed.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     daily = track_persist(
-        events.filter(F.col("value").isNotNull())
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
-                "cents"
-            )
-        )
+        day_spine(span)
+        .join(per_day, "day", "left")
+        .select("day", F.coalesce("cents", F.lit(0)).alias("cents"))
         .persist()
     )
     totals = daily.agg(
@@ -567,11 +576,19 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_day(read_table(spark, sf_dir, "events"))
 
 
+_SQL_SPINE = sql_day_spine("d0", "d1")
+
 ORACLE_CHANGEPOINT = f"""
-WITH daily AS (
+WITH per_day AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+spine AS ({_SQL_SPINE} FROM span),
+daily AS (
+  SELECT s.day, CAST(COALESCE(p.cents, 0) AS BIGINT) AS cents
+  FROM spine s LEFT JOIN per_day p ON p.day = s.day
 ),
 tot AS (
   SELECT COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS s_n FROM daily

@@ -20,9 +20,12 @@ correlation or slope over only-observed days is biased), and a final
 aggregate onto |type pairs| resp. |nations| keys. Nothing wide
 touches raw facts twice.
 
-Overflow note: Σxy as BIGINT is exact while n_days·max(x)·max(y) <
-2^63 (centuries of days x 1e14 daily 1e-4-units — far beyond this
-warehouse); past that, pre-scale y's unit.
+Overflow note: Σxy as BIGINT is exact while Σ_t t·y_t < 2^63; with
+day index t < n and daily values ≤ Y units that bound is
+n²·Y/2 < 9.2e18 — e.g. Y = 1e12 units (1e8 dollars/day) holds to
+n ≈ 4,300 days (~12 years), Y = 1e14 only to ~430 days. Past the
+horizon, pre-scale y's unit (dollars instead of 1e-4 dollars) —
+Spark's non-ANSI BIGINT overflow WRAPS silently, it does not error.
 """
 
 from __future__ import annotations
@@ -31,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.spine import day_spine, sql_day_spine
+from ..runtime import track_persist
 from ..sources.catalog import read_table
 
 # ---------------------------------------------------------------------------
@@ -50,14 +55,15 @@ def type_volume_correlation(events: DataFrame) -> DataFrame:
     base = events.select(F.to_date("ts").alias("day"), "event_type")
     daily = base.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
     span = base.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
-    )
     types = base.select("event_type").distinct()
-    filled = (
-        spine.crossJoin(F.broadcast(types))
+    # filled feeds BOTH legs of the pair self-join — persist the
+    # |days|x|types| frame so raw events scan once, not per leg.
+    filled = track_persist(
+        day_spine(span)
+        .crossJoin(F.broadcast(types))
         .join(daily, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+        .persist()
     )
     a = filled.select(
         "day", F.col("event_type").alias("type_a"), F.col("n").alias("xa")
@@ -123,10 +129,7 @@ daily AS (
   SELECT day, event_type, COUNT(*) AS n FROM base GROUP BY 1, 2
 ),
 span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM base),
-spine AS (
-  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-  FROM span
-),
+spine AS ({sql_day_spine("d0", "d1")} FROM span),
 types AS (SELECT DISTINCT event_type FROM base),
 filled AS (
   SELECT s.day, t.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
@@ -185,21 +188,21 @@ def nation_revenue_trend(
     li = lineitem.select(
         "l_orderkey", (cents * (F.lit(100) - disc_bp)).alias("rev_u")
     )
-    per_day = (
+    # per_day feeds the distinct-nations pass AND the left join —
+    # persist so the three-table join pipeline runs once.
+    per_day = track_persist(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate").alias("day"))
         .agg(F.sum(rev_u).alias("rev"))
+        .persist()
     )
     span = o.agg(F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1"))
-    spine = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
-        "d0",
-    )
     nations = per_day.select("nation").distinct()
     filled = (
-        spine.crossJoin(F.broadcast(nations))
+        day_spine(span, keep=("d0",))
+        .crossJoin(F.broadcast(nations))
         .join(per_day, ["nation", "day"], "left")
         .select(
             "nation",
@@ -217,15 +220,21 @@ def nation_revenue_trend(
     nd = F.col("n_days").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    slope_u = (nd * F.col("sxy").cast("double") - sx * sy) / (
-        nd * F.col("sx2").cast("double") - sx * sx
+    den = nd * F.col("sx2").cast("double") - sx * sx
+    slope_u = (nd * F.col("sxy").cast("double") - sx * sy) / den
+    # den == 0 (single-day span) would be NULL on Spark but inf on
+    # DuckDB — exclude the degenerate row, mirroring the correlation
+    # operator's variance guard.
+    return (
+        sums.filter(den > 0.0)
+        .select(
+            "nation",
+            "n_days",
+            round_half_up(sy / nd / 10000.0, 4).alias("avg_daily_revenue"),
+            round_half_up(slope_u / 10000.0, 6).alias("trend_per_day"),
+        )
+        .orderBy("nation")
     )
-    return sums.select(
-        "nation",
-        "n_days",
-        round_half_up(sy / nd / 10000.0, 4).alias("avg_daily_revenue"),
-        round_half_up(slope_u / 10000.0, 6).alias("trend_per_day"),
-    ).orderBy("nation")
 
 
 def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,11 +272,7 @@ span AS (
          CAST(MAX(o_orderdate) AS DATE) AS d1
   FROM orders
 ),
-spine AS (
-  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
-         d0
-  FROM span
-),
+spine AS ({sql_day_spine("d0", "d1", ", d0")} FROM span),
 nations AS (SELECT DISTINCT nation FROM per_day),
 filled AS (
   SELECT na.nation,
@@ -291,6 +296,7 @@ SELECT nation, n_days,
        {sql_round_half_up(f"{_SQL_TREND_NUM} / {_SQL_TREND_DEN} / 10000.0", 6)}
          AS trend_per_day
 FROM sums
+WHERE {_SQL_TREND_DEN} > 0.0
 ORDER BY nation
 """
 

@@ -173,10 +173,11 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_funnel",
     "events_gap_filled_daily",
     "robust_value_stats",
-    # ROUND-7 ROTATION CANDIDATES: the 16 oracle-bearing entries from
-    # here through multimodal_audio_windows have never had a
-    # driver-recorded row (replica-green only) — rotate them into the
-    # 50-entry window next round, displacing r6-green entries.
+    # ROUND-7 ROTATION CANDIDATES: the 19 oracle-bearing entries from
+    # corpus_pack_spans_global (above) through events_changepoint
+    # (below) have never had a driver-recorded row (replica-green
+    # only) — rotate them into the 50-entry window next round,
+    # displacing r6-green entries.
     # NEW this session, past the cap (pytest replica; rotate into the
     # gate next round): Markov transitions, curriculum deciles,
     # association lift, and SemDeDup-style semantic dedup.

@@ -1474,9 +1474,11 @@ def open_backlog_daily(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     closes = span.groupBy(F.col("closed_next").alias("day")).agg(
         F.count(F.lit(1)).alias("n_closed")
     )
-    spine = span.agg(
-        F.min("opened").alias("d0"), F.max("closed_next").alias("d1")
-    ).select(F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"))
+    from ..functions.spine import day_spine
+
+    spine = day_spine(
+        span.agg(F.min("opened").alias("d0"), F.max("closed_next").alias("d1"))
+    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         spine.join(opens, "day", "left")
