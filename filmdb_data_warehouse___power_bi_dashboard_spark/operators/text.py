@@ -392,6 +392,78 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style reading ease)
+# ---------------------------------------------------------------------------
+
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+# Flesch reading-ease constants; the products with the two ratios are
+# single-literal-times-double on both engines (no decimal-times-
+# decimal folding hazard — see the Wilson-bound lesson).
+_FL_BASE, _FL_WPS, _FL_SPW = 206.835, 1.015, 84.6
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch-style reading-ease score per document: sentence length
+    and syllable density, with syllables approximated by vowel-group
+    runs (the standard no-dictionary proxy) — a curation signal that
+    separates prose from boilerplate/code soup, complementing the
+    punctuation/stopword quality score in text_profile.
+
+    Sentence count floors at 1 (a fragment without terminal
+    punctuation is one sentence, and the ratio stays finite). Both
+    regexes are in the common Java-regex/RE2 subset, so the counts
+    match across engines; the score itself is three IEEE ops on
+    exact integer counts.
+
+    Scale shape: pure per-document Column expressions in one scan —
+    no shuffle, no UDF, whole-stage codegen.
+    """
+    n_words = F.size(_words())
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), 0)), F.lit(1)
+    )
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYL_RE), 0)
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = n_syl.cast("double") / n_words
+    flesch = (
+        F.lit(_FL_BASE) - F.lit(_FL_WPS) * wps - F.lit(_FL_SPW) * spw
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        round_half_up(flesch, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_READABILITY = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       {sql_round_half_up(
+           f"{_FL_BASE!r}"
+           f" - {_FL_WPS!r} * (CAST(n_words AS DOUBLE) / n_sentences)"
+           f" - {_FL_SPW!r} * (CAST(n_syllables AS DOUBLE) / n_words)",
+           4,
+       )} AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_language_id": q_text_language_id,
     "text_profile": q_text_profile,
@@ -399,6 +471,7 @@ QUERIES = {
     "text_search": q_text_search,
     "text_vocabulary": q_text_vocabulary,
     "corpus_curation": q_corpus_curation,
+    "text_readability": q_text_readability,
 }
 
 ORACLES = {
@@ -408,4 +481,5 @@ ORACLES = {
     "text_search": ORACLE_TEXT_SEARCH,
     "text_vocabulary": ORACLE_VOCABULARY,
     "corpus_curation": ORACLE_CURATION,
+    "text_readability": ORACLE_READABILITY,
 }

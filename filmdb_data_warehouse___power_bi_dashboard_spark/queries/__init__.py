@@ -196,6 +196,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_type_correlation",
     "nation_revenue_trend",
     "events_changepoint",
+    "text_readability",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

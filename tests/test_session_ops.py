@@ -381,6 +381,30 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_readability_orders_prose_above_jargon(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        readability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # short simple sentences: high reading ease
+            (1, "The cat sat. The dog ran. It was fun.", "en", "s", 1),
+            # one long polysyllabic sentence: low reading ease
+            (2, "Intercontinental organizational repercussions necessitate "
+                "comprehensive reevaluation of infrastructural prioritization", "en", "s", 1),
+            # no terminal punctuation: sentence count floors at 1
+            (3, "just a fragment", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[3]["n_sentences"] == 1
+    assert out[1]["flesch"] > out[2]["flesch"]
+    assert out[2]["flesch"] < 0  # academic soup scores below zero
+
+
 def test_changepoint_finds_level_shift(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.health import (
         changepoint_day,
