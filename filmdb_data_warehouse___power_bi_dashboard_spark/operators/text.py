@@ -464,6 +464,154 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation pipeline funnel (per-stage attrition report)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = (
+    "raw",
+    "nonempty",
+    "exact_unique",
+    "canonical_unique",
+    "lang_en",
+    "quality",
+)
+
+
+def pipeline_funnel(
+    docs: DataFrame, min_quality: float = 0.5, langs: tuple[str, ...] = ("en",)
+) -> DataFrame:
+    """The curation pipeline's attrition funnel: how many documents
+    survive each stage — raw → nonempty → exact-unique (md5 of the
+    text) → canonical-unique (token-set fingerprint, among exact
+    survivors) → language filter → quality threshold — with the share
+    of the raw corpus remaining. The single report a pipeline owner
+    reads before trusting `corpus_curation`'s output ("we dropped 40%
+    — WHERE?"). Stage semantics match corpus_curation exactly, so the
+    funnel's final count equals that operator's row count.
+
+    Scale shape: flags are computed in ONE enriched projection; the
+    two keeper lookups are hash aggregates on 16-byte digests joined
+    back (text never shuffles); the funnel itself is a single
+    map-side-combined aggregate over the six flag conjunctions,
+    exploded into the 6-row report.
+    """
+    words = _words()
+    canon = F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " "))
+    nonempty = F.col("text").isNotNull() & (F.length("text") > 0)
+    base = docs.select(
+        "doc_id",
+        nonempty.alias("ok1"),
+        _detect_expr(words).alias("ld"),
+        # quality divides by n_chars — guard the empty-text rows the
+        # nonempty stage is about to drop anyway (ANSI div-by-zero).
+        F.when(nonempty, round_half_up(_quality_expr(words), 4))
+        .otherwise(F.lit(0.0))
+        .alias("q"),
+        F.md5("text").alias("h"),
+        canon.alias("fp"),
+    )
+    ek = base.filter("ok1").groupBy("h").agg(F.min("doc_id").alias("ekeep"))
+    s2 = base.join(ek, "h", "left").withColumn(
+        "ok2", F.col("ok1") & (F.col("doc_id") == F.col("ekeep"))
+    )
+    ck = s2.filter("ok2").groupBy("fp").agg(F.min("doc_id").alias("ckeep"))
+    s3 = (
+        s2.join(ck, "fp", "left")
+        .withColumn("ok3", F.col("ok2") & (F.col("doc_id") == F.col("ckeep")))
+        .withColumn("ok4", F.col("ok3") & F.col("ld").isin(*langs))
+        .withColumn("ok5", F.col("ok4") & (F.col("q") >= F.lit(min_quality)))
+    )
+    agg = s3.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(F.coalesce(F.col(f"ok{i}"), F.lit(False)).cast("long")).alias(
+                f"n{i}"
+            )
+            for i in range(1, 6)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return (
+        agg.select(F.col("n0").alias("n_raw"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage_no").alias("stage_no"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            round_half_up(
+                F.col("s.n_docs").cast("double") / F.col("n_raw") * 100.0, 4
+            ).alias("pct_of_raw"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline_funnel(read_table(spark, sf_dir, "documents"))
+
+
+def _funnel_oracle() -> str:
+    flags = f"""
+WITH scored AS (
+  SELECT doc_id,
+         (text IS NOT NULL AND length(text) > 0) AS ok1,
+         {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)},
+         CASE WHEN text IS NOT NULL AND length(text) > 0
+              THEN {_P_QUALITY} ELSE 0.0 END AS q,
+         md5(text) AS h,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp
+  FROM documents
+),
+s1 AS (SELECT *, {_SQL_DETECT} AS ld FROM scored),
+ek AS (SELECT h, MIN(doc_id) AS ekeep FROM s1 WHERE ok1 GROUP BY h),
+s2 AS (
+  SELECT s1.*, (s1.ok1 AND s1.doc_id = ek.ekeep) AS ok2
+  FROM s1 LEFT JOIN ek ON s1.h = ek.h
+),
+ck AS (SELECT fp, MIN(doc_id) AS ckeep FROM s2 WHERE ok2 GROUP BY fp),
+s3 AS (
+  SELECT s2.*,
+         (s2.ok2 AND s2.doc_id = ck.ckeep) AS ok3
+  FROM s2 LEFT JOIN ck ON s2.fp = ck.fp
+),
+s4 AS (
+  SELECT *,
+         (ok3 AND ld IN ('en')) AS ok4,
+         (ok3 AND ld IN ('en') AND q >= 0.5) AS ok5
+  FROM s3
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         {", ".join(
+             "CAST(SUM(CASE WHEN COALESCE(ok%d, FALSE) THEN 1 ELSE 0 END)"
+             " AS BIGINT) AS n%d" % (i, i)
+             for i in range(1, 6)
+         )}
+  FROM s4
+)"""
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage_no, '{name}' AS stage,"
+        f" CAST(n{i} AS BIGINT) AS n_docs,"
+        f" {sql_round_half_up(f'CAST(n{i} AS DOUBLE) / n0 * 100.0', 4)}"
+        f" AS pct_of_raw FROM agg"
+        for i, name in enumerate(_FUNNEL_STAGES)
+    )
+    return f"{flags}\n{selects}\nORDER BY stage_no"
+
+
+ORACLE_PIPELINE_FUNNEL = _funnel_oracle()
+
+
 QUERIES = {
     "text_language_id": q_text_language_id,
     "text_profile": q_text_profile,
@@ -472,6 +620,7 @@ QUERIES = {
     "text_vocabulary": q_text_vocabulary,
     "corpus_curation": q_corpus_curation,
     "text_readability": q_text_readability,
+    "corpus_pipeline_funnel": q_corpus_pipeline_funnel,
 }
 
 ORACLES = {
@@ -482,4 +631,5 @@ ORACLES = {
     "text_vocabulary": ORACLE_VOCABULARY,
     "corpus_curation": ORACLE_CURATION,
     "text_readability": ORACLE_READABILITY,
+    "corpus_pipeline_funnel": ORACLE_PIPELINE_FUNNEL,
 }

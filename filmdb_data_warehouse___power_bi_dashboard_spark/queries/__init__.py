@@ -197,6 +197,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "nation_revenue_trend",
     "events_changepoint",
     "text_readability",
+    "corpus_pipeline_funnel",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

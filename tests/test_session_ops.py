@@ -381,6 +381,42 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_pipeline_funnel_stage_attrition(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        pipeline_funnel,
+    )
+
+    # English (has "the" marker) but punctuation-heavy: q ~= 0.4 < 0.5
+    the = "the cat!!! ### $$$ %%% ???"
+    docs = spark.createDataFrame(
+        [
+            # exact duplicates: 1 kept at exact_unique, 2 dropped
+            (1, "the cat sat on the mat today it is a fine day", "en", "s", 1),
+            (2, "the cat sat on the mat today it is a fine day", "en", "s", 1),
+            # canonical dup of 1 (same token set, reordered + repeats)
+            (3, "cat the sat on mat the today it is a fine day day", "en", "s", 1),
+            # empty text: dropped at nonempty
+            (4, "", "en", "s", 0),
+            # unique but not English (Spanish markers)
+            (5, "el que la de y un es en el que", "es", "s", 1),
+            # unique English but low quality (pure stopwords)
+            (6, the, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["stage"]: r for r in pipeline_funnel(docs).collect()}
+    assert out["raw"]["n_docs"] == 6 and out["raw"]["pct_of_raw"] == 100.0
+    assert out["nonempty"]["n_docs"] == 5
+    assert out["exact_unique"]["n_docs"] == 4  # doc 2 dropped
+    assert out["canonical_unique"]["n_docs"] == 3  # doc 3 dropped
+    assert out["lang_en"]["n_docs"] == 2  # doc 5 dropped
+    assert out["quality"]["n_docs"] == 1  # doc 6 dropped
+    # monotone non-increasing
+    ns = [out[s]["n_docs"] for s in ("raw", "nonempty", "exact_unique",
+                                      "canonical_unique", "lang_en", "quality")]
+    assert ns == sorted(ns, reverse=True)
+
+
 def test_readability_orders_prose_above_jargon(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
         readability,
