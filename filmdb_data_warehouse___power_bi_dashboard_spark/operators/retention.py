@@ -166,10 +166,13 @@ def q_text_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ratio_by_source(read_table(spark, sf_dir, "documents"))
 
 
-ORACLE_DUP_RATIO = f"""
+def _dup_ratio_oracle() -> str:
+    from .text import _SQL_FP
+
+    return f"""
 WITH fp AS (
   SELECT doc_id, source,
-         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         {_SQL_FP}
            AS fingerprint
   FROM documents
 ),
@@ -187,6 +190,9 @@ FROM fp JOIN k ON fp.fingerprint = k.fingerprint
 GROUP BY fp.source
 ORDER BY fp.source
 """
+
+
+ORACLE_DUP_RATIO = _dup_ratio_oracle()
 
 
 QUERIES = {

@@ -114,12 +114,27 @@ def text_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def _fp_expr(words=None):
+    """THE canonical-fingerprint expression (md5 over the sorted
+    distinct token set). Single definition — fingerprints(),
+    corpus_curation, and pipeline_funnel must stay fingerprint-
+    compatible, and a drifted hand-copy would silently break the
+    funnel's stage-parity contract."""
+    w = _words() if words is None else words
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(w)), " "))
+
+
+# The DuckDB twin of _fp_expr — used by every oracle that fingerprints.
+_SQL_FP = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Canonical fingerprint: md5 over the sorted distinct token set —
     invariant to token order and repetition (catches shuffled/
     re-sampled copies that exact hashing misses)."""
-    canon = F.array_join(F.sort_array(F.array_distinct(_words())), " ")
-    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+    return docs.select("doc_id", _fp_expr().alias("fingerprint"))
 
 
 def fingerprint_clusters(docs: DataFrame) -> DataFrame:
@@ -208,8 +223,8 @@ def q_text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_clusters(docs).orderBy("fingerprint")
 
 
-ORACLE_FINGERPRINT = """
-SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+ORACLE_FINGERPRINT = f"""
+SELECT {_SQL_FP}
          AS fingerprint,
        MIN(doc_id) AS keeper_doc_id,
        COUNT(*) AS nb_docs
@@ -307,7 +322,7 @@ def corpus_curation(
         _detect_expr(words).alias("lang_detected"),
         round_half_up(_quality_expr(words), 4).alias("quality_score"),
         F.size(words).alias("n_tokens"),
-        F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " ")).alias("__fp"),
+        _fp_expr(words).alias("__fp"),
     )
     w = Window.partitionBy("__fp")
     return (
@@ -375,7 +390,7 @@ WITH scored AS (
          len(string_split(text, ' ')) AS n_tokens,
          {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)},
          {_P_QUALITY} AS quality_score,
-         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         {_SQL_FP}
            AS fp
   FROM documents
 ),
@@ -468,14 +483,20 @@ FROM c ORDER BY doc_id
 # Curation pipeline funnel (per-stage attrition report)
 # ---------------------------------------------------------------------------
 
-_FUNNEL_STAGES = (
-    "raw",
-    "nonempty",
-    "exact_unique",
-    "canonical_unique",
-    "lang_en",
-    "quality",
-)
+def _funnel_stage_names(langs: tuple[str, ...]) -> tuple[str, ...]:
+    # The language stage is labeled by what it actually filtered —
+    # a funnel run with langs=("fr",) must not report "lang_en".
+    return (
+        "raw",
+        "nonempty",
+        "exact_unique",
+        "canonical_unique",
+        "lang_" + "_".join(langs),
+        "quality",
+    )
+
+
+_FUNNEL_STAGES = _funnel_stage_names(("en",))
 
 
 def pipeline_funnel(
@@ -497,7 +518,6 @@ def pipeline_funnel(
     exploded into the 6-row report.
     """
     words = _words()
-    canon = F.md5(F.array_join(F.sort_array(F.array_distinct(words)), " "))
     nonempty = F.col("text").isNotNull() & (F.length("text") > 0)
     base = docs.select(
         "doc_id",
@@ -509,7 +529,7 @@ def pipeline_funnel(
         .otherwise(F.lit(0.0))
         .alias("q"),
         F.md5("text").alias("h"),
-        canon.alias("fp"),
+        _fp_expr(words).alias("fp"),
     )
     ek = base.filter("ok1").groupBy("h").agg(F.min("doc_id").alias("ekeep"))
     s2 = base.join(ek, "h", "left").withColumn(
@@ -538,7 +558,7 @@ def pipeline_funnel(
                 F.lit(name).alias("stage"),
                 F.col(f"n{i}").alias("n_docs"),
             )
-            for i, name in enumerate(_FUNNEL_STAGES)
+            for i, name in enumerate(_funnel_stage_names(langs))
         ]
     )
     return (
@@ -568,7 +588,7 @@ WITH scored AS (
          CASE WHEN text IS NOT NULL AND length(text) > 0
               THEN {_P_QUALITY} ELSE 0.0 END AS q,
          md5(text) AS h,
-         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         {_SQL_FP}
            AS fp
   FROM documents
 ),
