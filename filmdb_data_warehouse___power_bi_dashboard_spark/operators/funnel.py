@@ -268,6 +268,9 @@ def conversion_latency(
     lat = conv.select(
         (F.unix_micros("t1") - F.unix_micros("t0")).alias("us")
     )
+    # Zero converters would emit one row of NULL numeric stats — the
+    # gate contract bans NULL numerics, so the degenerate case emits
+    # ZERO rows instead (the oracle's HAVING mirrors this).
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
         round_half_up(F.min("us") / 1000000.0, 4).alias("min_s"),
@@ -277,7 +280,7 @@ def conversion_latency(
             F.sum("us").cast("double") / F.count(F.lit(1)) / 1000000.0, 4
         ).alias("avg_s"),
         round_half_up(F.max("us") / 1000000.0, 4).alias("max_s"),
-    )
+    ).filter(F.col("n_converted") > 0)
 
 
 def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +309,7 @@ SELECT COUNT(*) AS n_converted,
        )} AS avg_s,
        {sql_round_half_up("MAX(us) / 1000000.0", 4)} AS max_s
 FROM lat
+HAVING COUNT(*) > 0
 """
 
 

@@ -519,6 +519,13 @@ def changepoint_day(events: DataFrame) -> DataFrame:
     interesting regime change of all — activity stopping. Same
     bias argument as the trend/correlation spines.
 
+    Overflow bound (same Σt·y hazard trend.py documents): the
+    statistic needs n_days · S_n < 2^63 where S_n is the TOTAL cents;
+    e.g. 1e12 cents/day over 10 years (S_n ≈ 3.7e15, product ≈
+    1.3e19) crosses it — and Spark's non-ANSI BIGINT wraps silently
+    while DuckDB errors. Past the horizon, pre-scale the unit
+    (dollars instead of cents) before calling.
+
     Scale shape: one map-side-combined groupBy(day); the spine join
     and cumulative window run over the bounded |days| aggregate (the
     documented exception); the argmax is a 1-row TakeOrdered. Ties

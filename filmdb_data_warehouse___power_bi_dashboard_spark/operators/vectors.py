@@ -390,7 +390,12 @@ def dim_stats(emb: DataFrame) -> DataFrame:
             F.sum(F.col("sc") * F.col("sc")).alias("s2"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
-            F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
+            # all-NaN dim: the (x == 0.0) column is all-NULL and SUM
+            # returns NULL — coalesce to 0 like every other stat (the
+            # oracle's CASE..ELSE 0 never goes NULL).
+            F.coalesce(
+                F.sum((F.col("x") == 0.0).cast("long")), F.lit(0)
+            ).alias("n_zero"),
         )
     )
     nn = F.nullif(F.col("n_values") - F.col("n_nan"), F.lit(0))

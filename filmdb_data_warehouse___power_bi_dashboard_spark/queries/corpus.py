@@ -31,6 +31,7 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.spine import sql_day_spine
 from ..functions.scalar import (
     date_key,
     interval_days,
@@ -1502,7 +1503,9 @@ def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_OPEN_BACKLOG = """
+_SQL_BACKLOG_SPINE = sql_day_spine("d0", "d1")
+
+ORACLE_OPEN_BACKLOG = f"""
 WITH span AS (
   SELECT o.o_orderdate AS opened,
          CAST(MAX(l.l_shipdate) + INTERVAL 1 DAY AS DATE) AS closed_next
@@ -1512,9 +1515,7 @@ WITH span AS (
 opens AS (SELECT opened AS day, COUNT(*) AS n_opened FROM span GROUP BY 1),
 closes AS (SELECT closed_next AS day, COUNT(*) AS n_closed FROM span GROUP BY 1),
 bounds AS (SELECT MIN(opened) AS d0, MAX(closed_next) AS d1 FROM span),
-spine AS (
-  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
-),
+spine AS ({_SQL_BACKLOG_SPINE} FROM bounds),
 daily AS (
   SELECT s.day,
          CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,

@@ -545,6 +545,7 @@ def test_dim_stats_counts_and_excludes_nan(spark):
     row = dim_stats(all_nan).collect()[0]
     assert row["n_nan"] == 2 and row["mean_val"] == 0.0
     assert row["std_val"] == 0.0 and row["min_val"] == 0.0
+    assert row["n_zero"] == 0  # coalesced, never NULL
 
 
 def test_audio_windows_rms_and_tail_drop(spark):
