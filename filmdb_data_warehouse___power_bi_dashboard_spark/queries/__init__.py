@@ -198,6 +198,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_changepoint",
     "text_readability",
     "corpus_pipeline_funnel",
+    "customer_year_set_ops",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -1357,6 +1357,52 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_year_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set operations (SURVEY §2.7 — the reference's SQL uses
+    none, so this is the engine-completeness demonstration): the
+    1994/1995 active-customer sets compared with INTERSECT / EXCEPT /
+    UNION, reported as one retention-style summary row.
+
+    Spark shape: DataFrame ``intersect`` / ``exceptAll``-free
+    ``subtract`` / ``union().distinct()`` — each plans a hash
+    aggregate or left-anti join on the distinct key sets (already
+    reduced before any set op, so the shuffles carry keys only).
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    a = o.filter(F.col("y") == 1994).select("o_custkey").distinct()
+    b = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
+    counts = [
+        a.agg(F.count(F.lit(1)).alias("n_1994")),
+        b.agg(F.count(F.lit(1)).alias("n_1995")),
+        a.intersect(b).agg(F.count(F.lit(1)).alias("n_both")),
+        a.subtract(b).agg(F.count(F.lit(1)).alias("n_only_1994")),
+        b.subtract(a).agg(F.count(F.lit(1)).alias("n_only_1995")),
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_either")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+ORACLE_SET_OPS = """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+)
+SELECT (SELECT COUNT(*) FROM a) AS n_1994,
+       (SELECT COUNT(*) FROM b) AS n_1995,
+       (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+       (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_1994,
+       (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_1995,
+       (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_either
+"""
+
+
 _WILSON_Z = 1.96
 _RELIABILITY_TOPK = 25
 _RELIABILITY_MIN_LINES = 20
@@ -1652,6 +1698,7 @@ QUERIES = {
     "basket_lift": q_basket_lift,
     "supplier_reliability": q_supplier_reliability,
     "orders_open_backlog_daily": q_orders_open_backlog_daily,
+    "customer_year_set_ops": q_customer_year_set_ops,
     "events_json_props": q_events_json_props,
     "approx_month_profile": q_approx_month_profile,
     "pivot_nation_segment": q_pivot_nation_segment,
@@ -1685,6 +1732,7 @@ ORACLES = {
     "basket_lift": ORACLE_BASKET_LIFT,
     "supplier_reliability": ORACLE_SUPPLIER_RELIABILITY,
     "orders_open_backlog_daily": ORACLE_OPEN_BACKLOG,
+    "customer_year_set_ops": ORACLE_SET_OPS,
     "pivot_nation_segment": ORACLE_PIVOT,
     "unpivot_nation_segment": ORACLE_UNPIVOT,
     "events_json_props": ORACLE_Q23,
