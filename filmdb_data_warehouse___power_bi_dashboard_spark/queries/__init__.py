@@ -173,8 +173,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_funnel",
     "events_gap_filled_daily",
     "robust_value_stats",
-    # ROUND-7 ROTATION CANDIDATES: the 21 oracle-bearing entries from
-    # corpus_pack_spans_global (above) through corpus_pipeline_funnel
+    # ROUND-7 ROTATION CANDIDATES: the 22 oracle-bearing entries from
+    # corpus_pack_spans_global (above) through customer_year_set_ops
     # (below) have never had a driver-recorded row (replica-green
     # only) — rotate them into the 50-entry window next round,
     # displacing r6-green entries.
