@@ -313,11 +313,95 @@ HAVING COUNT(*) > 0
 """
 
 
+def hour_of_week_profile(events: DataFrame) -> DataFrame:
+    """The 7x24 activity heatmap plus each cell's chi-square
+    uniformity term ((observed − expected)² / expected against the
+    uniform 1/168 baseline) — the seasonality diagnostic behind
+    load-aware scheduling and bot detection (a genuinely uniform
+    traffic source is as suspicious as a single-hour spike). The
+    reference's weekday-profile view (vues.sql:308-316) is the
+    day-level cut of the same surface.
+
+    All 168 cells are emitted (zero-filled via a generated dow×hour
+    spine) so the uniformity terms cover silent hours too. Counts
+    are exact integers; expected = n/168 and the chi² term are the
+    only floating ops, identical trees on both engines.
+
+    Scale shape: ONE map-side-combined groupBy over a 168-key
+    domain; the spine is a literal 168-row cross join of two
+    generated sequences.
+    """
+    spark = events.sparkSession
+    cells = (
+        events.groupBy(
+            # ISO day-of-week (1=Mon..7=Sun) on BOTH engines:
+            # Spark dayofweek() is 1=Sun — use the ISO formula.
+            (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = spark.range(1, 8).select(F.col("id").alias("dow")).crossJoin(
+        spark.range(0, 24).select(F.col("id").alias("hour"))
+    )
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    e = F.col("n_total").cast("double") / 168.0
+    dev = F.col("n_events").cast("double") - e
+    return (
+        spine.join(cells, ["dow", "hour"], "left")
+        .select("dow", "hour", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            round_half_up(e, 4).alias("expected"),
+            round_half_up(dev * dev / e, 4).alias("chi2_term"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def q_events_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hour_of_week_profile(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_HOUR_OF_WEEK = f"""
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT d.dow, h.hour
+  FROM (SELECT unnest(range(1, 8)) AS dow) d
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hour) h
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells),
+filled AS (
+  SELECT s.dow, s.hour, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN cells c ON s.dow = c.dow AND s.hour = c.hour
+)
+SELECT dow, hour, n_events,
+       {sql_round_half_up("CAST(n_total AS DOUBLE) / 168.0", 4)} AS expected,
+       {sql_round_half_up(
+           "(CAST(n_events AS DOUBLE) - CAST(n_total AS DOUBLE) / 168.0)"
+           " * (CAST(n_events AS DOUBLE) - CAST(n_total AS DOUBLE) / 168.0)"
+           " / (CAST(n_total AS DOUBLE) / 168.0)",
+           4,
+       )} AS chi2_term
+FROM filled CROSS JOIN tot
+ORDER BY dow, hour
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_gap_filled_daily": q_events_gap_filled_daily,
     "events_transition_matrix": q_events_transition_matrix,
     "events_conversion_latency": q_events_conversion_latency,
+    "events_hour_of_week": q_events_hour_of_week,
 }
 
 ORACLES = {
@@ -325,4 +409,5 @@ ORACLES = {
     "events_gap_filled_daily": ORACLE_GAP_FILLED,
     "events_transition_matrix": ORACLE_TRANSITIONS,
     "events_conversion_latency": ORACLE_CONVERSION_LATENCY,
+    "events_hour_of_week": ORACLE_HOUR_OF_WEEK,
 }

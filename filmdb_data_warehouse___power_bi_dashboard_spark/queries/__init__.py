@@ -173,8 +173,8 @@ _GATE_ORDER: tuple[str, ...] = (
     "events_funnel",
     "events_gap_filled_daily",
     "robust_value_stats",
-    # ROUND-7 ROTATION CANDIDATES: the 22 oracle-bearing entries from
-    # corpus_pack_spans_global (above) through customer_year_set_ops
+    # ROUND-7 ROTATION CANDIDATES: the 23 oracle-bearing entries from
+    # corpus_pack_spans_global (above) through events_hour_of_week
     # (below) have never had a driver-recorded row (replica-green
     # only) — rotate them into the 50-entry window next round,
     # displacing r6-green entries.
@@ -199,6 +199,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_readability",
     "corpus_pipeline_funnel",
     "customer_year_set_ops",
+    "events_hour_of_week",
     # displaced by the round-6 rotation (driver-green r5 or earlier):
     "metrics_kpi_global",
     "view_surface_pack",

@@ -381,6 +381,31 @@ def test_dim_stats_finds_dead_and_constant_dims(spark):
     assert all(r["n_values"] == 3 for r in out.values())
 
 
+def test_hour_of_week_iso_dow_and_zero_fill(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.funnel import (
+        hour_of_week_profile,
+    )
+
+    rows = [
+        # 2024-01-01 is a MONDAY -> ISO dow 1
+        (1, "2024-01-01 09:00:00", 1, "view"),
+        (2, "2024-01-01 09:30:00", 1, "view"),
+        # 2024-01-07 is a SUNDAY -> ISO dow 7
+        (3, "2024-01-07 23:00:00", 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["dow"], r["hour"]): r for r in hour_of_week_profile(ev).collect()}
+    assert len(out) == 168  # full zero-filled grid
+    assert out[(1, 9)]["n_events"] == 2
+    assert out[(7, 23)]["n_events"] == 1
+    assert out[(3, 12)]["n_events"] == 0
+    # chi2 term of an empty cell = expected itself
+    exp = 3.0 / 168.0
+    assert abs(out[(3, 12)]["chi2_term"] - round(exp, 4)) < 1e-3
+
+
 def test_pipeline_funnel_stage_attrition(spark):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
         pipeline_funnel,
