@@ -331,8 +331,13 @@ def hour_of_week_profile(events: DataFrame) -> DataFrame:
     domain; the spine is a literal 168-row cross join of two
     generated sequences.
     """
+    from ..runtime import track_persist
+
     spark = events.sparkSession
-    cells = (
+    # cells feeds BOTH the spine join and the total aggregate — persist
+    # once so the events scan + 168-key agg runs a single time
+    # (PERF.md Lesson 20: any frame feeding >=2 downstream aggregates).
+    cells = track_persist(
         events.groupBy(
             # ISO day-of-week (1=Mon..7=Sun) on BOTH engines:
             # Spark dayofweek() is 1=Sun — use the ISO formula.
@@ -340,6 +345,7 @@ def hour_of_week_profile(events: DataFrame) -> DataFrame:
             F.hour("ts").alias("hour"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
     )
     spine = spark.range(1, 8).select(F.col("id").alias("dow")).crossJoin(
         spark.range(0, 24).select(F.col("id").alias("hour"))

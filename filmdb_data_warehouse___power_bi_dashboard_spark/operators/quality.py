@@ -513,8 +513,14 @@ def quality_deciles(docs: DataFrame, k: int = _N_DECILES) -> DataFrame:
         .select("doc_id", "quality_score", "n_tokens_bpe")
         .persist()
     )
+    # NULL placement pinned explicitly (NULLS LAST on both engines):
+    # a NULL/empty-text doc has NULL quality_score (div-by-zero), and
+    # Spark's ascending sort puts NULLs FIRST while DuckDB's NTILE
+    # ORDER BY puts them LAST — ranking on COALESCE(score, +inf) makes
+    # the total order identical (scores are bounded, so +inf is free).
+    null_last = F.coalesce(F.col("quality_score"), F.lit(float("inf")))
     ranked = global_row_number(
-        prof, ["quality_score", "doc_id"], alias="__rk", n_rows=n
+        prof, [null_last, "doc_id"], alias="__rk", n_rows=n
     )
     decile = ntile_from_rank(F.col("__rk"), n, k).cast("long")
     bp = F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
@@ -554,7 +560,9 @@ WITH prof AS (
   FROM documents
 ),
 ranked AS (
-  SELECT *, NTILE({_N_DECILES}) OVER (ORDER BY quality_score, doc_id) AS decile
+  SELECT *, NTILE({_N_DECILES}) OVER (
+    ORDER BY COALESCE(quality_score, CAST('infinity' AS DOUBLE)), doc_id
+  ) AS decile
   FROM prof
 )
 SELECT decile, COUNT(*) AS n_docs,

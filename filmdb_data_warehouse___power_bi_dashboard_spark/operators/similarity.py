@@ -530,7 +530,13 @@ def train_ivf_centroids(
     unit = base.select(
         "vec_id", F.transform("__v", lambda x: x / F.col("__norm")).alias("__u")
     )
-    seed_rows = unit.orderBy("vec_id").limit(n_clusters).collect()
+    # Seed on a HASH order, not the lowest vec_ids: "first N ids" is a
+    # biased sample when ids correlate with insertion time/source (the
+    # dedup idiom, deterministic and placement-independent). Plans as
+    # TakeOrderedAndProject — per-partition top-k, no global sort.
+    seed_rows = (
+        unit.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_clusters).collect()
+    )
     centroids = [list(r["__u"]) for r in seed_rows]
     for _ in range(iters):
         with_u = base.withColumn(
@@ -724,7 +730,9 @@ def _load_or_train_quantizer(
         sf_dir,
         "embeddings",
         "ivf",
-        (n_clusters, iters),
+        # "hs1": hash-sampled seeds (round 7) — bumps the artifact key
+        # so pre-fix cached quantizers retrain.
+        (n_clusters, iters, "hs1"),
         lambda: train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters),
         save,
         load,
@@ -746,13 +754,14 @@ def train_pq_codebooks(
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks (m subspaces of dim/m dims,
     k_codes centroids each), trained on a DETERMINISTIC driver-bounded
-    sample (lowest vec_ids) with numpy Lloyd — sample-trained
-    quantizers are standard PQ practice (the codebook is corpus
-    metadata; the full corpus is only ever ENCODED, one scan). Returns
-    m x k_codes x dim/m floats."""
+    HASH sample (xxhash64 order over vec_id — unbiased even when ids
+    correlate with insertion time/source) with numpy Lloyd —
+    sample-trained quantizers are standard PQ practice (the codebook is
+    corpus metadata; the full corpus is only ever ENCODED, one scan).
+    Returns m x k_codes x dim/m floats."""
     rows = (
         emb.filter(F.col("embedding").isNotNull())
-        .orderBy("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample)
         .collect()
     )
@@ -999,7 +1008,7 @@ def _load_or_train_pq(emb, sf_dir: str, m: int, k_codes: int) -> list[list[list[
         sf_dir,
         "embeddings",
         "pq",
-        (m, k_codes),
+        (m, k_codes, "hs1"),
         lambda: train_pq_codebooks(emb, m=m, k_codes=k_codes),
         save,
         load,

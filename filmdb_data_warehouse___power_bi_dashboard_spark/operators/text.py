@@ -79,8 +79,11 @@ def _quality_expr(words):
     stop = F.array(*[F.lit(m) for m in _EN_STOP])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
-    stop_ratio = n_stop.cast("double") / n_ws
-    punct_ratio = n_punct.cast("double") / n_chars
+    # try_divide, not '/': ANSI mode errors on x/0, but an empty/NULL
+    # text must yield a NULL score (DuckDB's div-by-zero semantics) so
+    # degenerate docs flow to the NULLS-LAST decile, not a job abort.
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_ws)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     q_len = F.least(n_ws.cast("double") / F.lit(20.0), F.lit(1.0))
     q_punct = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
     q_stop = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))
@@ -98,9 +101,9 @@ def text_profile(docs: DataFrame) -> DataFrame:
     stop = F.array(*[F.lit(m) for m in _EN_STOP])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
-    mean_wlen = (n_chars - (n_ws - 1)).cast("double") / n_ws
-    stop_ratio = n_stop.cast("double") / n_ws
-    punct_ratio = n_punct.cast("double") / n_chars
+    mean_wlen = F.try_divide((n_chars - (n_ws - 1)).cast("double"), n_ws)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_ws)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     quality = _quality_expr(words)
     return docs.select(
         "doc_id",

@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -372,17 +372,41 @@ def build_agg_mensuel_categorie(star: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# English month abbreviations as LITERALS: date_format(…,'MMM yyyy')
+# renders through the JVM default locale, so the same code produces
+# 'janv. 1995' on a French JVM and silently breaks the oracle hash
+# (SURVEY §2.8 F3 flagged this). An element_at over a literal array is
+# locale-independent, codegen'd, and matches the reference's fixed
+# TO_CHAR(mois,'Mon YYYY') output exactly.
+_MONTH_ABBREV = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+
+def month_label(col) -> Column:
+    """Locale-pinned 'Mon YYYY' label (reference TO_CHAR semantics,
+    dw requetes_clees.sql:311). Built lazily — Columns need an active
+    session, and this module imports before one exists in subprocesses."""
+    c = F.col(col) if isinstance(col, str) else col
+    abbrev = F.array(*[F.lit(m) for m in _MONTH_ABBREV])
+    return F.concat_ws(
+        " ", F.element_at(abbrev, F.month(c)), F.year(c).cast("string")
+    )
+
+
 def build_dim_mois(star: dict[str, DataFrame]) -> DataFrame:
     """Month dimension with an English 'MMM yyyy' label — the
     reference's v_dim_mois TO_CHAR(mois,'Mon YYYY') (dw
-    requetes_clees.sql:304-313; SURVEY §2.8 F3)."""
+    requetes_clees.sql:304-313; SURVEY §2.8 F3). Label built from a
+    literal month map, never the JVM locale."""
     return (
         star["dim_date"]
         .select("debut_mois")
         .distinct()
         .select(
             F.col("debut_mois").alias("mois"),
-            F.date_format("debut_mois", "MMM yyyy").alias("libelle_mois"),
+            month_label("debut_mois").alias("libelle_mois"),
             F.year("debut_mois").alias("annee"),
             F.month("debut_mois").alias("mois_num"),
         )

@@ -46,6 +46,20 @@ def scd2_apply(
     attribute columns. ``updates``: one row per key with the new
     attribute values and ``effective_col``. Returns the full new
     version table.
+
+    Late-arrival contract (out-of-order batches): an update whose
+    effective date precedes the live version's ``valid_from`` would
+    close that version with ``valid_to < valid_from`` — an inverted
+    interval that silently corrupts every as-of lookup downstream.
+    Such updates are REJECTED: the plan embeds a ``raise_error`` that
+    fires during execution on the first offending row (no extra
+    validation pass, fails on a 1000-executor cluster exactly like a
+    local run). Backfilling history is a different operation
+    (rebuilding closed versions), not a variant of apply; callers with
+    genuinely late feeds must re-sort batches by effective date before
+    applying. ``effective == valid_from`` is allowed and yields a
+    zero-length closed version — the standard same-day-correction
+    shape.
     """
     upd = F.broadcast(
         updates.select(
@@ -68,9 +82,33 @@ def scd2_apply(
     changed = F.col("__k").isNotNull() & ~same
 
     passthrough = joined.where(~changed).select(*current.columns)
+    # Late-arrival guard (see docstring): ISO 'YYYY-MM-DD' strings
+    # compare correctly lexicographically, so one string comparison
+    # catches inverted intervals row-by-row inside the scan.
+    eff = F.col("__eff").cast("string")
     closed_out = (
         joined.where(changed)
-        .withColumn("valid_to", F.col("__eff").cast("string"))
+        .withColumn(
+            "valid_to",
+            F.when(
+                eff < F.col("valid_from"),
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("scd2_apply: out-of-order update for key"),
+                        F.col("__k").cast("string"),
+                        F.lit("(effective"),
+                        eff,
+                        F.lit("< live valid_from"),
+                        F.col("valid_from"),
+                        F.lit(
+                            "); re-sort batches by effective date or backfill"
+                            " history explicitly"
+                        ),
+                    )
+                ),
+            ).otherwise(eff),
+        )
         .select(*current.columns)
     )
     new_versions = (
