@@ -12,6 +12,15 @@ buffer.
 The metric is total wall seconds across all registered queries (each
 executed once, results fully materialized via a noop sink so the
 whole plan runs but driver memory stays flat).
+
+Self-annotating host regime (round-7 addition, after BENCH_r06 was
+recorded under heavy external load and read as a 2.6x regression that
+did not exist in the code): the summary line now carries the canary
+query's time (etl_agg_mensuel_magasin — the star materialization,
+PERF.md's cross-round normalizer), os.getloadavg() at start and end,
+and the per-query mean, so any future artifact documents its own host
+conditions instead of leaving a load spike indistinguishable from a
+plan regression.
 """
 
 from __future__ import annotations
@@ -45,6 +54,7 @@ def main() -> None:
 
     from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
 
+    load_start = os.getloadavg()
     t_all = time.perf_counter()
     for name, fn in sorted(reg.items()):
         t0 = time.perf_counter()
@@ -57,6 +67,7 @@ def main() -> None:
         # so cache pressure never builds across the corpus run.
         release_persisted()
     total = round(time.perf_counter() - t_all, 3)
+    load_end = os.getloadavg()
 
     # Full per-query detail: persisted to a repo file (survives any
     # stdout-tail truncation; BENCH_r04's one-line detail was cut
@@ -97,6 +108,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: times[k] for k in headline if k in times},
                 "sf": sf_num,
+                "n_queries": len(times),
+                "per_query_mean_sec": round(total / max(len(times), 1), 3),
+                "canary": "etl_agg_mensuel_magasin",
+                "canary_sec": times.get("etl_agg_mensuel_magasin"),
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in load_end],
             }
         )
     )

@@ -667,95 +667,6 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-# ---------------------------------------------------------------------------
-# view_surface_pack: one gate entry that value-checks EVERY view whose
-# standalone query sits past the driver's 50-entry gate window (see
-# queries/__init__.py ordering contract). Each view is unpivoted to a
-# normalized (vue, k1, k2, mesure, valeur) signature — valeur always
-# DOUBLE so counts and money compare identically under the driver's
-# stringified comparator — and unioned into a single frame. The
-# standalone spellings stay registered (and pytest-verified) for
-# legibility; this pack is what puts their VALUES on the driver's
-# board within one slot.
-# ---------------------------------------------------------------------------
-
-_PACK_SPARK_SQL = """
-SELECT 'kpi_magasin_mois' AS vue, nom_magasin AS k1, CAST(mois AS STRING) AS k2,
-       'ca' AS mesure, CAST(ca AS DOUBLE) AS valeur FROM v_kpi_magasin_mois
-UNION ALL SELECT 'kpi_magasin_mois', nom_magasin, CAST(mois AS STRING),
-       'nb_paiements', CAST(nb_paiements AS DOUBLE) FROM v_kpi_magasin_mois
-UNION ALL SELECT 'kpi_magasin_mois', nom_magasin, CAST(mois AS STRING),
-       'nb_clients', CAST(nb_clients AS DOUBLE) FROM v_kpi_magasin_mois
-UNION ALL SELECT 'ca_mensuel', CAST(mois AS STRING), '',
-       'ca', CAST(ca AS DOUBLE) FROM v_ca_mensuel
-UNION ALL SELECT 'ca_mensuel', CAST(mois AS STRING), '',
-       'nb', CAST(nb AS DOUBLE) FROM v_ca_mensuel
-UNION ALL SELECT 'heatmap_magasin_categorie', nom_magasin, nom_categorie,
-       'ca', CAST(ca AS DOUBLE) FROM v_heatmap_magasin_categorie
-UNION ALL SELECT 'actifs_12m', '', '',
-       'clients_actifs', CAST(clients_actifs AS DOUBLE) FROM v_actifs_12m
-UNION ALL SELECT 'repartition_segment', COALESCE(segment, 'Inconnu'), '',
-       'nb_clients', CAST(nb_clients AS DOUBLE) FROM v_repartition_segment
-UNION ALL SELECT 'repartition_segment', COALESCE(segment, 'Inconnu'), '',
-       'ca', CAST(ca AS DOUBLE) FROM v_repartition_segment
-UNION ALL SELECT 'pareto_categories', nom_categorie, '',
-       'ca', CAST(ca AS DOUBLE) FROM v_pareto_categories
-UNION ALL SELECT 'pareto_categories', nom_categorie, '',
-       'ca_cumul', CAST(ca_cumul AS DOUBLE) FROM v_pareto_categories
-UNION ALL SELECT 'agg_mensuel_categorie', CAST(mois AS STRING), nom_categorie,
-       'ca', CAST(ca AS DOUBLE) FROM v_agg_mensuel_categorie
-UNION ALL SELECT 'agg_mensuel_categorie', CAST(mois AS STRING), nom_categorie,
-       'nb_paiements', CAST(nb_paiements AS DOUBLE) FROM v_agg_mensuel_categorie
-ORDER BY vue, k1, k2, mesure
-"""
-
-
-def q_view_surface_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized value signature of the 7 views whose standalone
-    entries sit past the gate window (vues.sql:107-200; dw
-    requetes_clees.sql:1-134, 286-302)."""
-    register_all_views(spark, sf_dir)
-    return spark.sql(_PACK_SPARK_SQL)
-
-
-ORACLE_VIEW_PACK = f"""
-WITH kpi AS ({ORACLE_VIEW_KPI}),
-     cam AS ({ORACLE_VIEW_CA_MENSUEL}),
-     hm  AS ({ORACLE_VIEW_HEATMAP}),
-     act AS ({ORACLE_VIEW_ACTIFS}),
-     seg AS ({ORACLE_VIEW_SEGMENT}),
-     par AS ({ORACLE_VIEW_PARETO}),
-     agg AS ({ORACLE_VIEW_AGG_CAT})
-SELECT 'kpi_magasin_mois' AS vue, nom_magasin AS k1, CAST(mois AS VARCHAR) AS k2,
-       'ca' AS mesure, CAST(ca AS DOUBLE) AS valeur FROM kpi
-UNION ALL SELECT 'kpi_magasin_mois', nom_magasin, CAST(mois AS VARCHAR),
-       'nb_paiements', CAST(nb_paiements AS DOUBLE) FROM kpi
-UNION ALL SELECT 'kpi_magasin_mois', nom_magasin, CAST(mois AS VARCHAR),
-       'nb_clients', CAST(nb_clients AS DOUBLE) FROM kpi
-UNION ALL SELECT 'ca_mensuel', CAST(mois AS VARCHAR), '',
-       'ca', CAST(ca AS DOUBLE) FROM cam
-UNION ALL SELECT 'ca_mensuel', CAST(mois AS VARCHAR), '',
-       'nb', CAST(nb AS DOUBLE) FROM cam
-UNION ALL SELECT 'heatmap_magasin_categorie', nom_magasin, nom_categorie,
-       'ca', CAST(ca AS DOUBLE) FROM hm
-UNION ALL SELECT 'actifs_12m', '', '',
-       'clients_actifs', CAST(clients_actifs AS DOUBLE) FROM act
-UNION ALL SELECT 'repartition_segment', segment, '',
-       'nb_clients', CAST(nb_clients AS DOUBLE) FROM seg
-UNION ALL SELECT 'repartition_segment', segment, '',
-       'ca', CAST(ca AS DOUBLE) FROM seg
-UNION ALL SELECT 'pareto_categories', nom_categorie, '',
-       'ca', CAST(ca AS DOUBLE) FROM par
-UNION ALL SELECT 'pareto_categories', nom_categorie, '',
-       'ca_cumul', CAST(ca_cumul AS DOUBLE) FROM par
-UNION ALL SELECT 'agg_mensuel_categorie', CAST(mois AS VARCHAR), nom_categorie,
-       'ca', CAST(ca AS DOUBLE) FROM agg
-UNION ALL SELECT 'agg_mensuel_categorie', CAST(mois AS VARCHAR), nom_categorie,
-       'nb_paiements', CAST(nb_paiements AS DOUBLE) FROM agg
-ORDER BY vue, k1, k2, mesure
-"""
-
-
 def q_view_revenu_film_mois(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-film monthly revenue (vues.sql:181-189) through the star
     path. Deterministic modulo sample of films keeps the comparator
@@ -1211,7 +1122,6 @@ ORDER BY 1
 
 QUERIES = {
     "view_kpi_magasin_mois": q_view_kpi_magasin_mois,
-    "view_surface_pack": q_view_surface_pack,
     "view_clients_directory": q_view_clients_directory,
     "view_films_jamais_loues": q_view_films_jamais_loues,
     "view_rotation_stock": q_view_rotation_stock,
@@ -1244,7 +1154,6 @@ QUERIES = {
 
 ORACLES = {
     "view_kpi_magasin_mois": ORACLE_VIEW_KPI,
-    "view_surface_pack": ORACLE_VIEW_PACK,
     "view_clients_directory": ORACLE_VIEW_CLIENTS,
     "view_films_jamais_loues": ORACLE_VIEW_JAMAIS,
     "view_rotation_stock": ORACLE_VIEW_ROTATION,

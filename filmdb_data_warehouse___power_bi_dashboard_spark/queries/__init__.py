@@ -46,141 +46,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # late-round additions awaiting rotation, and the rows-only
 # operators — all covered by the pytest replica comparator.
 _GATE_ORDER: tuple[str, ...] = (
-    # ROUND-5 ROTATION: every oracle-bearing entry that had never
-    # appeared in a driver-recorded CORRECTNESS_r*.json (the round-4
-    # pytest-only set: month_spine_coverage, view_kpi_magasin_mois,
-    # top_part_per_brand, date_key_rollup, text_vocabulary,
-    # stream_dedup_ingest, sessionize_builtin) plus the five round-4
-    # views' new spot queries rotate INTO the gate. Displaced corpus
-    # entries (rollup_region_magasin, top_parts_by_revenue,
-    # brand_revenue_share, loyal_clients, new_vs_returning,
-    # monthly_revenue, supplier_brand_heatmap, cohorts,
-    # shipping_delays, brand_type_list, orders_last_full_month,
-    # customer_segments) were driver-green in r2-r4 and keep the SAME
-    # comparator running in pytest past the cap.
-    # ROUND-6 ROTATION (see comment below the window): the 15
-    # round-5 entries that never had a driver-recorded row, plus this
-    # round's 4 new views, rotate IN; the 9 corpus-core queries
-    # (green r2-r5), the 7 r5-rotated entries (now driver-green), and
-    # 3 r4-view spot queries rotate OUT to the pytest replica.
-    # rotated in: round-5 streaming joins (2)
-    "stream_click_attribution",
-    "stream_enriched_profile",
-    # rotated in: the 9 early-view spot queries (9)
-    "view_clients",
-    "view_produits",
-    "view_magasins",
-    "view_ca_par_categorie",
-    "view_top_clients",
-    "view_panier_moyen_magasin",
-    "view_types_par_categorie",
-    "view_paiements_recents",
-    "view_profil_jour_semaine",
-    # rotated in: round-5 extension operators (4)
-    "scd2_dim_client",
-    "dedup_clusters",
-    "pivot_nation_segment",
-    "unpivot_nation_segment",
-    # NEW this round: the reference's last 4 unrepresented views (4)
-    "view_retard_location",
-    "view_inventaire_magasin",
-    "view_disponibilite_stock",
-    "view_infos_acteurs",
-    # kept in gate: the spot query whose definition changed this round
-    # (v_retard_par_client now derives from v_retard_location) and the
-    # ordered-DISTINCT-agg shape not otherwise covered (2)
-    "view_retard_par_client",
-    # LLM-pipeline operators with oracles (1 kept; dedup_ngram_jaccard
-    # / dedup_embedding_pairs / ann_topk_bruteforce — all driver-green
-    # in r5 — displaced to the replica to make room for this session's
-    # three NEW oracle-bearing operators, which take their first
-    # driver-recorded rows now)
-    # (multimodal_byte_stats — driver-green r5 — also displaced to the
-    # replica in favor of corpus_epoch_order's first driver row)
-    "text_segment_dedup",
-    "embedding_integrity_audit",
-    "embedding_quantize_report",
-    "corpus_epoch_order",
-    # NEW mid-round-6 (oracle-bearing): quality/curation + CDC +
-    # incremental maintenance + tf-idf similarity join — in the gate
-    # NOW so CORRECTNESS_r06 records their first driver rows.
-    "text_bm25",
-    "text_repetition_profile",
-    "pii_scrub_summary",
-    "corpus_mix_weights",
-    "events_cdc_latest",
-    "etl_incremental_agg_refresh",
-    "dedup_tfidf_pairs",
-    # NEW this session (oracle-bearing) — in the gate NOW for their
-    # first driver-recorded rows; etl_dim_client / etl_dim_film /
-    # etl_agg_mensuel_magasin (r2-r5 green) rotated out to the pytest
-    # replica to make room.
-    "text_chunking",
-    "corpus_pack_spans",
-    "embedding_centroid_outliers",
-    # NEW this session (oracle-bearing): bigram LM quality scoring,
-    # cross-label hard-negative mining, and recency-decayed rollups —
-    # in the gate NOW for their first driver-recorded rows, displacing
-    # metrics_pareto_categorie / metrics_top_entities /
-    # metrics_reachat_par_magasin (all driver-green r5, definitions
-    # unchanged) to the pytest replica.
-    "text_lm_score",
-    "embedding_hard_negatives",
-    "events_time_decay",
-    # NEW this session (oracle-bearing): RRF hybrid retrieval + the
-    # market-basket affinity pairs — in the gate NOW for their first
-    # driver rows, displacing view_surface_pack / metrics_kpi_global
-    # (both driver-green r5, definitions unchanged) to the replica.
-    "retrieval_rrf",
-    "basket_pair_counts",
-    # ETL star (1 kept in gate: the fact build; the three other ETL
-    # entries are past the cap this round)
-    "etl_fact_paiement",
-    # metrics / semantic layer (4 kept; drill_localisation and
-    # magasin_mois_europe displaced past the cap this round)
-    # SQL-text view layer: the surface pack value-checks 7 views whose
-    # standalone entries sit past the cap in one normalized union;
-    # the retard_par_magasin / liste_films spot queries (green r2-r5)
-    # are past the cap this round.
-    # NEW this session: observability pair (histogram + skew profile),
-    # displacing view_retard_par_magasin / view_liste_films_noms_
-    # formates (both driver-green r5 and earlier, definitions
-    # unchanged) to the pytest replica.
-    "events_value_histogram",
-    "join_key_skew_profile",
-    # streaming (4): the two NEW session additions (sliding windows,
-    # left-outer interval join) go straight into the gate, displacing
-    # two r2-r5-green metrics entries to the pytest replica.
-    "stream_tumbling_hour",
-    "sessionize_events",
-    "stream_sliding_hour",
-    "stream_left_attribution",
-    # NEW late round-6, rotated straight into the gate (displacing
-    # three view spot queries + one metrics row, all green r2-r5):
-    "stream_summary_maintenance",
-    "multimodal_frame_sample",
-    "dedup_decontamination",
-    "corpus_health_report",
-    # --- past the driver's 50-entry cap ---
-    # Oracle-bearing entries here are gate-eligible but over the cap
-    # this round; the SAME comparator runs on them in pytest
-    # (tests/test_oracle_parity.py uses the measured driver
-    # normalization). All were driver-green in at least one of
-    # CORRECTNESS_r02-r05.
-    # NEW late-session, past the cap (pytest replica; rotate into the
-    # gate next round): the global-sequence packing variant.
+    # ROUND-7 ROTATION: the 23 oracle-bearing entries that had never
+    # had a driver-recorded row (replica-green only, flagged in the
+    # round-6 rotation comment below) take the front of the gate —
+    # after this round EVERY oracle-bearing entry in the registry has
+    # been driver-hashed at least once.
     "corpus_pack_spans_global",
     "events_funnel",
     "events_gap_filled_daily",
     "robust_value_stats",
-    # ROUND-7 ROTATION CANDIDATES: the 23 oracle-bearing entries from
-    # corpus_pack_spans_global (above) through events_hour_of_week
-    # (below) have never had a driver-recorded row (replica-green
-    # only) — rotate them into the 50-entry window next round,
-    # displacing r6-green entries.
-    # NEW this session, past the cap (pytest replica; rotate into the
-    # gate next round): Markov transitions, curriculum deciles,
-    # association lift, and SemDeDup-style semantic dedup.
     "events_transition_matrix",
     "corpus_quality_deciles",
     "basket_lift",
@@ -200,41 +74,111 @@ _GATE_ORDER: tuple[str, ...] = (
     "corpus_pipeline_funnel",
     "customer_year_set_ops",
     "events_hour_of_week",
-    # displaced by the round-6 rotation (driver-green r5 or earlier):
+    # The 7 views previously value-checked only INSIDE the retired
+    # view_surface_pack union (driver r5) now take standalone rows:
+    "view_kpi_magasin_mois",
+    "view_ca_mensuel",
+    "view_heatmap_magasin_categorie",
+    "view_actifs_12m",
+    "view_repartition_segment",
+    "view_pareto_categories",
+    "view_agg_mensuel_categorie",
+    # Definitions touched this round (locale-pinned month labels,
+    # try_divide NULL semantics in the text profile, the SCD2
+    # late-arrival guard) — re-recorded under the new code:
+    "etl_dim_mois",
+    "text_profile",
+    "scd2_dim_client",
+    # Remaining 17 slots: re-confirmations of the core families under
+    # the round-7 code (ETL star, semantic layer, corpus analytics) —
+    # all driver-green r2-r6, definitions unchanged:
+    "etl_dim_client",
+    "etl_dim_film",
+    "etl_dim_date",
+    "etl_agg_mensuel_magasin",
     "metrics_kpi_global",
-    "view_surface_pack",
     "metrics_pareto_categorie",
     "metrics_top_entities",
+    "metrics_weekday_profile",
+    "metrics_drill_localisation",
+    "metrics_magasin_mois_europe",
     "metrics_reachat_par_magasin",
+    "kpi_supplier_month",
+    "rfm",
+    "mom_yoy",
+    "rolling_30d",
+    "pareto_brands",
+    "daily_zscore",
+    # --- past the driver's 50-entry cap (round 7) ---
+    # Everything below was driver-green in CORRECTNESS_r06 (or an
+    # earlier round, definitions unchanged) or is rows-only
+    # (recall/equivalence pytest-asserted, listed last); the same
+    # comparator keeps running on every oracle-bearing entry in
+    # tests/test_oracle_parity.py. view_surface_pack is retired: its
+    # 7 packed views now hold standalone gate slots above.
+    "stream_click_attribution",
+    "stream_enriched_profile",
+    "view_clients",
+    "view_produits",
+    "view_magasins",
+    "view_ca_par_categorie",
+    "view_top_clients",
+    "view_panier_moyen_magasin",
+    "view_types_par_categorie",
+    "view_paiements_recents",
+    "view_profil_jour_semaine",
+    "dedup_clusters",
+    "pivot_nation_segment",
+    "unpivot_nation_segment",
+    "view_retard_location",
+    "view_inventaire_magasin",
+    "view_disponibilite_stock",
+    "view_infos_acteurs",
+    "view_retard_par_client",
+    "text_segment_dedup",
+    "embedding_integrity_audit",
+    "embedding_quantize_report",
+    "corpus_epoch_order",
+    "text_bm25",
+    "text_repetition_profile",
+    "pii_scrub_summary",
+    "corpus_mix_weights",
+    "events_cdc_latest",
+    "etl_incremental_agg_refresh",
+    "dedup_tfidf_pairs",
+    "text_chunking",
+    "corpus_pack_spans",
+    "embedding_centroid_outliers",
+    "text_lm_score",
+    "embedding_hard_negatives",
+    "events_time_decay",
+    "retrieval_rrf",
+    "basket_pair_counts",
+    "etl_fact_paiement",
+    "events_value_histogram",
+    "join_key_skew_profile",
+    "stream_tumbling_hour",
+    "sessionize_events",
+    "stream_sliding_hour",
+    "stream_left_attribution",
+    "stream_summary_maintenance",
+    "multimodal_frame_sample",
+    "dedup_decontamination",
+    "corpus_health_report",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
     "multimodal_byte_stats",
     "view_retard_par_magasin",
     "view_liste_films_noms_formates",
-    "metrics_drill_localisation",
-    "metrics_magasin_mois_europe",
-    "etl_dim_client",
-    "etl_dim_film",
-    "etl_agg_mensuel_magasin",
     "view_clients_directory",
     "view_films_jamais_loues",
     "view_rotation_stock",
-    "metrics_weekday_profile",
     "dedup_exact",
     "text_language_id",
-    "text_profile",
     "text_fingerprint_clusters",
     "text_search",
-    "etl_dim_date",
-    "etl_dim_mois",
     "events_json_props",
-    "kpi_supplier_month",
-    "rfm",
-    "daily_zscore",
-    "mom_yoy",
-    "rolling_30d",
-    "pareto_brands",
     "corpus_curation",
     "events_asof_purchase_view",
     "month_spine_coverage",
@@ -243,11 +187,9 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_vocabulary",
     "sessionize_builtin",
     "stream_dedup_ingest",
-    "view_kpi_magasin_mois",
     "view_revenu_film_mois",
     "view_revenu_film_total",
     "view_valeur_client",
-    # displaced in earlier rotations:
     "rollup_region_magasin",
     "top_parts_by_revenue",
     "brand_revenue_share",
@@ -261,13 +203,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "orders_last_full_month",
     "customer_segments",
     "parts_never_ordered",
-    "view_ca_mensuel",
-    "view_heatmap_magasin_categorie",
-    "view_actifs_12m",
-    "view_repartition_segment",
-    "view_pareto_categories",
-    "view_agg_mensuel_categorie",
-    # rows-only operators (recall/equivalence pytest-asserted)
+    # rows-only operators:
     "approx_month_profile",
     "corpus_split_summary",
     "dedup_minhash_pairs",
