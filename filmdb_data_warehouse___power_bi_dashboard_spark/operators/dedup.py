@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
@@ -634,10 +634,35 @@ def _hash_params(num_hashes: int, seed: int = _SEED) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+def h60(col) -> Column:
+    """60-bit CROSS-ENGINE hash: ``int(md5(s)[:15], 16)``. Spark
+    spells it ``conv(substring(md5(s),1,15),16,10)``, DuckDB
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` — measured
+    bit-equal including unicode and the empty string. The portable
+    twin of xxhash64 for operators whose OUTPUT must be replayable by
+    the SQL oracle (xxhash64 exists only on the Spark side). ~3×
+    slower than xxhash64 per call (md5 + hex parse), so the fast
+    xxhash64 paths stay the scale default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_h60(expr: str) -> str:
+    """The DuckDB spelling of :func:`h60` over a SQL expression."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, n: int = 3, portable: bool = False
+) -> DataFrame:
     """num_hashes minhash values per doc from (a*h+b) mod p over
-    xxhash64 shingle hashes — all array expressions, no shuffle, no
-    UDF.
+    hashed shingles — all array expressions, no shuffle, no UDF.
+    ``portable=True`` swaps the shingle hash from xxhash64 (fast,
+    Spark-only) to the md5-based :func:`h60` (cross-engine, feeds the
+    oracle-checked portable entries) and drops empty-shingle docs
+    (sub-n-token texts), matching the exact operator's guard — with
+    the all-sentinel signature such docs would otherwise band-match
+    each other at est=1.0, pairs no SQL replay can produce.
 
     Built as ONE fold over the shingle array (aggregate + zip_with
     against literal coefficient arrays): the naive spelling — 32
@@ -649,7 +674,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
     coef_b = F.array(*[F.lit(b).cast("long") for _, b in params])
     idx = F.array(*[F.lit(i) for i in range(1, num_hashes + 1)])
     sh = _shingles(n=n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    shingle_hash = h60 if portable else (lambda s: F.xxhash64(s))
+    hashed = F.transform(sh, lambda s: F.pmod(shingle_hash(s), F.lit(_P)))
     acc0 = F.array_repeat(F.lit(_P).cast("long"), num_hashes)
     sig = F.aggregate(
         hashed,
@@ -663,7 +689,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3) -> Dat
             ),
         ),
     )
-    return _spread(docs).select("doc_id", sig.alias("sig"))
+    out = _spread(docs)
+    if portable:
+        out = out.where(F.size(sh) > 0)
+    return out.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -672,6 +701,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
@@ -682,14 +712,19 @@ def minhash_lsh_pairs(
 
     At 100 TB only (band_hash, doc_id) pairs shuffle; bucket joins are
     bounded by bucket size, and AQE's skew-join splits any hot bucket.
+
+    ``portable=True`` routes both the shingle hash and the band-bucket
+    hash through :func:`h60` so the whole pair list — including any
+    bucket-hash collisions — is reproducible by the DuckDB oracle.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n)
+    sigs = minhash_signatures(docs, num_hashes, n, portable=portable)
+    bucket_hash = h60 if portable else (lambda s: F.xxhash64(s))
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
+                bucket_hash(
                     F.concat_ws(
                         ",",
                         *[
@@ -744,9 +779,158 @@ def minhash_lsh_pairs(
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (hash-family not reproducible in ANSI SQL);
-    recall vs the exact Jaccard operator is asserted in pytest."""
+    recall vs the exact Jaccard operator is asserted in pytest, and
+    the md5-hash twin below (q_dedup_minhash_portable) puts the SAME
+    banding pipeline under the full driver hash gate."""
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with the cross-engine md5 hash family
+    (:func:`h60`): the ENTIRE pair list — signatures, band buckets,
+    bucket-hash collisions included — is replayed by the DuckDB
+    oracle, upgrading the minhash pipeline from rows-only to full
+    value-hash evidence. Same banding math as the xxhash64 fast path;
+    only the hash family differs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5, portable=True)
+
+
+def minhash_quality_summary(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """One-row quality report for the (portable) minhash banding:
+    candidate-pair count, how many candidates are TRUE near-dups by
+    exact shingle Jaccard at the same threshold, the resulting
+    precision, and the mean absolute error of the minhash estimate —
+    the driver-hashable quality evidence the rows-only entries lack.
+
+    The error mean rides an integer micro-unit sum (both est and true
+    Jaccard are pre-rounded, so ``floor(|est-true|*1e6 + 0.5)`` is
+    exact) — a float AVG would be partial-sum-order dependent.
+    """
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=threshold, portable=True)
+    sh = _spread(docs).select("doc_id", _shingles(n=3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    true_jac = round_half_up(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    scored = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "est_jaccard",
+            true_jac.alias("true_jaccard"),
+        )
+        .select(
+            "est_jaccard",
+            "true_jaccard",
+            F.floor(F.abs(F.col("est_jaccard") - F.col("true_jaccard")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("__err_mu"),
+        )
+    )
+    n_true = F.sum(F.when(F.col("true_jaccard") >= threshold, 1).otherwise(0)).cast("long")
+    # try_divide + the n_pairs>0 filter: a pairless corpus yields ZERO
+    # rows (matching the oracle's HAVING), never a 0/0 ANSI abort or a
+    # NULL numeric output.
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            n_true.alias("n_true"),
+            round_half_up(
+                F.try_divide(n_true.cast("double"), F.count(F.lit(1))), 4
+            ).alias("precision"),
+            round_half_up(
+                F.try_divide(F.sum("__err_mu").cast("double"), F.count(F.lit(1))) / 1e6, 4
+            ).alias("mean_abs_err"),
+        )
+        .where(F.col("n_pairs") > 0)
+    )
+
+
+def q_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_quality_summary(docs, threshold=0.5)
+
+
+def _minhash_portable_ctes(num_hashes: int = 32, rows_per_band: int = 4) -> str:
+    """Shared CTE chain replaying the portable minhash pipeline in
+    DuckDB SQL: shingle hash -> permutations -> signatures -> band
+    buckets -> candidate pairs -> agreement estimate."""
+    perm_values = ", ".join(
+        f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(num_hashes))
+    )
+    return f"""
+d AS ({_SH_D_CTE}),
+shrow AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+hrow AS (SELECT doc_id, {sql_h60('s')} % {_P} AS h FROM shrow),
+perms(i, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, i, MIN((a * h + b) % {_P}) AS v
+  FROM hrow CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i - 1) // {rows_per_band} AS band,
+         {sql_h60("string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)")} AS bucket
+  FROM sig GROUP BY doc_id, (i - 1) // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT doc_a, doc_b,
+         {sql_round_half_up("n_agree / 32.0", 4)} AS est_jaccard
+  FROM agree
+)"""
+
+
+ORACLE_MINHASH_PORTABLE = f"""
+WITH {_minhash_portable_ctes()}
+SELECT doc_a, doc_b, est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_MINHASH_QUALITY = f"""
+WITH {_minhash_portable_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+),
+scored AS (
+  SELECT p.est_jaccard,
+         {_JAC.replace("a.sh", "da.sh").replace("b.sh", "db.sh")} AS true_jaccard
+  FROM pairs p
+  JOIN d da ON da.doc_id = p.doc_a
+  JOIN d db ON db.doc_id = p.doc_b
+),
+mu AS (
+  SELECT est_jaccard, true_jaccard,
+         CAST(FLOOR(ABS(est_jaccard - true_jaccard) * 1e6 + 0.5) AS BIGINT) AS err_mu
+  FROM scored
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN true_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       {sql_round_half_up(
+           "CAST(SUM(CASE WHEN true_jaccard >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / COUNT(*)", 4)} AS precision,
+       {sql_round_half_up(
+           "CAST(SUM(err_mu) AS DOUBLE) / COUNT(*) / 1e6", 4)} AS mean_abs_err
+FROM mu
+HAVING COUNT(*) > 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -754,26 +938,37 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 32, portable: bool = False
+) -> DataFrame:
     """SimHash fingerprint: per bit position, sum +1/-1 over token
     hashes; bit set where the sum is positive. Pure array expressions
-    (aggregate + zip_with) — one scan, no shuffle."""
-    tokens = _tokens()
+    (aggregate + zip_with) — one scan, no shuffle. ``portable=True``
+    hashes tokens with the cross-engine :func:`h60` instead of
+    xxhash64, making the fingerprints (and the banded pairs built on
+    them) replayable by the DuckDB oracle.
+
+    Tokens are hashed ONCE into a long array and the bit unroll reads
+    that value — the previous spelling re-inlined the hash call into
+    all ``bits`` branches and leaned on codegen subexpression
+    elimination; one md5 per token per bit would not survive that."""
+    token_hash = h60 if portable else (lambda t: F.xxhash64(t))
+    hashed = F.transform(_tokens(), lambda t: token_hash(t))
     acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def token_bits(t):
+    def hash_bits(h):
         # shiftright's bit count must be a Python int — unroll the
         # bit positions at plan-build time (bits is small and fixed).
         return F.array(
             *[
-                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long")
                 for b in range(bits)
             ]
         )
 
-    sums = F.aggregate(tokens, acc0, lambda acc, t: F.zip_with(acc, token_bits(t), lambda x, y: x + y))
+    sums = F.aggregate(hashed, acc0, lambda acc, h: F.zip_with(acc, hash_bits(h), lambda x, y: x + y))
     fp = None
     for b in range(bits):
         term = F.when(F.element_at(sums, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
@@ -783,14 +978,16 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32) -> DataFrame:
     return _spread(docs).select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, bits: int = 32, max_hamming: int = 3, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
     pigeonhole banding: split the fingerprint into max_hamming+1
     chunks — any pair within the radius agrees on ≥1 chunk, so pairs
     are only formed inside chunk-equality buckets (no all-pairs)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    fps = simhash_fingerprints(docs, bits)
+    fps = simhash_fingerprints(docs, bits, portable=portable)
     mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(
         *[
@@ -833,9 +1030,94 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (xxhash64 not reproducible in DuckDB); the
-    hamming-radius property is asserted in pytest."""
+    hamming-radius property is asserted in pytest, and the md5-hash
+    twin below puts the SAME pigeonhole pipeline under the driver
+    hash gate."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, bits=32, max_hamming=3)
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole banding with the cross-engine md5 hash
+    (:func:`h60`): fingerprints, chunk buckets, and the hamming
+    filter are all replayed by the DuckDB oracle — full value-hash
+    evidence for the simhash pipeline shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=32, max_hamming=3, portable=True)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity report: pair counts per 0.1-wide
+    similarity bin over the exact n-gram pairs at floor 0.3 — the
+    profile you read before PICKING a dedup threshold (how many more
+    pairs does lowering 0.6 → 0.5 remove?). Bins below 0.3 are not
+    materialized (the posting-join guard keeps the expansion bounded;
+    a 0.0 floor would emit every pair sharing one shingle).
+
+    Binning rides the integer micro-Jaccard (``floor(j*1e6+0.5)`` of
+    the pre-rounded score is exact), so bin edges are identical on
+    both engines — ``floor(j*10)`` on raw doubles would put an exact
+    0.6 in bin 5 (0.6*10 = 5.999… in IEEE)."""
+    post = _materialized_postings(spark, sf_dir, n=3).select(
+        "block", "doc_id", "sz", "s"
+    )
+    pairs = _jaccard_from_postings(post, threshold=0.3)
+    jm = F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        pairs.select(F.floor(jm / F.lit(100000.0)).cast("long").alias("__bin"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select((F.col("__bin") / 10.0).alias("bin_lo"), "n_pairs")
+        .orderBy("bin_lo")
+    )
+
+
+ORACLE_THRESHOLD_SWEEP = f"""
+WITH d AS ({_SH_D_CTE}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JAC} AS j
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_JAC_GUARD} AND {_JAC} >= 0.3
+),
+binned AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(j * 1e6 + 0.5) AS BIGINT) / 100000.0) AS BIGINT) AS bin
+  FROM pairs
+)
+SELECT bin / 10.0 AS bin_lo, COUNT(*) AS n_pairs
+FROM binned GROUP BY bin ORDER BY bin_lo
+"""
+
+
+ORACLE_SIMHASH_PORTABLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+hh AS (SELECT doc_id, {sql_h60('t')} AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bitsums GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS val
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1095,10 +1377,33 @@ def embedding_near_dup_lsh(
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (seeded hyperplanes not reproducible in ANSI
-    SQL); recall vs the exact embedding near-dup asserted in pytest."""
+    """Oracle-checked since round 7: the seeded hyperplanes inline
+    into the DuckDB oracle as list literals (similarity.
+    sql_lsh_sig_cte), which replays signature bits, bucket-join
+    candidates, and the strict-fold cosine re-score — full value-hash
+    evidence on top of the pytest recall assertion vs the exact
+    operator."""
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+def _oracle_embedding_lsh() -> str:
+    from .similarity import sql_lsh_sig_cte
+
+    return f"""
+WITH {sql_lsh_sig_cte()},
+cand AS (
+  SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
+  FROM lshsig s1 JOIN lshsig s2
+    ON s1.t = s2.t AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_SQL_COS} AS cosine
+FROM cand c
+JOIN lshbase a ON a.vec_id = c.vec_a
+JOIN lshbase b ON b.vec_id = c.vec_b
+WHERE {_SQL_COS} >= 0.4
+ORDER BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1281,7 +1586,11 @@ QUERIES = {
     "dedup_tfidf_pairs": q_dedup_tfidf_pairs,
     "dedup_decontamination": q_dedup_decontamination,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_minhash_quality": q_dedup_minhash_quality,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_portable": q_dedup_simhash_portable,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -1290,6 +1599,11 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_portable": ORACLE_MINHASH_PORTABLE,
+    "dedup_minhash_quality": ORACLE_MINHASH_QUALITY,
+    "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
+    "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
+    "dedup_embedding_lsh": _oracle_embedding_lsh(),
     "dedup_tfidf_pairs": ORACLE_TFIDF_PAIRS,
     "dedup_decontamination": ORACLE_DECONTAMINATION,
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,

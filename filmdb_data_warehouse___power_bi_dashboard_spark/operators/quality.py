@@ -581,12 +581,104 @@ FROM ranked GROUP BY decile ORDER BY decile
 ORACLE_DECILES = _deciles_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRACTION = 0.5
+
+
+def token_budget_selection(docs: DataFrame, fraction: float = _BUDGET_FRACTION) -> DataFrame:
+    """Greedy quality-first selection under a token budget — the
+    "best N tokens" cut every pretraining data plan starts from: rank
+    docs by quality (best first), keep taking until the running token
+    total reaches ``fraction`` of the corpus, report the per-source
+    composition of the kept set (how the cut reshapes the mix).
+
+    A doc is kept iff the EXCLUSIVE running sum of tokens before it is
+    under budget — the standard greedy knapsack relaxation. The
+    running sum is functions/ranking.global_running_sum (range-
+    bucketed, exact BIGINT prefix sums) — never a single-partition
+    ``SUM OVER (ORDER BY …)``. NULL-quality docs rank last
+    (COALESCE(score, -inf), the deciles NULLS-LAST pin) and NULL
+    token counts coalesce to 0, so degenerate docs can never abort
+    the plan or diverge across engines.
+
+    Scale shape: one profile scan, the running-sum machinery (sample
+    + per-bucket window), a 1-row broadcast of the total, and a
+    per-source agg — no driver-side data beyond bucket metadata.
+    """
+    from ..functions.ranking import global_running_sum
+    from ..runtime import track_persist
+    from .text import text_profile
+
+    prof = track_persist(
+        text_profile(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("quality_score", F.lit(float("-inf"))).alias("__q"),
+            F.coalesce("n_tokens_bpe", F.lit(0)).cast("long").alias("__tok"),
+        )
+        .persist()
+    )
+    total = prof.agg(F.sum("__tok").alias("__total"))
+    cum = global_running_sum(
+        prof, [("__q", False), "doc_id"], "__tok", alias="__cum", exclusive=True
+    )
+    kept = cum.crossJoin(F.broadcast(total)).where(
+        F.col("__cum") < F.col("__total") * F.lit(fraction)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("__tok").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_selection(read_table(spark, sf_dir, "documents"))
+
+
+def _token_budget_oracle() -> str:
+    from .text import _P_QUALITY, _TOKEN_RE
+
+    return f"""
+WITH prof AS (
+  SELECT doc_id, source,
+         COALESCE({_P_QUALITY}, CAST('-infinity' AS DOUBLE)) AS q,
+         CAST(COALESCE(len(regexp_extract_all(text, '{_TOKEN_RE}')), 0) AS BIGINT) AS tok
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total FROM prof),
+cum AS (
+  SELECT doc_id, source, tok,
+         CAST(COALESCE(SUM(tok) OVER (
+           ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM prof
+)
+SELECT source, COUNT(*) AS n_docs_selected, CAST(SUM(tok) AS BIGINT) AS tokens_selected
+FROM cum CROSS JOIN tot
+WHERE c < total * {_BUDGET_FRACTION}
+GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_TOKEN_BUDGET = _token_budget_oracle()
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_repetition_profile": q_text_repetition_profile,
     "pii_scrub_summary": q_pii_scrub_summary,
     "corpus_mix_weights": q_corpus_mix_weights,
     "corpus_quality_deciles": q_corpus_quality_deciles,
+    "corpus_token_budget": q_corpus_token_budget,
 }
 
 ORACLES = {
@@ -595,4 +687,5 @@ ORACLES = {
     "pii_scrub_summary": ORACLE_PII,
     "corpus_mix_weights": ORACLE_MIX,
     "corpus_quality_deciles": ORACLE_DECILES,
+    "corpus_token_budget": ORACLE_TOKEN_BUDGET,
 }

@@ -237,6 +237,35 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _SEED) -> lis
     return rng.standard_normal((n_tables, n_bits, dim)).tolist()
 
 
+def sql_lsh_sig_cte(n_tables: int = 8, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB CTE chain replaying :func:`lsh_signatures` exactly: the
+    seeded hyperplanes are data-INDEPENDENT constants, so they inline
+    into the oracle as list literals (``repr`` round-trips IEEE
+    doubles), and the sign-of-dot bits ride the same strict
+    left-to-right ``list_sum`` fold the exact-cosine oracles already
+    pin bit-identical to the JVM ``aggregate(zip_with)`` expression.
+    Yields CTEs ``lshbase(vec_id, embedding)`` and ``lshsig(vec_id,
+    t, bucket)`` — per-table n_bits bucket values matching Spark's
+    packed-signature lanes."""
+    planes = _hyperplanes(n_tables, n_bits, dim)
+    rows = ", ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in planes[t][b])}])"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+planes(t, b, pv) AS (VALUES {rows}),
+lshbase AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+lshsig AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pv[i]
+                                      for i in range(1, len(e.embedding) + 1)]) >= 0
+                       THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+  FROM lshbase e CROSS JOIN planes p
+  GROUP BY 1, 2
+)"""
+
+
 def _bind(expr, fn):
     """Evaluate ``expr`` ONCE and pass it to ``fn`` as a lambda
     variable: ``element_at(transform(array(expr), fn), 1)``.
@@ -690,10 +719,70 @@ ORDER BY query_id, rank
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (seeded hyperplanes not reproducible in SQL);
-    recall vs brute force asserted in pytest."""
+    """Oracle-checked since round 7: the seeded hyperplanes are
+    data-independent constants, so the DuckDB oracle inlines them as
+    list literals and replays signatures, lane-bucket candidate
+    generation, and the exact re-rank (sql_lsh_sig_cte) — full
+    value-hash evidence for the LSH index path, on top of the pytest
+    recall assertion vs brute force."""
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_topk_broadcast(emb, emb, k=10)
+
+
+def q_ann_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index health report: the bucket-size distribution per hash
+    table — (table, bucket_size, n_buckets). The observability read
+    you take before trusting an LSH index at scale: a fat bucket
+    means n_bits is too low (candidate joins degenerate toward
+    all-pairs) and a sea of singletons means recall is starving. One
+    scan + two map-side-combined groupBys over (table, signature) —
+    16-bit key domain, no skew possible."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sig = lsh_signatures(emb.filter(F.col("embedding").isNotNull()), 8, 4)
+    buckets = sig.groupBy("table", "signature").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        buckets.groupBy("table", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("table", "bucket_size")
+    )
+
+
+ORACLE_LSH_BUCKET_PROFILE = f"""
+WITH {sql_lsh_sig_cte()},
+b AS (
+  SELECT t AS "table", bucket, COUNT(*) AS bucket_size
+  FROM lshsig GROUP BY 1, 2
+)
+SELECT "table", bucket_size, COUNT(*) AS n_buckets
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_ANN_LSH = f"""
+WITH {sql_lsh_sig_cte()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+  FROM lshsig q JOIN lshsig v
+    ON q.t = v.t AND q.bucket = v.bucket AND q.vec_id <> v.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_SQL_COS_QB} AS cosine
+  FROM cand c
+  JOIN lshbase q ON q.vec_id = c.query_id
+  JOIN lshbase b ON b.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,6 +1107,7 @@ def _load_or_train_pq(emb, sf_dir: str, m: int, k_codes: int) -> list[list[list[
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_lsh_bucket_profile": q_ann_lsh_bucket_profile,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
     "embedding_hard_negatives": q_embedding_hard_negatives,
@@ -1025,5 +1115,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "ann_topk_lsh": ORACLE_ANN_LSH,
+    "ann_lsh_bucket_profile": ORACLE_LSH_BUCKET_PROFILE,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
 }

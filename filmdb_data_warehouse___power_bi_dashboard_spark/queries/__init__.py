@@ -89,7 +89,24 @@ _GATE_ORDER: tuple[str, ...] = (
     "etl_dim_mois",
     "text_profile",
     "scd2_dim_client",
-    # Remaining 17 slots: re-confirmations of the core families under
+    # NEW round 7: the md5-hash portable twins that put the minhash /
+    # simhash banding pipelines (previously rows-only) under the full
+    # driver hash gate, plus the minhash precision/error quality row:
+    "dedup_minhash_portable",
+    "dedup_minhash_quality",
+    "dedup_simhash_portable",
+    # … and the two LSH entries that graduated from rows-only to
+    # oracle-bearing (data-independent hyperplanes inlined into the
+    # oracle as literals):
+    "dedup_embedding_lsh",
+    "ann_topk_lsh",
+    # … and three NEW round-7 operators: the Jaccard threshold-sweep
+    # report, the LSH index bucket-size profile, and quality-first
+    # token-budget corpus selection (global_running_sum-backed):
+    "dedup_threshold_sweep",
+    "ann_lsh_bucket_profile",
+    "corpus_token_budget",
+    # Remaining 9 slots: re-confirmations of the core families under
     # the round-7 code (ETL star, semantic layer, corpus analytics) —
     # all driver-green r2-r6, definitions unchanged:
     "etl_dim_client",
@@ -100,15 +117,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "metrics_pareto_categorie",
     "metrics_top_entities",
     "metrics_weekday_profile",
-    "metrics_drill_localisation",
-    "metrics_magasin_mois_europe",
-    "metrics_reachat_par_magasin",
     "kpi_supplier_month",
-    "rfm",
-    "mom_yoy",
-    "rolling_30d",
-    "pareto_brands",
-    "daily_zscore",
     # --- past the driver's 50-entry cap (round 7) ---
     # Everything below was driver-green in CORRECTNESS_r06 (or an
     # earlier round, definitions unchanged) or is rows-only
@@ -190,6 +199,14 @@ _GATE_ORDER: tuple[str, ...] = (
     "view_revenu_film_mois",
     "view_revenu_film_total",
     "view_valeur_client",
+    "mom_yoy",
+    "pareto_brands",
+    "daily_zscore",
+    "rolling_30d",
+    "metrics_reachat_par_magasin",
+    "metrics_drill_localisation",
+    "metrics_magasin_mois_europe",
+    "rfm",
     "rollup_region_magasin",
     "top_parts_by_revenue",
     "brand_revenue_share",
@@ -208,8 +225,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "corpus_split_summary",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "dedup_embedding_lsh",
-    "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",
     "multimodal_features",

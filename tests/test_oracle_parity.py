@@ -33,12 +33,16 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
 # hash-dependent ops) — the driver gives these a rows-only check; every
 # other registered query MUST carry an oracle or this gate fails loudly.
 NON_SQL_WHITELIST: set[str] = {
-    "dedup_minhash_pairs",    # hash family not reproducible in ANSI SQL
-    "dedup_simhash_pairs",    # xxhash64-based fingerprint
-    "dedup_embedding_lsh",    # seeded hyperplanes; recall tested in pytest
-    "ann_topk_lsh",           # seeded hyperplanes; recall tested in pytest
-    "ann_topk_ivf",           # iterative k-means quantizer; recall tested in pytest
-    "ann_topk_pq",            # sample-trained PQ codebooks; recall tested in pytest
+    # xxhash64-based fast paths: the hash family is Spark-only, but
+    # their md5-twin entries (dedup_minhash_portable / _quality,
+    # dedup_simhash_portable) put the SAME pipeline under the full
+    # hash gate; dedup_embedding_lsh / ann_topk_lsh graduated to
+    # oracle-bearing in round 7 (data-independent hyperplanes inline
+    # into the oracle as literals).
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "ann_topk_ivf",           # DATA-DEPENDENT training (Lloyd iterations over the corpus)
+    "ann_topk_pq",            # — not expressible in a static SQL string; recall pytest-asserted
     "multimodal_features",    # mapInPandas path; equality tested in pytest
     "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
     "corpus_split_summary",   # xxhash64 split assignment; properties tested in pytest
