@@ -246,3 +246,70 @@ def test_connected_components_exact_budget_converges(spark):
     rows = connected_components(edges, max_iter=12).collect()
     assert {r["node"] for r in rows} == set(range(10))
     assert {r["label"] for r in rows} == {0}
+
+
+# ---------------------------------------------------------------------------
+# Portable (md5-hash) banding twins: same quality contracts as the
+# xxhash fast paths — the hash family must not change the recall story.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_portable_recall_vs_exact(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.0, portable=True
+        ).collect()
+    }
+    assert exact, "fixture should contain at least one near-dup pair"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"portable LSH recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_portable_within_radius(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    pairs = simhash_pairs(docs, bits=32, max_hamming=3, portable=True).collect()
+    assert pairs, "corpus should contain close fingerprints"
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: boundary semantics on a crafted frame.
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_boundary(spark):
+    """5 equal-token docs, budget 50%: the greedy rule (keep while the
+    EXCLUSIVE prefix sum is under budget) keeps exactly 3 — the doc
+    straddling the boundary is kept, the next is not. NULL-text doc
+    ranks last and is never selected."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        token_budget_selection,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"  # 12 tokens
+    rows = [(i, text, "en", f"s{i}", len(text)) for i in range(1, 6)]
+    rows.append((6, None, "en", "s6", None))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in token_budget_selection(docs, fraction=0.5).collect()}
+    # total = 60 tokens, budget 30; docs tie on quality -> doc_id order:
+    # prefix sums 0, 12, 24 (< 30 -> kept), 36 (not kept)
+    assert set(out) == {"s1", "s2", "s3"}
+    assert all(r["n_docs_selected"] == 1 and r["tokens_selected"] == 12 for r in out.values())
