@@ -32,9 +32,34 @@ from ..sources.catalog import read_table
 _BUCKETS = 1 << 20
 
 
-def _bucket(key_cols: list[Column | str], salt: str) -> Column:
+def _bucket(
+    key_cols: list[Column | str], salt: str, portable: bool = False
+) -> Column:
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    if portable:
+        # Cross-engine twin: md5 over 'salt:key[:key...]' via the
+        # 60-bit h60 hash (operators/dedup.py) so a SQL oracle can
+        # recompute the identical bucket. ~3x the hash cost of
+        # xxhash64 — the fast path stays the scale default.
+        from .dedup import h60
+
+        return F.pmod(h60(F.concat_ws(":", F.lit(salt), *cols)), F.lit(_BUCKETS))
     return F.pmod(F.xxhash64(F.lit(salt), *cols), F.lit(_BUCKETS))
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper bucket bound) per split, in declaration
+    order; the last label owns the remainder. Shared by the Spark
+    split expression and the SQL oracle so bucket edges can never
+    drift between engines."""
+    total = sum(weights.values())
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for label in list(weights)[:-1]:
+        acc += weights[label]
+        out.append((label, int(_BUCKETS * acc / total)))
+    out.append((list(weights)[-1], _BUCKETS))
+    return out
 
 
 def deterministic_split(
@@ -43,6 +68,7 @@ def deterministic_split(
     weights: dict[str, float],
     salt: str = "split-v1",
     col_name: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Assign every row a split label ('train'/'val'/'test'/...) from
     contiguous hash-bucket ranges proportional to ``weights``.
@@ -52,18 +78,17 @@ def deterministic_split(
     including rows of OTHER tables split with the same key and salt,
     which is how feature/label tables stay leak-free. Changing the
     salt re-draws the assignment; nothing else does.
+
+    ``portable=True`` swaps the bucket hash from xxhash64 to the
+    md5-based cross-engine h60 so a SQL oracle can replay the
+    assignment (feeds ``corpus_split_portable``).
     """
-    total = sum(weights.values())
-    b = _bucket(key_cols, salt)
+    b = _bucket(key_cols, salt, portable=portable)
     expr = None
-    acc = 0.0
-    labels = list(weights)
-    for label in labels[:-1]:
-        acc += weights[label]
-        threshold = int(_BUCKETS * acc / total)
+    for label, threshold in split_thresholds(weights)[:-1]:
         cond = b < F.lit(threshold)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-    last = F.lit(labels[-1])
+    last = F.lit(list(weights)[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(col_name, out)
 
@@ -103,6 +128,50 @@ def q_corpus_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nb_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split", "lang")
     )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_corpus_split_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/10/10 doc_id split with the cross-engine md5 bucket
+    hash: the ENTIRE assignment — bucket values, range edges, label
+    mapping — is replayed by the DuckDB oracle, upgrading the split
+    family from rows-only (xxhash64 fast path, pytest-asserted) to
+    full driver hash evidence. Same range-split math; only the hash
+    family differs."""
+    docs = read_table(spark, sf_dir, "documents")
+    split = deterministic_split(
+        docs, ["doc_id"], _SPLIT_WEIGHTS, portable=True
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").alias("nb_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def _sql_split_case(salt: str = "split-v1") -> str:
+    edges = split_thresholds(_SPLIT_WEIGHTS)
+    b = (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {_BUCKETS}"
+    )
+    whens = " ".join(
+        f"WHEN {b} < {threshold} THEN '{label}'"
+        for label, threshold in edges[:-1]
+    )
+    return f"CASE {whens} ELSE '{edges[-1][0]}' END"
+
+
+ORACLE_SPLIT_PORTABLE = f"""
+SELECT {_sql_split_case()} AS split, lang,
+       COUNT(*) AS nb_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
 
 
 def epoch_order(
@@ -170,9 +239,11 @@ ORDER BY epoch, position
 
 QUERIES = {
     "corpus_split_summary": q_corpus_split_summary,
+    "corpus_split_portable": q_corpus_split_portable,
     "corpus_epoch_order": q_corpus_epoch_order,
 }
 
 ORACLES: dict = {
+    "corpus_split_portable": ORACLE_SPLIT_PORTABLE,
     "corpus_epoch_order": ORACLE_EPOCH_ORDER,
 }

@@ -1104,12 +1104,121 @@ def _load_or_train_pq(emb, sf_dir: str, m: int, k_codes: int) -> list[list[list[
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN recall report: driver-hashable quality evidence for the two
+# rows-only index families (IVF, PQ).
+# ---------------------------------------------------------------------------
+
+# Floors sit well under the measured recalls (IVF 0.77 at sf0.001 /
+# 0.01 / 0.1 with nprobe=8; PQ 0.996-1.000 with 8x16 codebooks +
+# rerank) so the contract trips on a real index regression, not on
+# corpus noise. Both pipelines are deterministic given the corpus
+# (hash-ordered training samples, fixed iteration counts), so the
+# booleans are stable run to run.
+_RECALL_FLOORS = {"ivf": 0.6, "pq": 0.9}
+_RECALL_K = 10
+_RECALL_SAMPLE_MOD = 4  # h60(vec_id) % 4 == 0 -> ~25% of vectors
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    ivf_centroids: list[list[float]],
+    pq_codebooks: list[list[list[float]]],
+    k: int = _RECALL_K,
+) -> DataFrame:
+    """One row per approximate index (ivf, pq): query count, ground-
+    truth pair count, and whether recall@k against the exact
+    brute-force top-k clears the family's floor — the driver-hashable
+    quality contract the rows-only ``ann_topk_ivf`` / ``ann_topk_pq``
+    entries lack (their Lloyd / codebook training is not
+    SQL-expressible, but this report's every VALUE column is: the
+    counts replay exactly, and the oracle asserts the booleans TRUE).
+
+    Queries are a deterministic cross-engine hash sample
+    (``h60(vec_id) % 4 == 0``) of the corpus, so the oracle computes
+    ``n_queries`` with the same predicate — a 25% batch keeps the
+    brute-force ground truth cheap while leaving >1k truth pairs for
+    a stable recall estimate.
+
+    Scale shape: ground truth and both index probes are the existing
+    block kernels (shuffle = n_queries·k per block); the hit test is
+    a broadcast-size left join on (query_id, vec_id); the final
+    report is two 1-row aggregates — nothing here outlives a
+    training-batch contract at 100 TB.
+    """
+    from ..runtime import track_persist
+    from .dedup import h60
+
+    q = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.pmod(h60(F.col("vec_id").cast("string")), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    )
+    truth = track_persist(
+        bruteforce_topk(emb, q, k=k).select("query_id", "vec_id").persist()
+    )
+    approx = {
+        "ivf": ivf_topk(emb, q, k=k, n_clusters=len(ivf_centroids), nprobe=8,
+                        centroids=ivf_centroids),
+        "pq": pq_topk(emb, q, k=k, codebooks=pq_codebooks),
+    }
+    reports = []
+    for algo, floor in _RECALL_FLOORS.items():
+        hit = approx[algo].select(
+            "query_id", "vec_id", F.lit(1).alias("__hit")
+        )
+        reports.append(
+            truth.join(hit, ["query_id", "vec_id"], "left")
+            .agg(
+                F.lit(algo).alias("algo"),
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_truth_pairs"),
+                F.lit(k).cast("int").alias("k"),
+                F.lit(floor).alias("recall_floor"),
+                (F.sum("__hit") >= F.lit(floor) * F.count(F.lit(1))).alias(
+                    "recall_ok"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("algo")
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1)
+    books = _load_or_train_pq(emb, sf_dir, m=8, k_codes=16)
+    return ann_recall_report(emb, centroids, books)
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+WITH q AS (
+  SELECT COUNT(*) AS nq FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % {_RECALL_SAMPLE_MOD} = 0
+)
+SELECT 'ivf' AS algo, nq AS n_queries,
+       CAST(nq * {_RECALL_K} AS BIGINT) AS n_truth_pairs,
+       {_RECALL_K} AS k, {_RECALL_FLOORS['ivf']} AS recall_floor,
+       TRUE AS recall_ok
+FROM q
+UNION ALL
+SELECT 'pq', nq, CAST(nq * {_RECALL_K} AS BIGINT), {_RECALL_K},
+       {_RECALL_FLOORS['pq']}, TRUE
+FROM q
+ORDER BY algo
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_lsh_bucket_profile": q_ann_lsh_bucket_profile,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
+    "ann_recall_report": q_ann_recall_report,
     "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
@@ -1117,5 +1226,6 @@ ORACLES = {
     "ann_topk_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "ann_topk_lsh": ORACLE_ANN_LSH,
     "ann_lsh_bucket_profile": ORACLE_LSH_BUCKET_PROFILE,
+    "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
 }

@@ -313,3 +313,73 @@ def test_token_budget_boundary(spark):
     # prefix sums 0, 12, 24 (< 30 -> kept), 36 (not kept)
     assert set(out) == {"s1", "s2", "s3"}
     assert all(r["n_docs_selected"] == 1 and r["tokens_selected"] == 12 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Round-7 quality contracts for the previously rows-only families.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_report_contract(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_recall_report,
+    )
+
+    rows = {r["algo"]: r for r in q_ann_recall_report(spark, sf_small).collect()}
+    assert set(rows) == {"ivf", "pq"}
+    for algo, r in rows.items():
+        assert r["recall_ok"], f"{algo} recall fell below its floor"
+        assert r["n_truth_pairs"] == r["n_queries"] * r["k"]
+        assert r["n_queries"] > 50  # the 25% hash sample is non-trivial
+
+
+def test_portable_split_disjoint_and_leak_free(spark):
+    """Same key under the same salt -> same split on ANY table (the
+    leak-freedom contract), and rates track the weights."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    a = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    b = a.withColumn("extra", F.lit("feature-table"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sa = deterministic_split(a, ["doc_id"], w, portable=True)
+    sb = deterministic_split(b, ["doc_id"], w, portable=True)
+    joined = sa.join(sb.withColumnRenamed("split", "split_b"), "doc_id")
+    assert joined.filter(F.col("split") != F.col("split_b")).count() == 0
+    rates = {r["split"]: r["n"] for r in sa.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(rates.values()) == 4000
+    assert abs(rates["train"] / 4000 - 0.8) < 0.03
+    assert abs(rates["val"] / 4000 - 0.1) < 0.02
+    assert abs(rates["test"] / 4000 - 0.1) < 0.02
+
+
+def test_approx_bounds_wide_spread_tiny_month(spark):
+    """A 2-row month with a 50x value spread: a value-relative bound
+    on percentile_approx would trip (the sketch returns one of the two
+    raw values, the exact percentile interpolates between them); the
+    rank-based contract must hold."""
+    import datetime
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries.corpus import (
+        approx_error_bounds,
+    )
+
+    rows = [
+        (datetime.date(2024, 1, 5), 10.00, 1),
+        (datetime.date(2024, 1, 20), 500.00, 2),
+    ] + [
+        (datetime.date(2024, 2, 1 + i % 28), 100.0 + i, 10 + i) for i in range(40)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double, o_custkey long"
+    )
+    out = {str(r["mois"]): r for r in approx_error_bounds(orders).collect()}
+    assert set(out) == {"2024-01-01", "2024-02-01"}
+    for r in out.values():
+        assert r["hll_ok"] and r["p50_ok"] and r["p95_ok"], dict(r.asDict())
+    jan = out["2024-01-01"]
+    assert jan["nb"] == 2 and jan["exact_clients"] == 2
+    assert jan["exact_p50"] == 255.0  # interpolated midpoint of 10 and 500
