@@ -20,7 +20,10 @@ query's time (etl_agg_mensuel_magasin — the star materialization,
 PERF.md's cross-round normalizer), os.getloadavg() at start and end,
 and the per-query mean, so any future artifact documents its own host
 conditions instead of leaving a load spike indistinguishable from a
-plan regression.
+plan regression. BENCH_DETAIL.json additionally records the 1-min
+load after EVERY query, and the canary re-runs once after the corpus
+(canary_end_sec) so the in-corpus/post-corpus pair brackets the host
+regime over the run.
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ def main() -> None:
     from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
 
     load_start = os.getloadavg()
+    load1: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in sorted(reg.items()):
         t0 = time.perf_counter()
@@ -63,10 +67,23 @@ def main() -> None:
         # Python per-row hop); the noop sink runs the full plan.
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Per-query 1-min load: lets a reader attribute any outlier to
+        # the exact window where external load hit (BENCH_r06 lesson).
+        load1[name] = round(os.getloadavg()[0], 2)
         # Result fully materialized: drop this query's tracked persists
         # so cache pressure never builds across the corpus run.
         release_persisted()
     total = round(time.perf_counter() - t_all, 3)
+    # Second canary run AFTER the corpus: together with its in-corpus
+    # time (alphabetical order puts it mid-run) this brackets the host
+    # regime — a stable pair says the whole run is comparable, a
+    # drifting pair flags which artifact half to distrust.
+    t0 = time.perf_counter()
+    reg["etl_agg_mensuel_magasin"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    canary_end = round(time.perf_counter() - t0, 3)
+    release_persisted()
     load_end = os.getloadavg()
 
     # Full per-query detail: persisted to a repo file (survives any
@@ -77,7 +94,7 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {"detail": "per_query_wall", "unit": "sec", "total": total,
-             "sf": sf_num, "queries": times},
+             "sf": sf_num, "queries": times, "load1_after_query": load1},
             f, indent=1, sort_keys=True,
         )
     names = sorted(times)
@@ -112,6 +129,7 @@ def main() -> None:
                 "per_query_mean_sec": round(total / max(len(times), 1), 3),
                 "canary": "etl_agg_mensuel_magasin",
                 "canary_sec": times.get("etl_agg_mensuel_magasin"),
+                "canary_end_sec": canary_end,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in load_end],
             }

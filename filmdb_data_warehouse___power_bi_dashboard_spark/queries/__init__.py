@@ -232,7 +232,13 @@ _GATE_ORDER: tuple[str, ...] = (
     "orders_last_full_month",
     "customer_segments",
     "parts_never_ordered",
-    # rows-only operators:
+    # rows-only operators — since round 7 every family here has a
+    # driver-hashable companion in the gate: the md5 twins
+    # (dedup_minhash_portable / dedup_simhash_portable /
+    # corpus_split_portable), the sketch error-bound report
+    # (approx_error_bounds), and the IVF/PQ recall contract
+    # (ann_recall_report). Only the decode-stubbed multimodal_features
+    # remains evidence-free by nature (no codec libs in container).
     "approx_month_profile",
     "corpus_split_summary",
     "dedup_minhash_pairs",
