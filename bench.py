@@ -57,6 +57,16 @@ def main() -> None:
 
     from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import release_persisted
 
+    # Untimed canary warmup (round-8 fix): BENCH_r07 recorded 21.95 s
+    # for whatever ran first vs 1.82 s post-corpus — session/JIT/codegen
+    # warmup was being billed to the first measured query, making its
+    # cross-round comparison unreadable. One full star materialization
+    # absorbs that cost BEFORE the clock starts.
+    reg["etl_agg_mensuel_magasin"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_persisted()
+
     load_start = os.getloadavg()
     load1: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -86,6 +96,35 @@ def main() -> None:
     release_persisted()
     load_end = os.getloadavg()
 
+    # Scale-exponent spot check (round-8 addition): the 10 heaviest
+    # queries of this run, re-timed WARM at both this SF and sf0.01 in
+    # the same process, ratio recorded. Data scales 10x between the two
+    # dirs, so a warm/warm ratio far above ~10 flags super-linear
+    # behavior the designs claim to rule out (LSH banding, posting
+    # joins, cluster-bounded semantic dedup). Each scale gets one
+    # untimed pass first so artifact builds / fresh codegen are not
+    # billed to the measured run.
+    scale_check: dict[str, dict] = {}
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir):
+        for name in sorted(times, key=times.get, reverse=True)[:10]:
+            try:
+                per_sf = {}
+                for d in (small_dir, sf_dir):
+                    reg[name](spark, d).write.format("noop").mode("overwrite").save()
+                    release_persisted()
+                    t0 = time.perf_counter()
+                    reg[name](spark, d).write.format("noop").mode("overwrite").save()
+                    per_sf[d] = time.perf_counter() - t0
+                    release_persisted()
+                scale_check[name] = {
+                    "big_warm_sec": round(per_sf[sf_dir], 3),
+                    "small_warm_sec": round(per_sf[small_dir], 3),
+                    "ratio": round(per_sf[sf_dir] / max(per_sf[small_dir], 1e-9), 2),
+                }
+            except Exception as exc:  # never let the spot check sink the artifact
+                scale_check[name] = {"err": str(exc)[:200]}
+
     # Full per-query detail: persisted to a repo file (survives any
     # stdout-tail truncation; BENCH_r04's one-line detail was cut
     # mid-map) AND printed as short self-contained chunks so whatever
@@ -94,7 +133,8 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {"detail": "per_query_wall", "unit": "sec", "total": total,
-             "sf": sf_num, "queries": times, "load1_after_query": load1},
+             "sf": sf_num, "queries": times, "load1_after_query": load1,
+             "scale_check_vs_sf0_01": scale_check},
             f, indent=1, sort_keys=True,
         )
     names = sorted(times)

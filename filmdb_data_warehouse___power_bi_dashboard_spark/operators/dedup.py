@@ -659,10 +659,15 @@ def minhash_signatures(
     hashed shingles — all array expressions, no shuffle, no UDF.
     ``portable=True`` swaps the shingle hash from xxhash64 (fast,
     Spark-only) to the md5-based :func:`h60` (cross-engine, feeds the
-    oracle-checked portable entries) and drops empty-shingle docs
-    (sub-n-token texts), matching the exact operator's guard — with
-    the all-sentinel signature such docs would otherwise band-match
-    each other at est=1.0, pairs no SQL replay can produce.
+    oracle-checked portable entries).
+
+    Empty-shingle docs (sub-n-token or NULL texts) are dropped
+    UNCONDITIONALLY, matching the exact operator's guard: with the
+    all-sentinel signature such docs would band-match each other at
+    est=1.0 — false pairs in the fast path and pairs no SQL replay can
+    produce in the portable one. (Round-8 fix: the guard used to be
+    portable-only, leaving the scale-default xxhash64 path emitting
+    the false 1.0 pairs.)
 
     Built as ONE fold over the shingle array (aggregate + zip_with
     against literal coefficient arrays): the naive spelling — 32
@@ -689,10 +694,7 @@ def minhash_signatures(
             ),
         ),
     )
-    out = _spread(docs)
-    if portable:
-        out = out.where(F.size(sh) > 0)
-    return out.select("doc_id", sig.alias("sig"))
+    return _spread(docs).where(F.size(sh) > 0).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -702,6 +704,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
     portable: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
@@ -716,9 +719,16 @@ def minhash_lsh_pairs(
     ``portable=True`` routes both the shingle hash and the band-bucket
     hash through :func:`h60` so the whole pair list — including any
     bucket-hash collisions — is reproducible by the DuckDB oracle.
+
+    ``sigs`` short-circuits the signature build with a precomputed
+    (doc_id, sig) frame — the corpus-versioned artifact from
+    :func:`_materialized_minhash_sigs`, shared by the four registry
+    entries that each used to recompute shingle→signature from
+    scratch (the portable md5 family alone was 60 s of BENCH_r07).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, portable=portable)
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes, n, portable=portable)
     bucket_hash = h60 if portable else (lambda s: F.xxhash64(s))
     band_arr = F.array(
         *[
@@ -777,13 +787,42 @@ def minhash_lsh_pairs(
     )
 
 
+def _materialized_minhash_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The (doc_id, sig) minhash signature table as a corpus-versioned
+    artifact — the shared input of the minhash registry entries (fast
+    pairs, portable pairs, quality report), which each used to rebuild
+    shingle→hash→fold from raw text per query. Signatures are a pure
+    function of the corpus + the literal hash params, so staleness is
+    impossible within a corpus version; the 'v2' param records the
+    round-8 unconditional empty-shingle guard (a pre-guard cached
+    record must not satisfy post-guard consumers)."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        return minhash_signatures(docs, num_hashes, n, portable=portable)
+
+    save, load = parquet_artifact_io(spark)
+    kind = f"minhashsig{num_hashes}x{n}{'p' if portable else ''}"
+    return corpus_artifact(
+        sf_dir, "documents", kind, ("v2",), build, save, load, memo=False
+    )
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (hash-family not reproducible in ANSI SQL);
     recall vs the exact Jaccard operator is asserted in pytest, and
     the md5-hash twin below (q_dedup_minhash_portable) puts the SAME
     banding pipeline under the full driver hash gate."""
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    sigs = _materialized_minhash_sigs(spark, sf_dir, portable=False)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5, sigs=sigs)
 
 
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,12 +831,19 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-hash collisions included — is replayed by the DuckDB
     oracle, upgrading the minhash pipeline from rows-only to full
     value-hash evidence. Same banding math as the xxhash64 fast path;
-    only the hash family differs."""
+    only the hash family differs. The oracle recomputes signatures
+    from raw text, so a stale signature artifact would go red the
+    same round."""
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5, portable=True)
+    sigs = _materialized_minhash_sigs(spark, sf_dir, portable=True)
+    return minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.5, portable=True, sigs=sigs
+    )
 
 
-def minhash_quality_summary(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_quality_summary(
+    docs: DataFrame, threshold: float = 0.5, sigs: DataFrame | None = None
+) -> DataFrame:
     """One-row quality report for the (portable) minhash banding:
     candidate-pair count, how many candidates are TRUE near-dups by
     exact shingle Jaccard at the same threshold, the resulting
@@ -808,7 +854,9 @@ def minhash_quality_summary(docs: DataFrame, threshold: float = 0.5) -> DataFram
     Jaccard are pre-rounded, so ``floor(|est-true|*1e6 + 0.5)`` is
     exact) — a float AVG would be partial-sum-order dependent.
     """
-    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=threshold, portable=True)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=threshold, portable=True, sigs=sigs
+    )
     sh = _spread(docs).select("doc_id", _shingles(n=3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -852,7 +900,8 @@ def minhash_quality_summary(docs: DataFrame, threshold: float = 0.5) -> DataFram
 
 def q_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_quality_summary(docs, threshold=0.5)
+    sigs = _materialized_minhash_sigs(spark, sf_dir, portable=True)
+    return minhash_quality_summary(docs, threshold=0.5, sigs=sigs)
 
 
 def _minhash_portable_ctes(num_hashes: int = 32, rows_per_band: int = 4) -> str:
@@ -951,7 +1000,14 @@ def simhash_fingerprints(
     Tokens are hashed ONCE into a long array and the bit unroll reads
     that value — the previous spelling re-inlined the hash call into
     all ``bits`` branches and leaned on codegen subexpression
-    elimination; one md5 per token per bit would not survive that."""
+    elimination; one md5 per token per bit would not survive that.
+
+    NULL-text docs are dropped (round-8 fix, mirroring the minhash
+    empty-shingle guard): a NULL token array NULLs every bit sum, the
+    ``when(...).otherwise(0)`` unroll then emits fingerprint 0, and
+    any two NULL-text docs would pair at hamming 0 — false pairs in
+    the fast path, pairs the ``WHERE text IS NOT NULL`` oracle can
+    never replay in the portable one."""
     token_hash = h60 if portable else (lambda t: F.xxhash64(t))
     hashed = F.transform(_tokens(), lambda t: token_hash(t))
     acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
@@ -975,7 +1031,11 @@ def simhash_fingerprints(
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
-    return _spread(docs).select("doc_id", fp.alias("simhash"))
+    return (
+        _spread(docs)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", fp.alias("simhash"))
+    )
 
 
 def simhash_pairs(

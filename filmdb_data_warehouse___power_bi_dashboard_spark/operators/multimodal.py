@@ -95,30 +95,51 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched byte-level features via mapInPandas: length, md5,
     mean byte value, empirical byte entropy. The pandas function
     receives column-pruned batches (only the columns it reads survive
-    the scan) and emits the declared FEATURES schema."""
+    the scan) and emits the declared FEATURES schema.
+
+    Vectorized per payload (``np.frombuffer`` + ``np.bincount`` — the
+    same idiom as the audio path below): the previous per-byte Python
+    dict loop was this module's only scale-killer at 100 TB of media.
+    md5 stays per-payload (hashlib releases the GIL and is C-speed).
+
+    Exactness contract (feeds the oracle-checked twin
+    ``multimodal_byte_entropy``): byte_mean is an exact int64 sum
+    followed by ONE IEEE division — bit-identical to DuckDB's
+    ``CAST(SUM(byte) AS DOUBLE)/n``. byte_entropy uses the
+    ``(ln n - Σ c·ln c / n) / ln 2`` spelling over the 256-bin
+    histogram so the SQL twin can replay it from a GROUP BY histogram;
+    per-term libm and summation-order drift is ~1e-12, far under the
+    twin's 1e-4 rounding grid."""
     import hashlib
     import math
+
+    import numpy as np
+
+    def _features(b: bytes) -> tuple[int, float, float]:
+        n = len(b)
+        if not n:
+            return 0, 0.0, 0.0
+        a = np.frombuffer(b, dtype=np.uint8)
+        counts = np.bincount(a, minlength=256).astype(np.int64)
+        nz = counts[counts > 0].astype(np.float64)
+        s_clogc = float((nz * np.log(nz)).sum())
+        ent = (math.log(n) - s_clogc / n) / math.log(2.0)
+        mean = int(counts @ np.arange(256, dtype=np.int64)) / n
+        return n, mean, ent
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                n = len(b)
-                counts: dict[int, int] = {}
-                for byte in b:
-                    counts[byte] = counts.get(byte, 0) + 1
-                ent = 0.0
-                for c in counts.values():
-                    p = c / n
-                    ent -= p * math.log2(p)
+                n, mean, ent = _features(b)
                 rows.append(
                     {
                         "media_id": media_id,
                         "kind": kind,
                         "byte_len": n,
                         "payload_md5": hashlib.md5(b).hexdigest(),
-                        "byte_mean": (sum(b) / n) if n else 0.0,
+                        "byte_mean": mean,
                         "byte_entropy": ent,
                     }
                 )
@@ -162,9 +183,77 @@ FROM documents ORDER BY doc_id
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: the mapInPandas path (Arrow batches, python
     feature extraction). Equality with the SQL twin on the shared
-    columns is asserted in pytest."""
+    columns is asserted in pytest, and multimodal_byte_entropy below
+    puts byte_mean / byte_entropy under the full driver hash gate."""
     docs = read_table(spark, sf_dir, "documents")
     return extract_features(synthesize_media(docs)).orderBy("media_id")
+
+
+def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin for the statistical half of
+    :func:`extract_features` (byte_mean / byte_entropy — previously
+    the registry's only value columns with no cross-engine evidence).
+    The VALUES come from the mapInPandas kernel itself, so the driver
+    hash attests the vectorized numpy path, not a parallel SQL
+    re-implementation on the Spark side.
+
+    The corpus text is pure ASCII (same invariant ORACLE_FRAME_SAMPLE
+    documents), so DuckDB replays the byte histogram as an
+    ``ascii(substring(...))`` unnest: byte_sum / n_distinct_bytes are
+    exact integers, byte_mean is one exact-int division (bit-identical
+    IEEE), and byte_entropy is rounded at 1e-4 — ~8 orders of
+    magnitude above the measured cross-engine drift of the
+    ``(ln n - Σ c·ln c / n)/ln 2`` spelling."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media).where(F.col("byte_len") > 0)
+    ent_r4 = F.floor(F.col("byte_entropy") * 1e4 + F.lit(0.5)) / 1e4
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        # mean·len recovers the exact integer sum but in IEEE can land
+        # at .999…; +0.5-floor (drift « 0.5) instead of a truncating
+        # cast.
+        F.floor(F.col("byte_mean") * F.col("byte_len") + F.lit(0.5))
+        .cast("long")
+        .alias("byte_sum"),
+        "byte_mean",
+        ent_r4.alias("byte_entropy_r4"),
+    ).orderBy("media_id")
+
+
+ORACLE_BYTE_ENTROPY = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+bytes AS (
+  SELECT m.media_id, unnest([ascii(substring(m.text, i, 1)) for i in range(1, m.n + 1)]) AS byte
+  FROM m
+),
+hist AS (
+  SELECT media_id, byte, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bytes GROUP BY 1, 2
+),
+ent AS (
+  SELECT media_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * byte) AS BIGINT) AS byte_sum,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS s_clogc
+  FROM hist GROUP BY 1
+)
+SELECT m.media_id, m.kind,
+       e.n AS byte_len,
+       e.byte_sum,
+       CAST(e.byte_sum AS DOUBLE) / e.n AS byte_mean,
+       FLOOR((ln(CAST(e.n AS DOUBLE)) - e.s_clogc / e.n) / ln(2.0) * 1e4 + 0.5) / 1e4
+         AS byte_entropy_r4
+FROM ent e JOIN m ON m.media_id = e.media_id
+ORDER BY m.media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -426,12 +515,14 @@ ORDER BY media_id, window_idx
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_features": q_multimodal_features,
+    "multimodal_byte_entropy": q_multimodal_byte_entropy,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
 ORACLES = {
     "multimodal_byte_stats": ORACLE_BYTE_STATS,
+    "multimodal_byte_entropy": ORACLE_BYTE_ENTROPY,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
 }

@@ -41,9 +41,17 @@ def _bucket(
         # 60-bit h60 hash (operators/dedup.py) so a SQL oracle can
         # recompute the identical bucket. ~3x the hash cost of
         # xxhash64 — the fast path stays the scale default.
+        #
+        # NULL keys get an explicit sentinel BEFORE concat_ws:
+        # concat_ws silently skips NULL args, so ('a', NULL) and
+        # ('a',) would otherwise collide — and diverge from the
+        # xxhash64 fast path, which hashes NULL as a distinct input.
+        # Non-null values are untouched (coalesce is identity), so
+        # existing oracle assignments are unchanged.
         from .dedup import h60
 
-        return F.pmod(h60(F.concat_ws(":", F.lit(salt), *cols)), F.lit(_BUCKETS))
+        safe = [F.coalesce(c.cast("string"), F.lit("\x00null\x00")) for c in cols]
+        return F.pmod(h60(F.concat_ws(":", F.lit(salt), *safe)), F.lit(_BUCKETS))
     return F.pmod(F.xxhash64(F.lit(salt), *cols), F.lit(_BUCKETS))
 
 

@@ -78,16 +78,44 @@ def _fold_norms(a):
     return np.sqrt(acc)
 
 
+# Hard cap on the driver-collected query/anchor side. 2^16 rows of
+# 64-dim f32 is ~17 MB on the driver and ~the broadcast-join default
+# budget when shipped to tasks — far above any training batch, far
+# below any corpus. The cap turns the documented smallness ASSUMPTION
+# into an enforced contract: a corpus-sized frame routed through a
+# collect-side kernel now raises with a pointer to the scale path
+# instead of silently OOM-ing the driver.
+_QUERY_COLLECT_CAP = 1 << 16
+
+
+def _capped_collect(rows_df: DataFrame, what: str):
+    """collect() bounded to _QUERY_COLLECT_CAP rows: the limit(cap+1)
+    runs the same plan but caps driver transfer/memory at cap+1 rows
+    no matter how large the input is."""
+    rows = rows_df.limit(_QUERY_COLLECT_CAP + 1).collect()
+    if len(rows) > _QUERY_COLLECT_CAP:
+        raise ValueError(
+            f"{what} exceeds the driver-collect cap "
+            f"({_QUERY_COLLECT_CAP} rows): this kernel ships the "
+            "query side to every task like a broadcast join. For a "
+            "corpus-sized query side use the shuffle/bucketed paths "
+            "(lsh_topk / ivf_topk candidate generation) instead."
+        )
+    return rows
+
+
 def _collect_query_matrix(queries: DataFrame):
     """Collect the (driver-bounded) query side as numpy: ids, f64
     matrix, and strict-fold norms. Returns (None, None, None) when
     empty. The smallness assumption is the SAME one a broadcast join
     makes — callers that can't bound the query side use the
-    all-shuffle variants (lsh_topk)."""
-    q_rows = (
-        queries.select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())
-        .collect()
+    all-shuffle variants (lsh_topk); exceeding _QUERY_COLLECT_CAP
+    raises rather than OOM-ing the driver."""
+    q_rows = _capped_collect(
+        queries.select("vec_id", "embedding").filter(
+            F.col("embedding").isNotNull()
+        ),
+        "query side",
     )
     if not q_rows:
         return None, None, None
@@ -998,10 +1026,11 @@ def hard_negatives_topk(
     apply the same label mask at rescoring.
     """
     spark = emb.sparkSession
-    q_rows = (
-        queries.select("vec_id", "embedding", "label")
-        .filter(F.col("embedding").isNotNull())
-        .collect()
+    q_rows = _capped_collect(
+        queries.select("vec_id", "embedding", "label").filter(
+            F.col("embedding").isNotNull()
+        ),
+        "anchor side",
     )
     if not q_rows:
         return spark.createDataFrame(
@@ -1192,22 +1221,31 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(emb, centroids, books)
 
 
+# Truth rows per query = LEAST(k, base-1): brute-force top-k excludes
+# the query itself and cannot return more neighbors than the corpus
+# holds — the old nq*k spelling diverged for any corpus with <= k
+# non-null embeddings (a non-bug gate red). Remaining precondition:
+# base >= 2 (a 1-vector corpus yields an EMPTY truth set, n_queries 0
+# on the Spark side while nq counts the sample — nothing to recall).
 ORACLE_ANN_RECALL_REPORT = f"""
 WITH q AS (
   SELECT COUNT(*) AS nq FROM embeddings
   WHERE embedding IS NOT NULL
     AND CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
         % {_RECALL_SAMPLE_MOD} = 0
+),
+base AS (
+  SELECT COUNT(*) AS nb FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT 'ivf' AS algo, nq AS n_queries,
-       CAST(nq * {_RECALL_K} AS BIGINT) AS n_truth_pairs,
+       CAST(nq * LEAST({_RECALL_K}, nb - 1) AS BIGINT) AS n_truth_pairs,
        {_RECALL_K} AS k, {_RECALL_FLOORS['ivf']} AS recall_floor,
        TRUE AS recall_ok
-FROM q
+FROM q, base
 UNION ALL
-SELECT 'pq', nq, CAST(nq * {_RECALL_K} AS BIGINT), {_RECALL_K},
+SELECT 'pq', nq, CAST(nq * LEAST({_RECALL_K}, nb - 1) AS BIGINT), {_RECALL_K},
        {_RECALL_FLOORS['pq']}, TRUE
-FROM q
+FROM q, base
 ORDER BY algo
 """
 
