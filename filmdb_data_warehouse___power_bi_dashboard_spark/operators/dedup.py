@@ -1038,16 +1038,45 @@ def simhash_fingerprints(
     )
 
 
+def _materialized_simhash_fps(
+    spark: SparkSession, sf_dir: str, bits: int = 32, portable: bool = False
+) -> DataFrame:
+    """The (doc_id, simhash) fingerprint table as a corpus-versioned
+    artifact — same staged-pipeline move as the minhash signature
+    artifact: the per-token hash + 32-bit fold dominates both simhash
+    registry entries, and fingerprints are a pure function of the
+    corpus + hash family. 'v2' records the round-8 NULL-text guard."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        return simhash_fingerprints(docs, bits, portable=portable)
+
+    save, load = parquet_artifact_io(spark)
+    kind = f"simhashfp{bits}{'p' if portable else ''}"
+    return corpus_artifact(
+        sf_dir, "documents", kind, ("v2",), build, save, load, memo=False
+    )
+
+
 def simhash_pairs(
-    docs: DataFrame, bits: int = 32, max_hamming: int = 3, portable: bool = False
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    portable: bool = False,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
     pigeonhole banding: split the fingerprint into max_hamming+1
     chunks — any pair within the radius agrees on ≥1 chunk, so pairs
-    are only formed inside chunk-equality buckets (no all-pairs)."""
+    are only formed inside chunk-equality buckets (no all-pairs).
+
+    ``fps`` short-circuits the fingerprint build with the
+    corpus-versioned artifact from :func:`_materialized_simhash_fps`."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    fps = simhash_fingerprints(docs, bits, portable=portable)
+    if fps is None:
+        fps = simhash_fingerprints(docs, bits, portable=portable)
     mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(
         *[
@@ -1094,16 +1123,20 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin below puts the SAME pigeonhole pipeline under the driver
     hash gate."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, bits=32, max_hamming=3)
+    fps = _materialized_simhash_fps(spark, sf_dir, portable=False)
+    return simhash_pairs(docs, bits=32, max_hamming=3, fps=fps)
 
 
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole banding with the cross-engine md5 hash
     (:func:`h60`): fingerprints, chunk buckets, and the hamming
     filter are all replayed by the DuckDB oracle — full value-hash
-    evidence for the simhash pipeline shape."""
+    evidence for the simhash pipeline shape. The oracle recomputes
+    fingerprints from raw text, so a stale artifact goes red the same
+    round."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, bits=32, max_hamming=3, portable=True)
+    fps = _materialized_simhash_fps(spark, sf_dir, portable=True)
+    return simhash_pairs(docs, bits=32, max_hamming=3, portable=True, fps=fps)
 
 
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

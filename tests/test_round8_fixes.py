@@ -297,3 +297,17 @@ def test_minhash_sig_artifact_matches_pure_path(spark, sf_small):
         docs, num_hashes=32, bands=8, threshold=0.5, portable=True, sigs=sigs
     )
     assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
+
+
+def test_simhash_fp_artifact_matches_pure_path(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _materialized_simhash_fps,
+        simhash_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    pure = simhash_pairs(docs, bits=32, max_hamming=3, portable=True)
+    fps = _materialized_simhash_fps(spark, sf_small, portable=True)
+    cached = simhash_pairs(docs, bits=32, max_hamming=3, portable=True, fps=fps)
+    assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
