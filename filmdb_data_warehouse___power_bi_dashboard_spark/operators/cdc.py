@@ -40,8 +40,14 @@ def latest_state(
 
 def q_events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current state per user from the events changelog: the latest
-    event (ts desc, event_id desc tie-break) wins."""
-    events = read_table(spark, sf_dir, "events")
+    event (ts desc, event_id desc tie-break) wins.
+
+    Rows without an entity key carry no state: ``user_id IS NOT NULL``
+    on both engines (round-8 — a NULL in the BIGINT key column is also
+    unrepresentable under the driver comparator)."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     out = latest_state(
         events,
         keys=["user_id"],
@@ -65,6 +71,7 @@ WITH ranked AS (
                             ORDER BY ts DESC, event_id DESC) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS n_changes
   FROM events
+  WHERE user_id IS NOT NULL
 )
 SELECT user_id,
        event_id AS last_event_id,

@@ -1418,10 +1418,10 @@ def embedding_near_dup_lsh(
     bound the join, and AQE splits hot buckets. Dial n_bits up to
     shrink buckets (recall amplified back via n_tables).
     """
-    from .similarity import _sig_packed, _with_norm, _dot
+    from .similarity import _sig_packed, _with_norm, _dot, valid_vectors
 
     base = (
-        _with_norm(_spread(emb.filter(F.col("embedding").isNotNull())))
+        _with_norm(_spread(valid_vectors(emb)))
         .withColumn("__sig", _sig_packed(n_tables, n_bits, dim))
         .select("vec_id", "__v", "__norm", "__sig")
     )
@@ -1459,7 +1459,12 @@ def embedding_near_dup_lsh(
     vb = base.select(
         F.col("vec_id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb")
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    # try_divide: norms are > 0 by the valid-vector filter above, but
+    # a NULL (filtered) beats an ANSI DIVIDE_BY_ZERO abort if a caller
+    # bypasses it — matches DuckDB, whose float x/0 is NULL.
+    cos = F.try_divide(
+        _dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

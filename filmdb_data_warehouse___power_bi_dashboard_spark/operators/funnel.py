@@ -116,6 +116,12 @@ def gap_filled_daily(events: DataFrame) -> DataFrame:
     corpus's full [min_day, max_day] span — the completeness shape
     every retention/heatmap visual needs (a missing day must render
     as 0, not disappear).
+
+    Keyless (NULL user_id) events are dropped on both engines
+    (round-8): a NULL "user" is not an entity to gap-fill, and a NULL
+    in the BIGINT key column is unrepresentable under the driver
+    comparator. The day SPAN is still computed over all events so the
+    spine doesn't shift when a keyless event is the min/max.
     """
     from ..functions.spine import day_spine
 
@@ -123,9 +129,10 @@ def gap_filled_daily(events: DataFrame) -> DataFrame:
         F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
     )
     spine = day_spine(span)
-    users = events.select("user_id").distinct()
+    keyed = events.filter(F.col("user_id").isNotNull())
+    users = keyed.select("user_id").distinct()
     daily = (
-        events.select("user_id", F.to_date("ts").alias("day"))
+        keyed.select("user_id", F.to_date("ts").alias("day"))
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -152,10 +159,10 @@ WITH span AS (
 spine AS (
   SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
 ),
-users AS (SELECT DISTINCT user_id FROM events),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
 daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 )
 SELECT u.user_id, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
 FROM users u CROSS JOIN spine s

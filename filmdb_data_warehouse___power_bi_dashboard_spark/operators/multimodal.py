@@ -156,9 +156,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL twin of the byte-level features (length + md5 on the
     binary payload) — oracle-checked; proves the binary column path
-    (encode → binary ops) agrees across engines."""
+    (encode → binary ops) agrees across engines. NULL payloads (NULL
+    source text) carry no bytes to profile and would put a NULL in the
+    BIGINT byte_len column (driver-unrepresentable): filtered on both
+    engines (round-8), matching the frame/audio twins' guard."""
     docs = read_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
+    media = synthesize_media(docs).where(F.col("payload").isNotNull())
     return media.select(
         "media_id",
         "kind",
@@ -176,7 +179,7 @@ SELECT doc_id AS media_id,
        md5(text) AS payload_md5,
        CAST(doc_id % 640 + 1 AS INT) AS width,
        CAST(doc_id % 480 + 1 AS INT) AS height
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 

@@ -43,7 +43,11 @@ def dense_topk(emb: DataFrame, query_vec_id: int, k: int) -> DataFrame:
     )
     qv = _as_double("q_emb")
     bv = _as_double("embedding")
-    cos = _dot(qv, bv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(bv, bv)))
+    # try_divide (round-8): a zero-norm base vector threw ANSI
+    # DIVIDE_BY_ZERO here; NULL cosine ranks last on both engines
+    # (Spark DESC NULLS LAST == DuckDB, whose float x/0 is NULL), so
+    # degenerate vectors can never displace a real candidate.
+    cos = F.try_divide(_dot(qv, bv), F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(bv, bv)))
     return (
         emb.crossJoin(F.broadcast(q))
         .select(

@@ -78,6 +78,41 @@ def _fold_norms(a):
     return np.sqrt(acc)
 
 
+# ---------------------------------------------------------------------------
+# Valid-vector contract (round-8, found by the pathological-corpus
+# audit): cosine is undefined for zero-norm vectors, and the two
+# engines disagreed about them in every possible way — Spark ANSI
+# throws DIVIDE_BY_ZERO in JVM expressions, numpy kernels yield NaN
+# (which pandas→Arrow then turns into NULL), while DuckDB's float
+# division by zero yields NULL outright. The one consistent,
+# crash-free semantics is the one NULL embeddings already get:
+# zero-norm vectors are EXCLUDED from every cosine-ranking operator,
+# on both engines. sum-of-squares > 0 is the predicate (truth-
+# equivalent under any float summation order).
+# ---------------------------------------------------------------------------
+
+
+def _sq_norm_pos(col="embedding"):
+    v = _as_double(col)
+    return _dot(v, v) > 0
+
+
+def valid_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Rows usable in cosine space: non-NULL embedding with a nonzero
+    norm. The scan-level twin of the oracles' :func:`sql_valid`."""
+    return df.filter(F.col(col).isNotNull() & _sq_norm_pos(col))
+
+
+def sql_valid(alias: str = "") -> str:
+    """DuckDB spelling of the valid-vector predicate."""
+    p = f"{alias}." if alias else ""
+    return (
+        f"{p}embedding IS NOT NULL AND "
+        f"list_sum([CAST({p}embedding[i] AS DOUBLE) * CAST({p}embedding[i] AS DOUBLE)"
+        f" for i in range(1, len({p}embedding) + 1)]) > 0"
+    )
+
+
 # Hard cap on the driver-collected query/anchor side. 2^16 rows of
 # 64-dim f32 is ~17 MB on the driver and ~the broadcast-join default
 # budget when shipped to tasks — far above any training batch, far
@@ -110,11 +145,10 @@ def _collect_query_matrix(queries: DataFrame):
     empty. The smallness assumption is the SAME one a broadcast join
     makes — callers that can't bound the query side use the
     all-shuffle variants (lsh_topk); exceeding _QUERY_COLLECT_CAP
-    raises rather than OOM-ing the driver."""
+    raises rather than OOM-ing the driver. Zero-norm queries are
+    dropped per the valid-vector contract."""
     q_rows = _capped_collect(
-        queries.select("vec_id", "embedding").filter(
-            F.col("embedding").isNotNull()
-        ),
+        valid_vectors(queries.select("vec_id", "embedding")),
         "query side",
     )
     if not q_rows:
@@ -219,7 +253,7 @@ def bruteforce_topk(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
 
-    base = _spread(emb.filter(F.col("embedding").isNotNull())).select(
+    base = _spread(valid_vectors(emb)).select(
         "vec_id", "embedding"
     )
 
@@ -283,7 +317,7 @@ def sql_lsh_sig_cte(n_tables: int = 8, n_bits: int = 4, dim: int = 64) -> str:
     )
     return f"""
 planes(t, b, pv) AS (VALUES {rows}),
-lshbase AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+lshbase AS (SELECT vec_id, embedding FROM embeddings WHERE {sql_valid()}),
 lshsig AS (
   SELECT e.vec_id, p.t,
          CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pv[i]
@@ -422,7 +456,7 @@ def lsh_topk_broadcast(
     """
     packed = _sig_packed(n_tables, n_bits, dim)
     base = (
-        _with_norm(_spread(emb.filter(F.col("embedding").isNotNull())))
+        _with_norm(_spread(valid_vectors(emb)))
         .withColumn("__sig", packed)
         .select("vec_id", "embedding", "__sig")
     )
@@ -517,6 +551,8 @@ def lsh_topk(
     side is broadcastable, :func:`lsh_topk_broadcast` answers the
     same candidates with two fewer shuffles.
     """
+    emb = valid_vectors(emb)
+    queries = valid_vectors(queries)
     base_sig = lsh_signatures(_spread(emb), n_tables, n_bits)
     q_sig = lsh_signatures(queries, n_tables, n_bits).select(
         F.col("vec_id").alias("query_id"), "table", "signature"
@@ -534,7 +570,11 @@ def lsh_topk(
         F.col("__v").alias("__qv"),
         F.col("__norm").alias("__qnorm"),
     )
-    cos = _dot(F.col("__qv"), F.col("__v")) / (F.col("__qnorm") * F.col("__norm"))
+    # try_divide: norms are > 0 by the valid-vector filter, but a NULL
+    # beats an ANSI DIVIDE_BY_ZERO job abort if a caller bypasses it.
+    cos = F.try_divide(
+        _dot(F.col("__qv"), F.col("__v")), F.col("__qnorm") * F.col("__norm")
+    )
     scored = (
         cand.join(base, "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -555,7 +595,9 @@ def _argmax_dot(centroids: list[list[float]]):
     lesson), ties broken by the LOWEST index so assignment is
     deterministic. Returns (assign_col, dots_col)."""
     cmat = _literal_matrix(centroids)
-    dots = F.transform(cmat, lambda c: _dot(F.col("__v"), c) / F.col("__norm"))
+    dots = F.transform(
+        cmat, lambda c: F.try_divide(_dot(F.col("__v"), c), F.col("__norm"))
+    )
     best = _bind(dots, lambda d: F.array_position(d, F.array_max(d)).cast("int") - 1)
     return best, dots
 
@@ -581,11 +623,11 @@ def train_ivf_centroids(
     and raise n_clusters toward sqrt(N); the assignment pass stays a
     full scan either way.
     """
-    base = _with_norm(_spread(emb.filter(F.col("embedding").isNotNull()))).select(
+    base = _with_norm(_spread(valid_vectors(emb))).select(
         "vec_id", "__v", "__norm"
     )
     unit = base.select(
-        "vec_id", F.transform("__v", lambda x: x / F.col("__norm")).alias("__u")
+        "vec_id", F.transform("__v", lambda x: F.try_divide(x, F.col("__norm"))).alias("__u")
     )
     # Seed on a HASH order, not the lowest vec_ids: "first N ids" is a
     # biased sample when ids correlate with insertion time/source (the
@@ -597,7 +639,7 @@ def train_ivf_centroids(
     centroids = [list(r["__u"]) for r in seed_rows]
     for _ in range(iters):
         with_u = base.withColumn(
-            "__u", F.transform("__v", lambda x: x / F.col("__norm"))
+            "__u", F.transform("__v", lambda x: F.try_divide(x, F.col("__norm")))
         )
         assign, _dots = _argmax_dot(centroids)
         assigned = with_u.select(assign.alias("cluster"), "__u")
@@ -653,7 +695,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
-    base = _with_norm(_spread(emb.filter(F.col("embedding").isNotNull()))).select(
+    base = _with_norm(_spread(valid_vectors(emb))).select(
         "vec_id", "embedding", "__v", "__norm"
     )
     assign, _dots = _argmax_dot(centroids)
@@ -733,6 +775,7 @@ WITH scored AS (
   FROM embeddings b
   CROSS JOIN embeddings q
   WHERE b.vec_id <> q.vec_id
+    AND {sql_valid('b')} AND {sql_valid('q')}
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -766,7 +809,7 @@ def q_ann_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + two map-side-combined groupBys over (table, signature) —
     16-bit key domain, no skew possible."""
     emb = read_table(spark, sf_dir, "embeddings")
-    sig = lsh_signatures(emb.filter(F.col("embedding").isNotNull()), 8, 4)
+    sig = lsh_signatures(valid_vectors(emb), 8, 4)
     buckets = sig.groupBy("table", "signature").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -877,7 +920,7 @@ def train_pq_codebooks(
     corpus metadata; the full corpus is only ever ENCODED, one scan).
     Returns m x k_codes x dim/m floats."""
     rows = (
-        emb.filter(F.col("embedding").isNotNull())
+        valid_vectors(emb)
         .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample)
         .collect()
@@ -938,7 +981,7 @@ def pq_topk(
     # ADC LUT per query: partial dots of each query subvector against
     # every codebook entry — (m, k_codes, Q).
     lut = np.einsum("mkd,qmd->mkq", books, q_mat.reshape(len(q_ids), m, sub))
-    base = _spread(emb.filter(F.col("embedding").isNotNull())).select(
+    base = _spread(valid_vectors(emb)).select(
         "vec_id", "embedding"
     )
     take = rerank * k
@@ -1026,9 +1069,15 @@ def hard_negatives_topk(
     apply the same label mask at rescoring.
     """
     spark = emb.sparkSession
+    # Label masking needs a label: NULL-label rows are excluded from
+    # BOTH sides (the oracle's ``b.label <> q.label`` NULL semantics
+    # excluded them on the SQL side already — and an unlabeled anchor
+    # has no "different label" to mine against).
     q_rows = _capped_collect(
-        queries.select("vec_id", "embedding", "label").filter(
-            F.col("embedding").isNotNull()
+        valid_vectors(
+            queries.select("vec_id", "embedding", "label").filter(
+                F.col("label").isNotNull()
+            )
         ),
         "anchor side",
     )
@@ -1043,9 +1092,9 @@ def hard_negatives_topk(
     ).astype(np.float64)
     q_norms = _fold_norms(q_mat)
 
-    base = _spread(emb.filter(F.col("embedding").isNotNull())).select(
-        "vec_id", "label", "embedding"
-    )
+    base = _spread(
+        valid_vectors(emb).filter(F.col("label").isNotNull())
+    ).select("vec_id", "label", "embedding")
 
     def score_block(it):
         for pdf in it:
@@ -1103,8 +1152,9 @@ WITH scored AS (
          {_SQL_COS_QB} AS cosine
   FROM embeddings b
   CROSS JOIN (SELECT * FROM embeddings
-              WHERE label = {_HARDNEG_ANCHOR_LABEL}) q
+              WHERE label = {_HARDNEG_ANCHOR_LABEL} AND {sql_valid()}) q
   WHERE b.label <> q.label
+    AND b.label IS NOT NULL AND {sql_valid('b')}
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -1178,9 +1228,8 @@ def ann_recall_report(
     from ..runtime import track_persist
     from .dedup import h60
 
-    q = emb.filter(
-        F.col("embedding").isNotNull()
-        & (F.pmod(h60(F.col("vec_id").cast("string")), F.lit(_RECALL_SAMPLE_MOD)) == 0)
+    q = valid_vectors(emb).filter(
+        F.pmod(h60(F.col("vec_id").cast("string")), F.lit(_RECALL_SAMPLE_MOD)) == 0
     )
     truth = track_persist(
         bruteforce_topk(emb, q, k=k).select("query_id", "vec_id").persist()
@@ -1230,12 +1279,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_RECALL_REPORT = f"""
 WITH q AS (
   SELECT COUNT(*) AS nq FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE {sql_valid()}
     AND CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
         % {_RECALL_SAMPLE_MOD} = 0
 ),
 base AS (
-  SELECT COUNT(*) AS nb FROM embeddings WHERE embedding IS NOT NULL
+  SELECT COUNT(*) AS nb FROM embeddings WHERE {sql_valid()}
 )
 SELECT 'ivf' AS algo, nq AS n_queries,
        CAST(nq * LEAST({_RECALL_K}, nb - 1) AS BIGINT) AS n_truth_pairs,

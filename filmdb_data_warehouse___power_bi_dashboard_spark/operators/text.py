@@ -112,7 +112,10 @@ def text_profile(docs: DataFrame) -> DataFrame:
         n_chars.alias("n_chars"),
         round_half_up(mean_wlen, 4).alias("mean_word_len"),
         round_half_up(stop_ratio, 4).alias("stopword_ratio"),
-        round_half_up(punct_ratio, 4).alias("punct_ratio"),
+        # Empty text: 0 punct chars over 0 chars is defined as ratio 0
+        # (try_divide yields NULL, which the driver comparator cannot
+        # represent in a double column — round-8 pathological audit).
+        F.coalesce(round_half_up(punct_ratio, 4), F.lit(0.0)).alias("punct_ratio"),
         round_half_up(quality, 4).alias("quality_score"),
     )
 
@@ -181,7 +184,12 @@ FROM scored ORDER BY doc_id
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # NULL-text docs have no profile (every count would be NULL — and
+    # a NULL in an int output column is unrepresentable under the
+    # driver comparator); dropped on both engines (round-8).
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return text_profile(docs).orderBy("doc_id")
 
 
@@ -196,9 +204,9 @@ _P_STOP = sql_round_half_up(
     " / len(string_split(text,' '))",
     4,
 )
-_P_PUNCT = sql_round_half_up(
+_P_PUNCT = "COALESCE(" + sql_round_half_up(
     "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)", 4
-)
+) + ", 0.0)"
 _P_QUALITY = sql_round_half_up(
     "(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 20.0, 1.0)"
     " + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
@@ -217,7 +225,7 @@ SELECT doc_id,
        {_P_STOP} AS stopword_ratio,
        {_P_PUNCT} AS punct_ratio,
        {_P_QUALITY} AS quality_score
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -460,7 +468,10 @@ def readability(docs: DataFrame) -> DataFrame:
 
 
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return readability(read_table(spark, sf_dir, "documents"))
+    # NULL-text guard: same reasoning as q_text_profile (round-8).
+    return readability(
+        read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
 
 
 ORACLE_READABILITY = f"""
@@ -469,7 +480,7 @@ WITH c AS (
          len(string_split(text, ' ')) AS n_words,
          GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS n_sentences,
          len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS n_syllables
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, n_words, n_sentences, n_syllables,
        {sql_round_half_up(

@@ -192,8 +192,14 @@ def quantize_report(emb: DataFrame) -> DataFrame:
 
 
 def q_embedding_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label is the report's group key: NULL-label (unlabeled) rows are
+    # out of scope — and a NULL in the BIGINT label column is
+    # unrepresentable under the driver comparator (pandas NaN-floats
+    # the whole column). NULL embeddings quantize nothing either.
     emb = read_table(spark, sf_dir, "embeddings")
-    return quantize_report(emb)
+    return quantize_report(
+        emb.filter(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+    )
 
 
 ORACLE_QUANTIZE = f"""
@@ -202,6 +208,7 @@ WITH v AS (
          embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
   FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
 ), scored AS (
   SELECT label,
          amax,
@@ -258,6 +265,10 @@ def semantic_dedup_summary(
     """
     from .dedup import dot_product
 
+    # The cluster key is the whole point of SemDeDup: a row without
+    # one can't be compared to anything (the join key is NULL) and
+    # would emit a NULL in the BIGINT label output (round-8).
+    emb = emb.filter(F.col("label").isNotNull())
     # Norms are per-VECTOR, so compute them once on the base frame
     # instead of twice per pair inside the join (3x fewer HOF folds;
     # sqrt is deterministic, so the pairwise cosine is bit-identical
@@ -277,9 +288,18 @@ def semantic_dedup_summary(
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
+    # try_divide (round-8, pathological-corpus audit): a zero-norm
+    # vector made this join predicate throw DIVIDE_BY_ZERO under ANSI,
+    # killing the whole job for one degenerate row. NULL cosine ->
+    # pair filtered -> the zero vector is simply never dropped, which
+    # matches DuckDB, whose float x/0 is NULL (so its `>= t` is never
+    # satisfied either). NULL-embedding rows behave identically (NULL
+    # dot). Both stay counted in n_vectors.
     cos6 = round_half_up(
-        dot_product(F.col("a_emb"), F.col("b_emb"))
-        / (F.col("a_nrm") * F.col("b_nrm")),
+        F.try_divide(
+            dot_product(F.col("a_emb"), F.col("b_emb")),
+            F.col("a_nrm") * F.col("b_nrm"),
+        ),
         6,
     )
     dropped = (
@@ -323,7 +343,8 @@ WITH dropped AS (
   WHERE {_SQL_COS} >= {_SEMDEDUP_THRESHOLD}
   GROUP BY 1, 2
 ),
-per_label AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1),
+per_label AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings
+              WHERE label IS NOT NULL GROUP BY 1),
 d AS (SELECT label, COUNT(*) AS n_dropped FROM dropped GROUP BY 1)
 SELECT p.label, p.n_vectors,
        CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,

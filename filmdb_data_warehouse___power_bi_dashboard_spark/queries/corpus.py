@@ -1141,12 +1141,22 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q23 = """
+# json_valid guard (round-8, pathological-corpus audit): DuckDB's
+# json_extract_string HARD-ERRORS on malformed JSON while Spark's
+# get_json_object returns NULL — one corrupt sidecar row killed the
+# whole oracle. The CASE makes a malformed props yield NULL k on both
+# engines; NULL props already does.
+_SQL_K = (
+    "TRY_CAST(CASE WHEN json_valid(props)"
+    " THEN json_extract_string(props, '$.k') END AS BIGINT)"
+)
+
+ORACLE_Q23 = f"""
 SELECT event_type,
        COUNT(*) AS nb,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nb_k,
-       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM({_SQL_K}) AS BIGINT) AS sum_k,
+       COUNT({_SQL_K}) AS nb_k,
+       MAX({_SQL_K}) AS max_k
 FROM events
 GROUP BY 1 ORDER BY 1
 """

@@ -142,7 +142,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = _GAP_MINUTES) -> Data
 
     Windows are PARTITIONED BY user_id — parallel across users, never
     a global sort. Output: one row per session.
+
+    Keyless (NULL user_id) events are dropped: sessions belong to an
+    entity, and a NULL in the BIGINT key column is unrepresentable
+    under the driver comparator (round-8; the oracle mirrors).
     """
+    events = events.filter(F.col("user_id").isNotNull())
     gap = float(gap_minutes * 60)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Fractional-second epochs: gap tests must see microseconds, or
@@ -198,7 +203,10 @@ def sessionize_builtin(events: DataFrame, gap_minutes: int = _GAP_MINUTES) -> Da
     timestamps make an exact-boundary gap measure-zero (none in the
     fixtures, so the three spellings agree row-for-row; asserted in
     pytest and against the oracle).
+
+    Same keyless-event guard as :func:`sessionize_batch`.
     """
+    events = events.filter(F.col("user_id").isNotNull())
     sw = F.session_window("ts", f"{gap_minutes} minutes")
     return (
         events.groupBy("user_id", sw.alias("sw"))
@@ -315,8 +323,11 @@ def sessionize_stream(
     spark: SparkSession, sf_dir: str, gap_minutes: int = _GAP_MINUTES
 ) -> DataFrame:
     """Custom stateful streaming sessionization via
-    applyInPandasWithState, driven to completion with availableNow."""
-    events = _read_events_stream(spark, sf_dir)
+    applyInPandasWithState, driven to completion with availableNow.
+    Same keyless-event guard as the two batch spellings."""
+    events = _read_events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
     sessions = (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -502,7 +513,7 @@ WITH flagged AS (
          CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_MINUTES * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 sessions AS (
   SELECT user_id, ts, value,
@@ -552,7 +563,7 @@ WITH flagged AS (
          CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_MINUTES * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 sessions AS (
   SELECT user_id, ts, value,
@@ -925,7 +936,11 @@ def stream_left_interval_join(
     )
     purchases = (
         _read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
+        # A keyless purchase can never be attributed AND would emit a
+        # NULL in the BIGINT user_id output (driver-unrepresentable);
+        # drop it on both engines (round-8). The inner-join variant
+        # drops such rows implicitly (NULL never equi-joins).
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
@@ -1014,6 +1029,7 @@ SELECT p.event_id AS purchase_id,
        p.ts AS purchase_ts,
        CAST(p.value AS DOUBLE) AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL
         AND ts <= (SELECT LEAST(
                      MAX(ts) FILTER (WHERE event_type = 'click'),
                      MAX(ts) FILTER (WHERE event_type = 'purchase'))
