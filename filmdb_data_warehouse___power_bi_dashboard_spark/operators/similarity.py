@@ -695,6 +695,10 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
+    # Valid-vector contract on BOTH sides: the probe-set build must see
+    # the same query set the collected matrix does, or the scoring
+    # kernel's qindex lookup hits an unknown query_id.
+    queries = valid_vectors(queries)
     base = _with_norm(_spread(valid_vectors(emb))).select(
         "vec_id", "embedding", "__v", "__norm"
     )

@@ -166,3 +166,20 @@ def test_oracle_parity_on_pathological_corpus(spark, patho_sf, patho_duck, name)
     df = _REG[name](spark, patho_sf)
     ok, msg = compare(df, patho_duck, _ORACLES[name])
     assert ok, f"{name} diverged on the pathological corpus: {msg}"
+
+
+# Rows-only pipeline entries (xxhash64 fast paths, trained IVF/PQ, the
+# mapInPandas feature path) plus the recall report: no oracle to
+# compare on this corpus, but they must RUN — the round-8 audit's
+# crash class (ANSI DIVIDE_BY_ZERO on zero-norm vectors, numpy astype
+# on NULL labels) would otherwise stay untested on degenerate data.
+_ROWS_ONLY = sorted(
+    (set(_REG) - set(_ORACLES) | {"ann_recall_report"})
+    & {n for n in _REG if n.startswith(_PREFIXES)}
+)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs_on_pathological_corpus(spark, patho_sf, name):
+    rows = _REG[name](spark, patho_sf).collect()
+    assert rows is not None  # ran to completion; emptiness is legal
