@@ -183,3 +183,73 @@ _ROWS_ONLY = sorted(
 def test_rows_only_runs_on_pathological_corpus(spark, patho_sf, name):
     rows = _REG[name](spark, patho_sf).collect()
     assert rows is not None  # ran to completion; emptiness is legal
+
+
+# ---------------------------------------------------------------------------
+# Unicode corpus: the TEXT-pipeline families must agree across engines
+# on multibyte text too (Java regex vs RE2, char-vs-byte length, md5
+# over UTF-8, case mapping). The multimodal family is excluded BY
+# CONTRACT: its oracles replay bytes as ascii(char), valid only on the
+# documented pure-ASCII corpus invariant.
+# ---------------------------------------------------------------------------
+
+_TEXT_PREFIXES = ("dedup_", "text_", "corpus_", "pii_")
+_UNI_NAMES = sorted(
+    n
+    for n in _REG
+    if n in _ORACLES
+    and n.startswith(_TEXT_PREFIXES)
+    and not n.startswith(("dedup_embedding", "corpus_split_summary"))
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory, sf_small) -> str:
+    tmp = str(tmp_path_factory.mktemp("unicode_sf"))
+    con = duckdb.connect()
+    docs_src = os.path.join(sf_small, "documents.parquet")
+    con.execute(
+        f"""
+        COPY (
+          WITH real AS (
+            SELECT * FROM read_parquet('{docs_src}') ORDER BY doc_id LIMIT 25
+          ),
+          uni(doc_id, text, lang, source, n_chars) AS (VALUES
+            (25, 'café déjà vu — naïve façade über straße', 'fr', 'web', 39),
+            (26, 'le café est déjà prêt et la façade est naïve aussi', 'fr', 'web', 50),
+            (27, '这是 一段 中文 文本 用于 测试 分词 行为', 'zh', 'web', 23),
+            (28, 'emoji 🎬 in 🎥 the 🍿 corpus 🎬 again 🎬 and 🎥 again', 'en', 'web', 48),
+            (29, 'combining é acute vs precomposed é acute forms here', 'en', 'web', 52),
+            (30, 'nbsp separated tokens are one whitespace token', 'en', 'web', 46),
+            (31, 'ΚΑΛΗΜΈΡΑ κόσμε ΚΑΛΗΜΈΡΑ κόσμε mixed ΕΛΛΗΝΙΚΆ case', 'el', 'web', 50),
+            (32, 'café déjà vu — naïve façade über straße', 'fr', 'src1', 39)
+          )
+          SELECT * FROM real UNION ALL SELECT * FROM uni ORDER BY doc_id
+        ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        os.symlink(
+            os.path.join(sf_small, f"{t}.parquet"), os.path.join(tmp, f"{t}.parquet")
+        )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_sf):
+    from .oracle_harness import duck_connection
+
+    con = duck_connection(unicode_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _UNI_NAMES)
+def test_oracle_parity_on_unicode_corpus(spark, unicode_sf, unicode_duck, name):
+    df = _REG[name](spark, unicode_sf)
+    ok, msg = compare(df, unicode_duck, _ORACLES[name])
+    assert ok, f"{name} diverged on the unicode corpus: {msg}"
