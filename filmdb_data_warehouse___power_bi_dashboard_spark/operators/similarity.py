@@ -161,10 +161,13 @@ def _collect_query_matrix(queries: DataFrame):
 
 
 def _nan_first_desc_key(c):
-    """Sort key matching Spark/DuckDB DESC semantics where NaN ranks
-    FIRST (NaN > +Inf in both engines' total order); numpy/pandas
-    sort NaN last, which would prune block-locally a row the final
-    window ranks at the top (zero-norm vectors cosine to NaN)."""
+    """Sort key treating NaN as +Inf (ranks FIRST under DESC — Spark's
+    NaN total order); numpy/pandas sort NaN last, which would prune
+    block-locally a row the final window ranks at the top. Since the
+    round-8 valid-vector contract NaN can no longer arise from
+    zero-norm inputs (they are excluded before every kernel); the key
+    stays as belt-and-braces so a bypassed filter degrades to a
+    deterministic order instead of a silent block-local drop."""
     return np.where(np.isnan(c), np.inf, c)
 
 

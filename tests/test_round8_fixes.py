@@ -299,6 +299,21 @@ def test_minhash_sig_artifact_matches_pure_path(spark, sf_small):
     assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
 
 
+def test_artifact_backed_dedup_plans_read_the_artifact(spark, sf_small):
+    """The registry entries must actually consume the cached parquet:
+    a plan that silently fell back to the raw-text recompute would
+    still be CORRECT (same values), so only a plan assertion catches
+    the caching regressing away."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        q_dedup_minhash_portable,
+        q_dedup_simhash_portable,
+    )
+
+    for q in (q_dedup_minhash_portable, q_dedup_simhash_portable):
+        plan = q(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        assert "corpus_artifacts" in plan, f"{q.__name__} does not scan the artifact store"
+
+
 def test_simhash_fp_artifact_matches_pure_path(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
         _materialized_simhash_fps,
