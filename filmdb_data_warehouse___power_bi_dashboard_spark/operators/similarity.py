@@ -667,6 +667,65 @@ def train_ivf_centroids(
     return centroids
 
 
+# Above this many centroids the literal-matrix assignment expression
+# (k·dim inline double literals) stops being the right plan — codegen
+# method/constant budgets overflow and plan build time grows linearly
+# in k. ivf_topk switches to the Arrow-kernel assignment path, which
+# ships the centroid matrix to tasks the same way the scoring kernels
+# ship the query matrix. 128×64 ≈ 8k literals is comfortably inside
+# budget (the LSH plane matrix of the same size plans fine).
+_LITERAL_K_MAX = 128
+
+
+def _assign_clusters_kernel(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, embedding, cluster) via mapInPandas: strict-fold
+    cosine-vs-centroid scores (bit-identical to the JVM
+    ``_argmax_dot`` expression — _fold_gram) and numpy first-max
+    argmax (the same tie rule as ``array_position``)."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            scores = _fold_gram(mat, cmat) / _fold_norms(mat)[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cluster": np.argmax(scores, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cluster int"
+    )
+
+
+def _probe_sets_driver(queries: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """(query_id, cluster) probe pairs computed driver-side from the
+    collected (driver-bounded) query matrix — queries are a training
+    batch by contract, so the k·nprobe work is trivial there. Tie
+    order matches the JVM spelling exactly: score desc, then cluster
+    index desc (reverse of ascending (s, c) struct sort)."""
+    q_ids, q_mat, q_norms = _collect_query_matrix(queries)
+    spark = queries.sparkSession
+    if q_ids is None:
+        return spark.createDataFrame([], "query_id long, cluster int")
+    cmat = np.asarray(centroids, dtype=np.float64)
+    scores = _fold_gram(q_mat, cmat) / q_norms[:, None]
+    rows = []
+    for qi in range(len(q_ids)):
+        order = sorted(
+            range(len(centroids)), key=lambda c: (scores[qi, c], c), reverse=True
+        )[:nprobe]
+        rows.extend((int(q_ids[qi]), int(c)) for c in order)
+    return spark.createDataFrame(rows, "query_id long, cluster int")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -694,7 +753,10 @@ def ivf_topk(
     n_clusters of the corpus. The candidate join is an equi-join on
     cluster_id with the probe side exploded to (query_id, cluster) —
     no all-pairs structure anywhere; AQE splits a skewed (hot) list.
-    Raise n_clusters toward sqrt(N) as N grows so lists stay bounded.
+    Raise n_clusters toward sqrt(N) as N grows so lists stay bounded —
+    past ``_LITERAL_K_MAX`` centroids, assignment automatically moves
+    from the literal-matrix codegen expression to the Arrow kernel
+    path (same scores, same tie rules; pytest-asserted identical).
     """
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
@@ -702,36 +764,48 @@ def ivf_topk(
     # the same query set the collected matrix does, or the scoring
     # kernel's qindex lookup hits an unknown query_id.
     queries = valid_vectors(queries)
-    base = _with_norm(_spread(valid_vectors(emb))).select(
-        "vec_id", "embedding", "__v", "__norm"
-    )
-    assign, _dots = _argmax_dot(centroids)
-    base_assigned = base.withColumn("cluster", assign).select(
-        "vec_id", "embedding", "cluster"
-    )
-    _assign_q, dots_q = _argmax_dot(centroids)
-    probe_sets = (
-        _with_norm(queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            _bind(
-                dots_q,
-                lambda d: F.slice(
-                    F.reverse(F.array_sort(F.zip_with(
-                        d,
-                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                        lambda s, i: F.struct(s.alias("s"), i.alias("c")),
-                    ))),
-                    1,
-                    nprobe,
-                ),
-            ).alias("__probes"),
+    if len(centroids) <= _LITERAL_K_MAX:
+        base = _with_norm(_spread(valid_vectors(emb))).select(
+            "vec_id", "embedding", "__v", "__norm"
         )
-        .select(
-            "query_id",
-            F.explode(F.transform("__probes", lambda p: p["c"])).alias("cluster"),
+        assign, _dots = _argmax_dot(centroids)
+        base_assigned = base.withColumn("cluster", assign).select(
+            "vec_id", "embedding", "cluster"
         )
-    )
+        _assign_q, dots_q = _argmax_dot(centroids)
+        probe_sets = (
+            _with_norm(queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                _bind(
+                    dots_q,
+                    lambda d: F.slice(
+                        F.reverse(F.array_sort(F.zip_with(
+                            d,
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
+                        ))),
+                        1,
+                        nprobe,
+                    ),
+                ).alias("__probes"),
+            )
+            .select(
+                "query_id",
+                F.explode(F.transform("__probes", lambda p: p["c"])).alias("cluster"),
+            )
+        )
+    else:
+        # Large-k path (sqrt(N) centroids at corpus scale): the literal
+        # centroid matrix would put k·dim literals into the plan and
+        # overflow codegen, so assignment runs in an Arrow kernel with
+        # the matrix shipped like a query matrix (same _fold_gram
+        # strict fold, same first-max tie rule as array_position — the
+        # two branches are asserted row-identical in pytest).
+        base_assigned = _assign_clusters_kernel(
+            _spread(valid_vectors(emb)), centroids
+        )
+        probe_sets = _probe_sets_driver(queries, centroids, nprobe)
     pairs = base_assigned.join(F.broadcast(probe_sets), "cluster")
     if exclude_self:
         pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))

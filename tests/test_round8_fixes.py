@@ -299,6 +299,22 @@ def test_minhash_sig_artifact_matches_pure_path(spark, sf_small):
     assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
 
 
+def test_ivf_kernel_assignment_matches_literal_path(spark, sf_small, monkeypatch):
+    """The large-k Arrow-kernel assignment branch (plan-literal budget
+    overflow guard) must be row-identical to the literal-matrix
+    expression branch on the same centroids."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(emb, sf_small, n_clusters=16, iters=1)
+    literal = S.ivf_topk(emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent).collect()
+    monkeypatch.setattr(S, "_LITERAL_K_MAX", 1)  # force the kernel branch
+    kernel = S.ivf_topk(emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent).collect()
+    assert sorted(map(tuple, literal)) == sorted(map(tuple, kernel))
+    assert len(literal) > 0
+
+
 def test_artifact_backed_dedup_plans_read_the_artifact(spark, sf_small):
     """The registry entries must actually consume the cached parquet:
     a plan that silently fell back to the raw-text recompute would
