@@ -641,11 +641,17 @@ def train_ivf_centroids(
     )
     centroids = [list(r["__u"]) for r in seed_rows]
     for _ in range(iters):
-        with_u = base.withColumn(
-            "__u", F.transform("__v", lambda x: F.try_divide(x, F.col("__norm")))
-        )
-        assign, _dots = _argmax_dot(centroids)
-        assigned = with_u.select(assign.alias("cluster"), "__u")
+        if n_clusters <= _LITERAL_K_MAX:
+            with_u = base.withColumn(
+                "__u", F.transform("__v", lambda x: F.try_divide(x, F.col("__norm")))
+            )
+            assign, _dots = _argmax_dot(centroids)
+            assigned = with_u.select(assign.alias("cluster"), "__u")
+        else:
+            # Large-k Lloyd: same plan-literal budget concern as
+            # ivf_topk's assignment — run the argmax in an Arrow
+            # kernel (see _LITERAL_K_MAX).
+            assigned = _assign_units_kernel(base, centroids)
         sums = (
             assigned.select("cluster", F.posexplode("__u").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -675,6 +681,32 @@ def train_ivf_centroids(
 # ship the query matrix. 128×64 ≈ 8k literals is comfortably inside
 # budget (the LSH plane matrix of the same size plans fine).
 _LITERAL_K_MAX = 128
+
+
+def _assign_units_kernel(base: DataFrame, centroids) -> DataFrame:
+    """(cluster, __u) for Lloyd training at large k: strict-fold
+    cosine argmax + unit normalization in one Arrow kernel over the
+    materialized ``__v`` column (same scores and tie rule as the
+    literal ``_argmax_dot`` branch — divisions are the elementwise
+    IEEE twins of the ``try_divide`` spelling)."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def fn(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            norms = _fold_norms(mat)
+            scores = _fold_gram(mat, cmat) / norms[:, None]
+            u = mat / norms[:, None]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.argmax(scores, axis=1).astype(np.int32),
+                    "__u": list(u),
+                }
+            )
+
+    return base.select("__v").mapInPandas(fn, "cluster int, __u array<double>")
 
 
 def _assign_clusters_kernel(emb: DataFrame, centroids) -> DataFrame:

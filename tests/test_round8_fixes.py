@@ -315,6 +315,21 @@ def test_ivf_kernel_assignment_matches_literal_path(spark, sf_small, monkeypatch
     assert len(literal) > 0
 
 
+def test_lloyd_kernel_branch_matches_literal_branch(spark, sf_small, monkeypatch):
+    import numpy as np
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    literal = S.train_ivf_centroids(emb, n_clusters=8, iters=2)
+    monkeypatch.setattr(S, "_LITERAL_K_MAX", 1)
+    kernel = S.train_ivf_centroids(emb, n_clusters=8, iters=2)
+    # identical assignments; the per-cluster mean SUM may reassociate
+    # across partitions, so compare to float tolerance, not bits
+    assert np.allclose(np.asarray(literal), np.asarray(kernel), atol=1e-9)
+
+
 def test_artifact_backed_dedup_plans_read_the_artifact(spark, sf_small):
     """The registry entries must actually consume the cached parquet:
     a plan that silently fell back to the raw-text recompute would
