@@ -130,7 +130,9 @@ def _write_pathological(tmp: str, src_sf: str) -> None:
             (121, TIMESTAMP '2024-01-01 05:00:00', 1, 'click', 1.5, '{{oops'),
             (122, TIMESTAMP '2024-01-01 06:00:00', 2, NULL, 2.5, '{{"k": 1}}'),
             (123, TIMESTAMP '2024-01-01 07:00:00', NULL, 'purchase', 3.5, '{{"k": 2}}'),
-            (124, TIMESTAMP '2024-01-01 08:00:00', 3, 'purchase', 0.0, '{{"j": 9}}')
+            (124, TIMESTAMP '2024-01-01 08:00:00', 3, 'purchase', 0.0, '{{"j": 9}}'),
+            (125, TIMESTAMP '1970-01-01 00:00:00.000001', 4, 'view', 0.1, NULL),
+            (126, TIMESTAMP '2024-01-31 23:59:59.999999', 5, 'click', 0.2, NULL)
           )
           SELECT * FROM real UNION ALL SELECT * FROM degen ORDER BY event_id
         ) TO '{tmp}/events.parquet' (FORMAT PARQUET)
