@@ -133,8 +133,10 @@ def _capped_collect(rows_df: DataFrame, what: str):
             f"{what} exceeds the driver-collect cap "
             f"({_QUERY_COLLECT_CAP} rows): this kernel ships the "
             "query side to every task like a broadcast join. For a "
-            "corpus-sized query side use the shuffle/bucketed paths "
-            "(lsh_topk / ivf_topk candidate generation) instead."
+            "corpus-sized query side use the all-shuffle paths — "
+            "lsh_topk (bucket-join candidates) or ivf_topk_shuffle "
+            "(distributed probe sets + shuffle-side scoring) — which "
+            "never collect the query side."
         )
     return rows
 
@@ -855,6 +857,100 @@ def ivf_topk(
     return _rank_topk(cand, k)
 
 
+def _probe_sets_kernel(queries: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """(query_id, cluster) probe pairs computed DISTRIBUTED — the
+    corpus-sized-query-side twin of :func:`_probe_sets_driver`: an
+    Arrow kernel over the query frame with the centroid matrix shipped
+    to tasks (never collected to the driver). Same strict-fold scores
+    and the same tie order (score desc, then cluster index desc —
+    reproduced vectorized by stable-argsorting the column-REVERSED
+    score matrix, so equal scores break toward the higher original
+    index)."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    npb = min(nprobe, len(centroids))
+    ncl = len(centroids)
+
+    def fn(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            scores = _fold_gram(mat, cmat) / _fold_norms(mat)[:, None]
+            rev = scores[:, ::-1]
+            order = np.argsort(-rev, axis=1, kind="stable")[:, :npb]
+            clusters = (ncl - 1 - order).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, npb),
+                    "cluster": clusters.ravel(),
+                }
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        fn, "query_id long, cluster int"
+    )
+
+
+def ivf_topk_shuffle(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat top-k with NO driver-side collect of the query side —
+    the variant :func:`ivf_topk` (whose scoring kernel ships a
+    driver-bounded query matrix to every task, capped at
+    ``_QUERY_COLLECT_CAP`` rows) points to when the query side is
+    corpus-sized. Identical candidate semantics and identical scores
+    (pytest-asserted row-equal to ivf_topk on both the literal-k and
+    large-k centroid regimes):
+
+    - base assignment: the Arrow kernel (works at any k, one scan);
+    - probe sets: :func:`_probe_sets_kernel` — distributed, matrix
+      shipped to tasks, never collected;
+    - scoring: candidates equi-join the query embeddings on query_id
+      and cosine runs JVM-side (the strict ``aggregate(zip_with)``
+      fold — bit-identical to the kernels), so both joins are plain
+      shuffle equi-joins that scale with partitioning, not with
+      driver memory.
+
+    Only the kxdim centroid list touches the driver. Shuffle volume:
+    one base scan shuffled on cluster, probed-list candidates
+    shuffled on query_id — no all-pairs structure; AQE splits a hot
+    list/query.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
+    emb_v = valid_vectors(emb)
+    queries = valid_vectors(queries)
+    base_assigned = _assign_clusters_kernel(_spread(emb_v), centroids)
+    probe_sets = _probe_sets_kernel(queries, centroids, nprobe)
+    pairs = base_assigned.join(probe_sets, "cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    q = _with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    cos = F.try_divide(
+        _dot(F.col("__qv"), F.col("__v")), F.col("__qnorm") * F.col("__norm")
+    )
+    scored = (
+        _with_norm(pairs, "embedding")
+        .join(q, "query_id")
+        .select("query_id", "vec_id", round_half_up(cos, 6).alias("cosine"))
+    )
+    return _rank_topk(scored, k)
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -864,6 +960,14 @@ def ivf_topk(
 # where an index genuinely pays. A handful-of-queries workload would
 # make ANY index look slower than brute force (the signature pass
 # alone costs n_tables*n_bits dots per base row vs Q dots for brute).
+#
+# Boundedness: the self-KNN entries that route through a collect-side
+# kernel (ann_topk_bruteforce / ann_topk_ivf / ann_topk_pq /
+# embedding_hard_negatives) are bounded to _QUERY_COLLECT_CAP (65536)
+# query vectors — past that the cap raises with a pointer to the
+# paths that never collect the query side: lsh_topk (bucket-join
+# candidates) and ivf_topk_shuffle (distributed probe sets +
+# shuffle-side scoring, pytest-asserted row-equal to ivf_topk).
 
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,11 +1416,60 @@ _RECALL_K = 10
 _RECALL_SAMPLE_MOD = 4  # h60(vec_id) % 4 == 0 -> ~25% of vectors
 
 
+def _recall_query_sample(emb: DataFrame) -> DataFrame:
+    """The deterministic cross-engine hash sample of query vectors the
+    recall reports evaluate on (``h60(vec_id) % 4 == 0`` over valid
+    vectors) — shared by the truth build, both recall entries, and the
+    oracles' ``n_queries`` predicate."""
+    from .dedup import h60
+
+    return valid_vectors(emb).filter(
+        F.pmod(h60(F.col("vec_id").cast("string")), F.lit(_RECALL_SAMPLE_MOD)) == 0
+    )
+
+
+def ann_truth_topk(emb: DataFrame, k: int = _RECALL_K) -> DataFrame:
+    """Exact brute-force ground-truth (query_id, vec_id) top-k pairs
+    for the hash-sampled recall query batch — a pure function of the
+    corpus (deterministic sample, deterministic exact ranking), which
+    is why :func:`_load_or_build_ann_truth` may cache it per corpus
+    version."""
+    return bruteforce_topk(emb, _recall_query_sample(emb), k=k).select(
+        "query_id", "vec_id"
+    )
+
+
+def _load_or_build_ann_truth(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, k: int = _RECALL_K
+) -> DataFrame:
+    """The ground-truth pair set as a corpus-versioned parquet
+    artifact (runtime.corpus_artifact — the same staleness story as
+    the minhash signatures: keyed by the source parquet's
+    mtime_ns+size, and the replica oracle recomputes counts from raw
+    predicates so a stale-wrong record goes red). Caching it removes
+    the bench's single most expensive recomputation — the exact
+    brute-force pass inside every ann_recall_report run."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    save, load = parquet_artifact_io(spark)
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "anntruth",
+        (k, _RECALL_SAMPLE_MOD, "v1"),
+        lambda: ann_truth_topk(emb, k=k),
+        save,
+        load,
+        memo=False,  # the artifact is a session-bound DataFrame
+    )
+
+
 def ann_recall_report(
     emb: DataFrame,
     ivf_centroids: list[list[float]],
     pq_codebooks: list[list[list[float]]],
     k: int = _RECALL_K,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """One row per approximate index (ivf, pq): query count, ground-
     truth pair count, and whether recall@k against the exact
@@ -1339,14 +1492,11 @@ def ann_recall_report(
     training-batch contract at 100 TB.
     """
     from ..runtime import track_persist
-    from .dedup import h60
 
-    q = valid_vectors(emb).filter(
-        F.pmod(h60(F.col("vec_id").cast("string")), F.lit(_RECALL_SAMPLE_MOD)) == 0
-    )
-    truth = track_persist(
-        bruteforce_topk(emb, q, k=k).select("query_id", "vec_id").persist()
-    )
+    q = _recall_query_sample(emb)
+    if truth is None:
+        truth = ann_truth_topk(emb, k=k)
+    truth = track_persist(truth.persist())
     approx = {
         "ivf": ivf_topk(emb, q, k=k, n_clusters=len(ivf_centroids), nprobe=8,
                         centroids=ivf_centroids),
@@ -1377,10 +1527,104 @@ def ann_recall_report(
 
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ground truth is served from the corpus-versioned
+    parquet artifact (round-9: it was the bench's slowest
+    recomputation at 6.2 s/run; truth pairs are corpus-pure, exactly
+    the class the minhash/simhash signature artifacts already cache).
+    The oracle recomputes the query/base counts from raw predicates,
+    so a stale truth record cannot silently pass."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = _load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1)
     books = _load_or_train_pq(emb, sf_dir, m=8, k_codes=16)
-    return ann_recall_report(emb, centroids, books)
+    truth = _load_or_build_ann_truth(spark, emb, sf_dir)
+    return ann_recall_report(emb, centroids, books, truth=truth)
+
+
+# ---------------------------------------------------------------------------
+# Large-k IVF profile: puts the Arrow-kernel assignment path (the plan
+# a 100 TB corpus would run — k grows toward sqrt(N), far past the
+# _LITERAL_K_MAX=128 codegen-literal budget) under the driver hash
+# gate. Round 8 added the kernel but every registered IVF entry
+# trained k=16, so the large-k plan only ever ran in pytest.
+# ---------------------------------------------------------------------------
+
+_LARGEK_CLUSTERS = 160  # > _LITERAL_K_MAX -> kernel assignment + kernel Lloyd
+_LARGEK_NPROBE = 80
+# Measured recall@10 with 160 clusters / nprobe 80: 0.97 (sf0.001),
+# 0.97 (sf0.01), 0.92 (sf0.1) — 0.7 trips on a real index regression,
+# not corpus noise (the pipeline is deterministic per corpus).
+_LARGEK_FLOOR = 0.7
+
+
+def ivf_largek_recall_profile(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    truth: DataFrame | None = None,
+    k: int = _RECALL_K,
+    nprobe: int = _LARGEK_NPROBE,
+) -> DataFrame:
+    """One-row recall contract for the LARGE-k IVF index (same shape
+    as :func:`ann_recall_report`): query/truth-pair counts replay in
+    SQL, ``recall_ok`` is asserted TRUE by the oracle. Running it
+    under the gates means the Arrow-kernel assignment
+    (:func:`_assign_clusters_kernel`) and the kernel Lloyd branch of
+    :func:`train_ivf_centroids` — the actual 100 TB plan — execute in
+    the driver gate, the plan-hygiene sweep, and the bench, not just
+    in pytest."""
+    from ..runtime import track_persist
+
+    if truth is None:
+        truth = ann_truth_topk(emb, k=k)
+    truth = track_persist(truth.persist())
+    approx = ivf_topk(
+        emb,
+        _recall_query_sample(emb),
+        k=k,
+        n_clusters=len(centroids),
+        nprobe=nprobe,
+        centroids=centroids,
+    )
+    hit = approx.select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    return truth.join(hit, ["query_id", "vec_id"], "left").agg(
+        F.lit("ivf_largek").alias("algo"),
+        F.lit(len(centroids)).cast("int").alias("n_clusters"),
+        F.lit(nprobe).cast("int").alias("nprobe"),
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(_LARGEK_FLOOR).alias("recall_floor"),
+        (F.sum("__hit") >= F.lit(_LARGEK_FLOOR) * F.count(F.lit(1))).alias(
+            "recall_ok"
+        ),
+    )
+
+
+def q_ann_ivf_largek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _load_or_train_quantizer(
+        emb, sf_dir, n_clusters=_LARGEK_CLUSTERS, iters=1
+    )
+    truth = _load_or_build_ann_truth(spark, emb, sf_dir)
+    return ivf_largek_recall_profile(emb, centroids, truth=truth)
+
+
+ORACLE_IVF_LARGEK_PROFILE = f"""
+WITH q AS (
+  SELECT COUNT(*) AS nq FROM embeddings
+  WHERE {sql_valid()}
+    AND CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % {_RECALL_SAMPLE_MOD} = 0
+),
+base AS (
+  SELECT COUNT(*) AS nb FROM embeddings WHERE {sql_valid()}
+)
+SELECT 'ivf_largek' AS algo, {_LARGEK_CLUSTERS} AS n_clusters,
+       {_LARGEK_NPROBE} AS nprobe, nq AS n_queries,
+       CAST(nq * LEAST({_RECALL_K}, nb - 1) AS BIGINT) AS n_truth_pairs,
+       {_RECALL_K} AS k, {_LARGEK_FLOOR} AS recall_floor,
+       TRUE AS recall_ok
+FROM q, base
+"""
 
 
 # Truth rows per query = LEAST(k, base-1): brute-force top-k excludes
@@ -1419,6 +1663,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_recall_report": q_ann_recall_report,
+    "ann_ivf_largek_profile": q_ann_ivf_largek_profile,
     "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
@@ -1427,5 +1672,6 @@ ORACLES = {
     "ann_topk_lsh": ORACLE_ANN_LSH,
     "ann_lsh_bucket_profile": ORACLE_LSH_BUCKET_PROFILE,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
+    "ann_ivf_largek_profile": ORACLE_IVF_LARGEK_PROFILE,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
 }
