@@ -1007,7 +1007,15 @@ def simhash_fingerprints(
     ``when(...).otherwise(0)`` unroll then emits fingerprint 0, and
     any two NULL-text docs would pair at hamming 0 — false pairs in
     the fast path, pairs the ``WHERE text IS NOT NULL`` oracle can
-    never replay in the portable one."""
+    never replay in the portable one.
+
+    Content-free docs are dropped too (round-9, completing the guard):
+    an empty or all-space text tokenizes to nothing but ``''`` tokens,
+    so every such doc folds the SAME constant hash h('') into its bit
+    sums and they all band-match each other at hamming 0 — the same
+    meaningless-pair class the minhash sub-n-token guard eliminates.
+    Space-splitting makes the predicate exact: all tokens empty ⟺
+    ``trim(text, ' ') = ''``, mirrored verbatim in the oracle."""
     token_hash = h60 if portable else (lambda t: F.xxhash64(t))
     hashed = F.transform(_tokens(), lambda t: token_hash(t))
     acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
@@ -1033,7 +1041,7 @@ def simhash_fingerprints(
         fp = term if fp is None else fp + term
     return (
         _spread(docs)
-        .where(F.col("text").isNotNull())
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("doc_id", fp.alias("simhash"))
     )
 
@@ -1045,7 +1053,8 @@ def _materialized_simhash_fps(
     artifact — same staged-pipeline move as the minhash signature
     artifact: the per-token hash + 32-bit fold dominates both simhash
     registry entries, and fingerprints are a pure function of the
-    corpus + hash family. 'v2' records the round-8 NULL-text guard."""
+    corpus + hash family. 'v3' records the round-9 content-free guard
+    (empty/all-space texts dropped; 'v2' was the NULL-text guard)."""
     from ..runtime import corpus_artifact, parquet_artifact_io
 
     def build():
@@ -1055,7 +1064,7 @@ def _materialized_simhash_fps(
     save, load = parquet_artifact_io(spark)
     kind = f"simhashfp{bits}{'p' if portable else ''}"
     return corpus_artifact(
-        sf_dir, "documents", kind, ("v2",), build, save, load, memo=False
+        sf_dir, "documents", kind, ("v3",), build, save, load, memo=False
     )
 
 
@@ -1184,7 +1193,7 @@ FROM binned GROUP BY bin ORDER BY bin_lo
 ORACLE_SIMHASH_PORTABLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND trim(text, ' ') <> ''
 ),
 hh AS (SELECT doc_id, {sql_h60('t')} AS h FROM toks),
 bitsums AS (

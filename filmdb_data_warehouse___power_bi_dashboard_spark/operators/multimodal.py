@@ -148,6 +148,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, schema=FEATURES)
 
 
+def ascii_guarded(media: DataFrame) -> DataFrame:
+    """Runtime assertion of the corpus invariant the byte-as-char SQL
+    oracles (ORACLE_FRAME_SAMPLE / ORACLE_AUDIO_WINDOWS /
+    ORACLE_BYTE_ENTROPY) replay: every payload decodes to a string
+    with equal character count, i.e. pure ASCII. The invariant was
+    previously only documented — a non-ASCII fixture would have
+    surfaced as an opaque driver hash mismatch; now the job fails
+    loudly with the offending media_id and a pointer to the rows-only
+    path. The guard rides the media_id column (read by every
+    consumer, so Catalyst cannot prune it away) and costs one decode
+    + two length calls per row — nothing at 100 TB scale next to the
+    payload scan itself."""
+    ok = F.col("payload").isNull() | (
+        F.octet_length(F.col("payload"))
+        == F.char_length(F.decode(F.col("payload"), "UTF-8"))
+    )
+    guarded = F.when(ok, F.col("media_id")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multimodal twin precondition violated: non-ASCII "
+                    "payload (octet_length != char_length) for media_id="
+                ),
+                F.col("media_id").cast("string"),
+                F.lit(
+                    " — the byte-as-char SQL oracles only replay pure-ASCII "
+                    "corpora; route non-ASCII media through the rows-only "
+                    "multimodal_features path"
+                ),
+            )
+        ).cast("long")
+    )
+    return media.withColumn("media_id", guarded)
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -208,7 +243,7 @@ def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude above the measured cross-engine drift of the
     ``(ln n - Σ c·ln c / n)/ln 2`` spelling."""
     docs = read_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
+    media = ascii_guarded(synthesize_media(docs))
     feats = extract_features(media).where(F.col("byte_len") > 0)
     ent_r4 = F.floor(F.col("byte_entropy") * 1e4 + F.lit(0.5)) / 1e4
     return feats.select(
@@ -346,13 +381,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_features this mapInPandas path gets a full value-hash
     check, not just rows-only."""
     docs = read_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
+    media = ascii_guarded(synthesize_media(docs))
     return extract_frame_features(media, k=8).orderBy("media_id", "frame_idx")
 
 
 # DuckDB has no BLOB substring; the corpus text is pure ASCII
-# (verified: octet_length(encode(text)) == length(text) for every
-# row), so byte slicing of the utf-8 payload equals character
+# (asserted at RUN TIME by ascii_guarded — round 9; a violating
+# corpus fails with a named media_id instead of an opaque hash
+# mismatch), so byte slicing of the utf-8 payload equals character
 # slicing of the text — the oracle slices the VARCHAR.
 ORACLE_FRAME_SAMPLE = """
 WITH vids AS (
@@ -473,7 +509,7 @@ def audio_window_energy(media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
 
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
+    media = ascii_guarded(synthesize_media(docs))
     return audio_window_energy(media).orderBy("media_id", "window_idx")
 
 

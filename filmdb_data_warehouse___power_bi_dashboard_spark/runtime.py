@@ -81,6 +81,16 @@ def corpus_artifact(
     ``load(path)`` reads it back. Store failures (read-only fs,
     corrupt record) degrade to per-process building, never to errors.
 
+    Concurrency contract (tested): two builders racing the same
+    record resolve LAST-WRITER-WINS — each os.replace is atomic (the
+    pid-suffixed tmp names keep cross-process staging writes apart),
+    so a reader never observes a half-written record, only one
+    builder's complete output. That is sufficient because artifacts
+    are DETERMINISTIC functions of (corpus version, params): the two
+    racers' outputs are interchangeable, so no arbitration is needed
+    beyond atomicity. Non-deterministic artifacts must not use this
+    store.
+
     ``memo=False`` skips the in-process memo — REQUIRED when the
     artifact is a session-bound object (a DataFrame): the memo is
     keyed by corpus version only, so a second SparkSession would

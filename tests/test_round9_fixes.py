@@ -1,0 +1,249 @@
+"""Round-9 hardening regressions: the ANN ground-truth artifact, the
+large-k IVF gate entry, the no-collect IVF variant, the simhash
+content-free guard, the multimodal ASCII runtime assertion, and the
+artifact-store concurrency contract."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ANN ground-truth artifact (VERDICT r8 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_truth_artifact_matches_pure_path(spark, sf_small):
+    """The cached truth pairs must equal the pure brute-force
+    recompute — the same staleness contract as the minhash/simhash
+    signature artifacts."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    pure = S.ann_truth_topk(emb)
+    cached = S._load_or_build_ann_truth(spark, emb, sf_small)
+    assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
+
+
+def test_recall_report_reads_truth_artifact(spark, sf_small):
+    """The registered entry must actually consume the cached parquet
+    (a silent fallback to the brute-force recompute stays correct, so
+    only a plan assertion catches the caching regressing away)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_recall_report,
+    )
+
+    plan = (
+        q_ann_recall_report(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "corpus_artifacts" in plan, "recall report does not scan the truth artifact"
+
+
+# ---------------------------------------------------------------------------
+# Large-k IVF gate entry (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_largek_profile_runs_the_kernel_branch(spark, sf_small):
+    """ann_ivf_largek_profile exists to put the Arrow-kernel
+    assignment plan (the 100 TB shape, k > _LITERAL_K_MAX) under the
+    gates — its plan must contain the mapInPandas assignment, not the
+    literal-matrix codegen expression, and its recall contract must
+    hold."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+
+    assert S._LARGEK_CLUSTERS > S._LITERAL_K_MAX
+    df = S.q_ann_ivf_largek_profile(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["recall_ok"] is True
+    assert rows[0]["n_clusters"] == S._LARGEK_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# No-collect IVF variant (ADVICE r8: _QUERY_COLLECT_CAP had no
+# registry-compatible escape path)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_shuffle_matches_collect_path_small_k(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(emb, sf_small, n_clusters=16, iters=1)
+    a = S.ivf_topk(emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent).collect()
+    b = S.ivf_topk_shuffle(
+        emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent
+    ).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_ivf_shuffle_matches_collect_path_large_k(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(
+        emb, sf_small, n_clusters=S._LARGEK_CLUSTERS, iters=1
+    )
+    a = S.ivf_topk(
+        emb, emb, k=5, n_clusters=len(cent), nprobe=20, centroids=cent
+    ).collect()
+    b = S.ivf_topk_shuffle(
+        emb, emb, k=5, n_clusters=len(cent), nprobe=20, centroids=cent
+    ).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# SimHash content-free guard (ADVICE r8: empty/whitespace-only texts
+# produced identical fingerprints and band-matched at hamming 0)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_drops_content_free_docs(spark):
+    """Empty and all-space texts must yield no fingerprint (and hence
+    no pairs) on the fast path, exactly like the minhash empty-shingle
+    guard — and the ORACLE carries the same trim predicate so the two
+    engines cannot diverge on a pathological corpus."""
+    import duckdb
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        ORACLE_SIMHASH_PORTABLE,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "", "en", "src0"),
+        (2, "   ", "en", "src0"),
+        (3, None, "en", "src0"),
+        (4, "real tokens here", "en", "src0"),
+        (5, "real tokens here", "en", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    for portable in (False, True):
+        fps = simhash_fingerprints(docs, portable=portable)
+        assert sorted(r["doc_id"] for r in fps.collect()) == [4, 5]
+        pairs = simhash_pairs(docs, portable=portable).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(4, 5)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, '', 'en', 'src0'), (2, '   ', 'en', 'src0'), "
+                "(3, NULL, 'en', 'src0'), (4, 'real tokens here', 'en', 'src0'), "
+                "(5, 'real tokens here', 'en', 'src0')"
+                ") t(doc_id, text, lang, source)")
+    oracle = con.execute(ORACLE_SIMHASH_PORTABLE).fetchall()
+    assert [(a, b) for a, b, _ in oracle] == [(4, 5)]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal ASCII invariant — asserted at run time (VERDICT r8 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_guard_fails_loud_on_non_ascii_payload(spark):
+    """A non-ASCII documents fixture must fail with a clear
+    precondition message naming the media_id — not an opaque driver
+    hash mismatch a round later."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        ascii_guarded,
+        extract_frame_features,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2, "plain ascii video text"), (5, "café au lait — non-ascii")],
+        "doc_id long, text string",
+    )
+    media = ascii_guarded(synthesize_media(docs))
+    with pytest.raises(SparkRuntimeException, match="precondition violated.*media_id=5"):
+        media.collect()
+    # the frame twin consumes the guard: same loud failure end-to-end
+    with pytest.raises(Exception, match="precondition violated"):
+        extract_frame_features(media, k=4).collect()
+
+
+def test_ascii_guard_passes_ascii_payloads_through(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        ascii_guarded,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii"), (2, None)], "doc_id long, text string"
+    )
+    rows = ascii_guarded(synthesize_media(docs)).select("media_id").collect()
+    assert sorted(r["media_id"] for r in rows) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Artifact-store concurrency (VERDICT r8 item 5): two builders racing
+# os.replace on the same record — last-writer-wins is the contract,
+# and the surviving record must load as a valid artifact.
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_store_concurrent_builders_last_writer_wins(tmp_path):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.runtime import (
+        corpus_artifact,
+        json_artifact_io,
+    )
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"race-corpus-bytes")
+    save, load = json_artifact_io()
+    params = ("race-test", str(tmp_path))  # unique store key per test run
+
+    def save_a(art, path):
+        # Builder B's COMPLETE build+commit lands while A is mid-save
+        # (the worst interleaving: A then overwrites a fresher record
+        # with an equally-valid one).
+        corpus_artifact(
+            str(tmp_path), "documents", "race", params,
+            lambda: {"who": "B"}, save, load, memo=False,
+        )
+        save(art, path)
+
+    a = corpus_artifact(
+        str(tmp_path), "documents", "race", params,
+        lambda: {"who": "A"}, save_a, load, memo=False,
+    )
+    # Last writer (A) wins and its record is what the caller got back.
+    assert a == {"who": "A"}
+    # The surviving record is valid: a third builder LOADS it instead
+    # of rebuilding (deterministic artifacts make either record
+    # acceptable — the contract is validity, not arbitration).
+    c = corpus_artifact(
+        str(tmp_path), "documents", "race", params,
+        lambda: {"who": "C"}, save, load, memo=False,
+    )
+    assert c == {"who": "A"}
+
+
+def test_ivf_shuffle_has_no_driver_collect_of_queries(spark, sf_small, monkeypatch):
+    """The whole point of the variant: it must never route the query
+    side through _capped_collect, even with the cap forced to zero."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(emb, sf_small, n_clusters=16, iters=1)
+    monkeypatch.setattr(S, "_QUERY_COLLECT_CAP", 0)
+    with pytest.raises(ValueError, match="ivf_topk_shuffle"):
+        S.ivf_topk(emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent).collect()
+    rows = S.ivf_topk_shuffle(
+        emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent
+    ).collect()
+    assert len(rows) > 0
