@@ -24,6 +24,14 @@ plan regression. BENCH_DETAIL.json additionally records the 1-min
 load after EVERY query, and the canary re-runs once after the corpus
 (canary_end_sec) so the in-corpus/post-corpus pair brackets the host
 regime over the run.
+
+Cold artifact-build block (round-9 addition): the corpus-versioned
+artifacts (minhash/simhash signatures, postings, IVF/PQ quantizers,
+ANN ground truth) make the corpus loop warm, so their one-time build
+cost would otherwise be invisible — a build regression would hide
+inside numbers that never rebuild. Every builder is re-timed cold
+each run (store bypassed) and recorded under ``artifact_build`` in
+BENCH_DETAIL.json, with the total on the summary line.
 """
 
 from __future__ import annotations
@@ -106,6 +114,12 @@ def main() -> None:
     # billed to the measured run.
     scale_check: dict[str, dict] = {}
     small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    # Self-describing SF pair (round-9, after the '~10x data' reading
+    # baked into the key was only valid for sf0.1 runs): each entry
+    # records both dirs and the data scale ratio, so a run at any SF
+    # stays interpretable across rounds.
+    small_sf = 0.01
+    data_ratio = round(sf_num / small_sf, 2) if sf_num else None
     if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir):
         for name in sorted(times, key=times.get, reverse=True)[:10]:
             try:
@@ -118,12 +132,29 @@ def main() -> None:
                     per_sf[d] = time.perf_counter() - t0
                     release_persisted()
                 scale_check[name] = {
+                    "big_sf": sf_num,
+                    "small_sf": small_sf,
+                    "data_ratio": data_ratio,
                     "big_warm_sec": round(per_sf[sf_dir], 3),
                     "small_warm_sec": round(per_sf[small_dir], 3),
                     "ratio": round(per_sf[sf_dir] / max(per_sf[small_dir], 1e-9), 2),
                 }
             except Exception as exc:  # never let the spot check sink the artifact
                 scale_check[name] = {"err": str(exc)[:200]}
+
+    # Cold artifact-build costs (round-9): the signature/quantizer/
+    # truth artifacts make the corpus loop warm, so a build-cost
+    # regression would otherwise be invisible in every number above.
+    # Timed OUTSIDE the corpus total; builders bypass the store.
+    from filmdb_data_warehouse___power_bi_dashboard_spark.artifacts import (
+        time_artifact_builds,
+    )
+
+    artifact_build = time_artifact_builds(spark, sf_dir)
+    release_persisted()
+    artifact_build_total = round(
+        sum(v.get("sec", 0.0) for v in artifact_build.values()), 3
+    )
 
     # Full per-query detail: persisted to a repo file (survives any
     # stdout-tail truncation; BENCH_r04's one-line detail was cut
@@ -134,7 +165,9 @@ def main() -> None:
         json.dump(
             {"detail": "per_query_wall", "unit": "sec", "total": total,
              "sf": sf_num, "queries": times, "load1_after_query": load1,
-             "scale_check_vs_sf0_01": scale_check},
+             "scale_check_vs_sf0_01": scale_check,
+             "artifact_build": artifact_build,
+             "artifact_build_total_sec": artifact_build_total},
             f, indent=1, sort_keys=True,
         )
     names = sorted(times)
@@ -170,6 +203,7 @@ def main() -> None:
                 "canary": "etl_agg_mensuel_magasin",
                 "canary_sec": times.get("etl_agg_mensuel_magasin"),
                 "canary_end_sec": canary_end,
+                "artifact_build_total_sec": artifact_build_total,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in load_end],
             }

@@ -642,6 +642,14 @@ def train_ivf_centroids(
         unit.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_clusters).collect()
     )
     centroids = [list(r["__u"]) for r in seed_rows]
+    # A corpus with fewer valid vectors than n_clusters trains that
+    # many centroids (each seed is a distinct vector; Lloyd preserves
+    # the count) — the requested k is a ceiling, not a promise, so
+    # tiny/pathological corpora degrade to k=N instead of indexing
+    # out of the seed list.
+    n_clusters = len(centroids)
+    if not centroids:
+        return []
     for _ in range(iters):
         if n_clusters <= _LITERAL_K_MAX:
             with_u = base.withColumn(
@@ -1618,7 +1626,8 @@ WITH q AS (
 base AS (
   SELECT COUNT(*) AS nb FROM embeddings WHERE {sql_valid()}
 )
-SELECT 'ivf_largek' AS algo, {_LARGEK_CLUSTERS} AS n_clusters,
+SELECT 'ivf_largek' AS algo,
+       CAST(LEAST({_LARGEK_CLUSTERS}, nb) AS INT) AS n_clusters,
        {_LARGEK_NPROBE} AS nprobe, nq AS n_queries,
        CAST(nq * LEAST({_RECALL_K}, nb - 1) AS BIGINT) AS n_truth_pairs,
        {_RECALL_K} AS k, {_LARGEK_FLOOR} AS recall_floor,

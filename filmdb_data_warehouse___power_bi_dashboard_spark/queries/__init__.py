@@ -134,6 +134,29 @@ def registry() -> dict[str, QueryFn]:
     return out
 
 
+def definition_hashes() -> dict[str, str]:
+    """Per-query tripwire hash: sha256 over the registered function's
+    SOURCE plus its oracle SQL. Stored as ``def_hash`` in
+    gate_history.json; pytest asserts the stored value matches the
+    current code, so editing a query/oracle without bumping
+    ``changed_round`` (which would leave stale driver evidence
+    silently inside the gate window) fails the suite instead of
+    passing unnoticed. Granularity: edits to SHARED helpers a query
+    calls don't move its hash — those are covered by the replica
+    comparator re-running every oracle-bearing entry each round; the
+    hash catches the common case, the query or oracle text itself."""
+    import hashlib
+    import inspect
+
+    raw = _collect_queries()
+    orc = oracles()
+    out: dict[str, str] = {}
+    for name, fn in raw.items():
+        body = inspect.getsource(fn) + "\n---oracle---\n" + orc.get(name, "")
+        out[name] = hashlib.sha256(body.encode()).hexdigest()[:16]
+    return out
+
+
 def oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(corpus.ORACLES)

@@ -1,22 +1,34 @@
 #!/usr/bin/env python
-"""Regenerate ``last_driver_round`` in queries/gate_history.json from
-the driver's CORRECTNESS_r*.json artifacts.
+"""Regenerate ``queries/gate_history.json`` from recorded evidence.
 
-Run once at the start of a round (after the driver recorded the
-previous round's gate): a green row (rows+schema+hash, no err) bumps
-the query's ``last_driver_round``; ``changed_round`` is HAND-maintained
-(set it to the current round whenever a query's plan or oracle is
-edited) and is preserved untouched here. Queries new to the registry
-must be added by hand with ``last_driver_round: null`` and
-``changed_round: <current round>``.
+Two maintenance passes:
+
+1. ``last_driver_round``: a green row (rows+schema+hash, no err) in any
+   CORRECTNESS_r*.json bumps the query's last attested round. Run once
+   at the start of a round, after the driver recorded the previous one.
+
+2. ``def_hash`` sync (round-9, closes the forgotten-bump hole):
+   every entry stores a tripwire hash of its query source + oracle
+   text (queries.definition_hashes). When the current code's hash
+   differs from the stored one, the definition REALLY changed — the
+   script refreshes the hash and sets ``changed_round`` to the value
+   passed via ``--round N`` (mandatory whenever any hash moved, so a
+   change can never be recorded without being dated). pytest
+   separately asserts stored == current, so a round that edits a
+   query and skips this script fails its own suite.
+
+Queries new to the registry are added automatically with
+``last_driver_round: null`` and ``changed_round: <--round>``.
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(
@@ -28,8 +40,19 @@ HIST = os.path.join(
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="current round number; required when any definition hash moved",
+    )
+    args = ap.parse_args()
+
     with open(HIST) as fh:
         hist = json.load(fh)
+
+    # Pass 1: fold driver evidence.
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
@@ -46,6 +69,41 @@ def main() -> None:
             if green:
                 prev = hist[name].get("last_driver_round") or 0
                 hist[name]["last_driver_round"] = max(prev, rnd)
+
+    # Pass 2: sync definition hashes (imports the package — needs the
+    # repo on sys.path but no SparkSession).
+    sys.path.insert(0, REPO)
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import (
+        definition_hashes,
+    )
+
+    current = definition_hashes()
+    moved, new = [], []
+    for name, h in current.items():
+        if name not in hist:
+            if args.round is None:
+                new.append(name)
+                continue
+            hist[name] = {
+                "last_driver_round": None,
+                "changed_round": args.round,
+                "def_hash": h,
+            }
+        elif hist[name].get("def_hash") != h:
+            if hist[name].get("def_hash") is None:
+                # First-time backfill: recording a hash is not a change.
+                hist[name]["def_hash"] = h
+            elif args.round is None:
+                moved.append(name)
+            else:
+                hist[name]["def_hash"] = h
+                hist[name]["changed_round"] = args.round
+    if moved or new:
+        raise SystemExit(
+            f"definition hash moved for {sorted(moved)} / new entries "
+            f"{sorted(new)} — re-run with --round N to date the change"
+        )
+
     with open(HIST, "w") as fh:
         json.dump({k: hist[k] for k in sorted(hist)}, fh, indent=1)
     n_stale = sum(

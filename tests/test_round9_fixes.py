@@ -147,6 +147,35 @@ def test_simhash_drops_content_free_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# Definition-hash tripwire (ADVICE r8: a forgotten changed_round bump
+# left stale driver evidence silently inside the gate window)
+# ---------------------------------------------------------------------------
+
+
+def test_gate_history_definition_hashes_are_current():
+    """Every registered query's stored def_hash must match the current
+    source+oracle hash — editing a query or its oracle without running
+    scripts/update_gate_history.py --round N (which refreshes the hash
+    AND dates the change) fails here instead of passing unnoticed."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import (
+        _gate_history,
+        definition_hashes,
+    )
+
+    hist = _gate_history()
+    current = definition_hashes()
+    drift = {
+        name: (hist.get(name, {}).get("def_hash"), h)
+        for name, h in current.items()
+        if hist.get(name, {}).get("def_hash") != h
+    }
+    assert not drift, (
+        "query definitions changed without a recorded changed_round — run "
+        f"scripts/update_gate_history.py --round <N>: {sorted(drift)}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal ASCII invariant — asserted at run time (VERDICT r8 item 4)
 # ---------------------------------------------------------------------------
 
