@@ -83,6 +83,15 @@ def artifact_builders(
         ),
         "pq_m8_k16": lambda: S.train_pq_codebooks(emb(), m=8, k_codes=16),
         "anntruth_k10": lambda: _materialize(S.ann_truth_topk(emb())),
+        # Staged like production: assignment derives from the STORED
+        # quantizer (its own cold cost is the ivf_k16_i1 entry), so
+        # this times only the assignment scan.
+        "ivfassign_k16_i1": lambda: _materialize(
+            S._assign_base(
+                emb(),
+                S._load_or_train_quantizer(emb(), sf_dir, n_clusters=16, iters=1),
+            )
+        ),
     }
 
 

@@ -719,6 +719,54 @@ def _assign_units_kernel(base: DataFrame, centroids) -> DataFrame:
     return base.select("__v").mapInPandas(fn, "cluster int, __u array<double>")
 
 
+def _assign_base(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, embedding, cluster) for the valid base vectors — the
+    ONE spelling of IVF list assignment every consumer shares: the
+    literal-matrix codegen expression under ``_LITERAL_K_MAX``
+    centroids, the Arrow kernel above it (same scores, same first-max
+    tie rule; pytest-asserted identical)."""
+    if len(centroids) <= _LITERAL_K_MAX:
+        base = _with_norm(_spread(valid_vectors(emb))).select(
+            "vec_id", "embedding", "__v", "__norm"
+        )
+        assign, _dots = _argmax_dot(centroids)
+        return base.withColumn("cluster", assign).select(
+            "vec_id", "embedding", "cluster"
+        )
+    return _assign_clusters_kernel(_spread(valid_vectors(emb)), centroids)
+
+
+def _load_or_build_ivf_assignment(
+    spark: SparkSession,
+    emb: DataFrame,
+    sf_dir: str,
+    centroids: list[list[float]],
+    key_params: tuple,
+) -> DataFrame:
+    """The (vec_id, embedding, cluster) inverted-list table as a
+    corpus-versioned parquet artifact — the local analog of
+    bucket-writing the assignment alongside the centroids (the
+    standard IVF deployment shape ivf_topk's docstring promises at
+    cluster scale: build the index once, probe many times). Keyed by
+    the same (n_clusters, iters, seed-tag) params as the quantizer
+    artifact it derives from, so the two stay version-locked. The
+    recall-floor contracts (ann_recall_report / largek profile) gate
+    quality; pytest asserts artifact == pure recompute."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    save, load = parquet_artifact_io(spark)
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "ivfassign",
+        key_params,
+        lambda: _assign_base(emb, centroids),
+        save,
+        load,
+        memo=False,  # the artifact is a session-bound DataFrame
+    )
+
+
 def _assign_clusters_kernel(emb: DataFrame, centroids) -> DataFrame:
     """(vec_id, embedding, cluster) via mapInPandas: strict-fold
     cosine-vs-centroid scores (bit-identical to the JVM
@@ -777,6 +825,7 @@ def ivf_topk(
     iters: int = 3,
     exclude_self: bool = True,
     centroids: list[list[float]] | None = None,
+    base_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a trained coarse quantizer
     partitions the base vectors into ``n_clusters`` disjoint inverted
@@ -806,14 +855,12 @@ def ivf_topk(
     # the same query set the collected matrix does, or the scoring
     # kernel's qindex lookup hits an unknown query_id.
     queries = valid_vectors(queries)
+    if base_assigned is None:
+        # ``base_assigned`` short-circuits the assignment scan with
+        # the corpus-versioned artifact (_load_or_build_ivf_assignment)
+        # — the registered entries pass it; ad-hoc callers recompute.
+        base_assigned = _assign_base(emb, centroids)
     if len(centroids) <= _LITERAL_K_MAX:
-        base = _with_norm(_spread(valid_vectors(emb))).select(
-            "vec_id", "embedding", "__v", "__norm"
-        )
-        assign, _dots = _argmax_dot(centroids)
-        base_assigned = base.withColumn("cluster", assign).select(
-            "vec_id", "embedding", "cluster"
-        )
         _assign_q, dots_q = _argmax_dot(centroids)
         probe_sets = (
             _with_norm(queries)
@@ -840,13 +887,9 @@ def ivf_topk(
     else:
         # Large-k path (sqrt(N) centroids at corpus scale): the literal
         # centroid matrix would put k·dim literals into the plan and
-        # overflow codegen, so assignment runs in an Arrow kernel with
-        # the matrix shipped like a query matrix (same _fold_gram
-        # strict fold, same first-max tie rule as array_position — the
-        # two branches are asserted row-identical in pytest).
-        base_assigned = _assign_clusters_kernel(
-            _spread(valid_vectors(emb)), centroids
-        )
+        # overflow codegen — _assign_base already routed assignment
+        # through the Arrow kernel; probe sets come from the driver
+        # (queries are a training batch by contract).
         probe_sets = _probe_sets_driver(queries, centroids, nprobe)
     pairs = base_assigned.join(F.broadcast(probe_sets), "cluster")
     if exclude_self:
@@ -936,9 +979,8 @@ def ivf_topk_shuffle(
     """
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
-    emb_v = valid_vectors(emb)
     queries = valid_vectors(queries)
-    base_assigned = _assign_clusters_kernel(_spread(emb_v), centroids)
+    base_assigned = _assign_base(emb, centroids)
     probe_sets = _probe_sets_kernel(queries, centroids, nprobe)
     pairs = base_assigned.join(probe_sets, "cluster")
     if exclude_self:
@@ -1095,11 +1137,19 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch, so repeated invocations — bench runs, successive
     query batches, fresh processes — pay Lloyd once per corpus. This
     is the standard IVF deployment shape (build the index once, probe
-    many times); at cluster scale the cluster ASSIGNMENT would be
-    bucket-written alongside the centroids."""
+    many times); since round 9 the cluster ASSIGNMENT is likewise
+    served from the corpus-versioned artifact store — the local
+    analog of bucket-writing it alongside the centroids, version-
+    locked by sharing the quantizer's key params."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = _load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1)
-    return ivf_topk(emb, emb, k=10, n_clusters=16, nprobe=8, centroids=centroids)
+    assigned = _load_or_build_ivf_assignment(
+        spark, emb, sf_dir, centroids, (16, 1, "hs1")
+    )
+    return ivf_topk(
+        emb, emb, k=10, n_clusters=16, nprobe=8,
+        centroids=centroids, base_assigned=assigned,
+    )
 
 
 def _load_or_train_quantizer(
@@ -1478,6 +1528,7 @@ def ann_recall_report(
     pq_codebooks: list[list[list[float]]],
     k: int = _RECALL_K,
     truth: DataFrame | None = None,
+    ivf_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One row per approximate index (ivf, pq): query count, ground-
     truth pair count, and whether recall@k against the exact
@@ -1507,7 +1558,7 @@ def ann_recall_report(
     truth = track_persist(truth.persist())
     approx = {
         "ivf": ivf_topk(emb, q, k=k, n_clusters=len(ivf_centroids), nprobe=8,
-                        centroids=ivf_centroids),
+                        centroids=ivf_centroids, base_assigned=ivf_assigned),
         "pq": pq_topk(emb, q, k=k, codebooks=pq_codebooks),
     }
     reports = []
@@ -1545,7 +1596,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1)
     books = _load_or_train_pq(emb, sf_dir, m=8, k_codes=16)
     truth = _load_or_build_ann_truth(spark, emb, sf_dir)
-    return ann_recall_report(emb, centroids, books, truth=truth)
+    assigned = _load_or_build_ivf_assignment(
+        spark, emb, sf_dir, centroids, (16, 1, "hs1")
+    )
+    return ann_recall_report(
+        emb, centroids, books, truth=truth, ivf_assigned=assigned
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1570,6 +1626,7 @@ def ivf_largek_recall_profile(
     truth: DataFrame | None = None,
     k: int = _RECALL_K,
     nprobe: int = _LARGEK_NPROBE,
+    base_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One-row recall contract for the LARGE-k IVF index (same shape
     as :func:`ann_recall_report`): query/truth-pair counts replay in
@@ -1591,6 +1648,7 @@ def ivf_largek_recall_profile(
         n_clusters=len(centroids),
         nprobe=nprobe,
         centroids=centroids,
+        base_assigned=base_assigned,
     )
     hit = approx.select("query_id", "vec_id", F.lit(1).alias("__hit"))
     return truth.join(hit, ["query_id", "vec_id"], "left").agg(
@@ -1613,6 +1671,11 @@ def q_ann_ivf_largek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, sf_dir, n_clusters=_LARGEK_CLUSTERS, iters=1
     )
     truth = _load_or_build_ann_truth(spark, emb, sf_dir)
+    # Deliberately NO assignment artifact here: this entry exists so
+    # the Arrow-kernel assignment EXECUTES under the driver gate /
+    # plan hygiene / bench every round — caching it would reduce the
+    # gated plan to a parquet scan and the kernel would only ever run
+    # in the artifact builder.
     return ivf_largek_recall_profile(emb, centroids, truth=truth)
 
 

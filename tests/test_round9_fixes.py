@@ -72,6 +72,52 @@ def test_largek_profile_runs_the_kernel_branch(spark, sf_small):
 # ---------------------------------------------------------------------------
 
 
+def test_ivf_assignment_artifact_matches_pure_path(spark, sf_small):
+    """The cached (vec_id, embedding, cluster) inverted-list table
+    must equal the pure assignment recompute — the bucket-write analog
+    the IVF docstrings promise at cluster scale."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(emb, sf_small, n_clusters=16, iters=1)
+    pure = S._assign_base(emb, cent).select("vec_id", "cluster")
+    cached = S._load_or_build_ivf_assignment(
+        spark, emb, sf_small, cent, (16, 1, "hs1")
+    ).select("vec_id", "cluster")
+    assert sorted(map(tuple, pure.collect())) == sorted(map(tuple, cached.collect()))
+
+
+def test_registered_ivf_entries_read_the_assignment_artifact(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
+        q_ann_topk_ivf,
+    )
+
+    plan = (
+        q_ann_topk_ivf(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "corpus_artifacts" in plan
+
+
+def test_ivf_shuffle_plan_hygiene(spark, sf_small):
+    """ivf_topk_shuffle is not a registry entry, so the whole-registry
+    hygiene gate never sees it — assert its plan directly: no
+    cartesian product, no row-at-a-time Python UDF."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = S._load_or_train_quantizer(emb, sf_small, n_clusters=16, iters=1)
+    plan = (
+        S.ivf_topk_shuffle(emb, emb, k=5, n_clusters=16, nprobe=4, centroids=cent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_ivf_shuffle_matches_collect_path_small_k(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
     from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
