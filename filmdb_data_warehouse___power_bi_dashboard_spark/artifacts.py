@@ -92,6 +92,11 @@ def artifact_builders(
                 S._load_or_train_quantizer(emb(), sf_dir, n_clusters=16, iters=1),
             )
         ),
+        "pqcodes_m8_k16": lambda: _materialize(
+            S.pq_encode_table(
+                emb(), S._load_or_train_pq(emb(), sf_dir, m=8, k_codes=16)
+            )
+        ),
     }
 
 

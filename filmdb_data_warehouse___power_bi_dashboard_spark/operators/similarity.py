@@ -1219,6 +1219,80 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_encode(x, books, m):
+    """Nearest-codebook-entry codes per subspace (L2, numpy first-min
+    argmin) for a (n, m, sub) block — the ONE encode spelling shared
+    by the on-the-fly kernel and the stored-codes artifact builder,
+    so the two paths are bit-identical by construction."""
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        d2 = ((x[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_encode_table(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding, codes): the corpus with its m one-byte PQ
+    codes stored as a column next to the embedding — the deployment
+    shape pq_topk's docstring promises (exactly like the LSH signature
+    column). One scan, no shuffle; at 100 TB this is the bucket-write
+    that lets ADC scans read 32x less than the raw vectors."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    sub = dim // m
+
+    def encode(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            codes = _pq_encode(mat.reshape(len(mat), m, sub), books, m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "codes": list(codes),
+                }
+            )
+
+    return (
+        _spread(valid_vectors(emb))
+        .select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id long, embedding array<float>, codes array<int>")
+    )
+
+
+def _load_or_build_pq_codes(
+    spark: SparkSession,
+    emb: DataFrame,
+    sf_dir: str,
+    codebooks: list[list[list[float]]],
+    key_params: tuple,
+) -> DataFrame:
+    """The encoded corpus as a corpus-versioned parquet artifact,
+    version-locked to the codebook artifact by sharing its key
+    params; pytest asserts stored-codes == on-the-fly results."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    save, load = parquet_artifact_io(spark)
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "pqcodes",
+        key_params,
+        lambda: pq_encode_table(emb, codebooks),
+        save,
+        load,
+        memo=False,  # the artifact is a session-bound DataFrame
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -1229,6 +1303,7 @@ def pq_topk(
     rerank: int = 4,
     exclude_self: bool = True,
     codebooks: list[list[list[float]]] | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: base vectors quantize to m one-byte
     codes; each query scores candidates via an m x k_codes lookup
@@ -1256,8 +1331,15 @@ def pq_topk(
     # ADC LUT per query: partial dots of each query subvector against
     # every codebook entry — (m, k_codes, Q).
     lut = np.einsum("mkd,qmd->mkq", books, q_mat.reshape(len(q_ids), m, sub))
-    base = _spread(valid_vectors(emb)).select(
-        "vec_id", "embedding"
+    # ``coded`` short-circuits the per-run encode with the stored
+    # codes column (pq_encode_table artifact) — the deployment shape;
+    # ad-hoc callers encode on the fly in the kernel (same _pq_encode,
+    # bit-identical codes).
+    has_codes = coded is not None
+    base = (
+        coded
+        if has_codes
+        else _spread(valid_vectors(emb)).select("vec_id", "embedding")
     )
     take = rerank * k
 
@@ -1269,12 +1351,12 @@ def pq_topk(
             mat = np.vstack(
                 [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
             ).astype(np.float64)
-            x = mat.reshape(len(ids), m, sub)
-            # Encode: nearest codebook entry per subspace (L2).
-            codes = np.empty((len(ids), m), dtype=np.int64)
-            for s in range(m):
-                d2 = ((x[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
+            if has_codes:
+                codes = np.vstack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+            else:
+                codes = _pq_encode(mat.reshape(len(ids), m, sub), books, m)
             # ADC approx dot: sum of LUT entries for this row's codes.
             approx = np.zeros((len(ids), len(q_ids)))
             for s in range(m):
@@ -1317,10 +1399,14 @@ def pq_topk(
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (sample-trained quantizer not SQL-expressible);
     recall vs brute force asserted in pytest. The codebook persists
-    per corpus version alongside the IVF quantizer."""
+    per corpus version alongside the IVF quantizer, and since round 9
+    the encoded corpus (codes column next to the embedding —
+    pq_encode_table) does too, so the per-run encode disappears like
+    the IVF assignment did."""
     emb = read_table(spark, sf_dir, "embeddings")
     books = _load_or_train_pq(emb, sf_dir, m=8, k_codes=16)
-    return pq_topk(emb, emb, k=10, codebooks=books)
+    coded = _load_or_build_pq_codes(spark, emb, sf_dir, books, (8, 16, "hs1"))
+    return pq_topk(emb, emb, k=10, codebooks=books, coded=coded)
 
 
 def hard_negatives_topk(
@@ -1529,6 +1615,7 @@ def ann_recall_report(
     k: int = _RECALL_K,
     truth: DataFrame | None = None,
     ivf_assigned: DataFrame | None = None,
+    pq_coded: DataFrame | None = None,
 ) -> DataFrame:
     """One row per approximate index (ivf, pq): query count, ground-
     truth pair count, and whether recall@k against the exact
@@ -1559,7 +1646,7 @@ def ann_recall_report(
     approx = {
         "ivf": ivf_topk(emb, q, k=k, n_clusters=len(ivf_centroids), nprobe=8,
                         centroids=ivf_centroids, base_assigned=ivf_assigned),
-        "pq": pq_topk(emb, q, k=k, codebooks=pq_codebooks),
+        "pq": pq_topk(emb, q, k=k, codebooks=pq_codebooks, coded=pq_coded),
     }
     reports = []
     for algo, floor in _RECALL_FLOORS.items():
@@ -1599,8 +1686,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _load_or_build_ivf_assignment(
         spark, emb, sf_dir, centroids, (16, 1, "hs1")
     )
+    coded = _load_or_build_pq_codes(spark, emb, sf_dir, books, (8, 16, "hs1"))
     return ann_recall_report(
-        emb, centroids, books, truth=truth, ivf_assigned=assigned
+        emb, centroids, books, truth=truth, ivf_assigned=assigned, pq_coded=coded
     )
 
 

@@ -99,6 +99,22 @@ def test_registered_ivf_entries_read_the_assignment_artifact(spark, sf_small):
     assert "corpus_artifacts" in plan
 
 
+def test_pq_stored_codes_match_on_the_fly_encode(spark, sf_small):
+    """pq_topk fed the codes artifact must return exactly what the
+    on-the-fly encode returns (shared _pq_encode makes them identical
+    by construction; this guards the plumbing)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    books = S._load_or_train_pq(emb, sf_small, m=8, k_codes=16)
+    fly = S.pq_topk(emb, emb, k=5, codebooks=books).collect()
+    coded = S._load_or_build_pq_codes(spark, emb, sf_small, books, (8, 16, "hs1"))
+    stored = S.pq_topk(emb, emb, k=5, codebooks=books, coded=coded).collect()
+    assert fly == stored
+    assert len(fly) > 0
+
+
 def test_ivf_shuffle_plan_hygiene(spark, sf_small):
     """ivf_topk_shuffle is not a registry entry, so the whole-registry
     hygiene gate never sees it — assert its plan directly: no
