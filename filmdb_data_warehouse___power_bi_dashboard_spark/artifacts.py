@@ -97,6 +97,7 @@ def artifact_builders(
                 emb(), S._load_or_train_pq(emb(), sf_dir, m=8, k_codes=16)
             )
         ),
+        "lshsig_t8_b4": lambda: _materialize(S.lsh_sig_table(emb(), 8, 4)),
     }
 
 

@@ -1407,6 +1407,7 @@ def embedding_near_dup_lsh(
     n_tables: int = 8,
     n_bits: int = 4,
     dim: int = 64,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs — the 100 TB default path
     that :func:`embedding_near_dup_pairs` (exact, one side broadcast)
@@ -1429,11 +1430,21 @@ def embedding_near_dup_lsh(
     """
     from .similarity import _sig_packed, _with_norm, _dot, valid_vectors
 
-    base = (
-        _with_norm(_spread(valid_vectors(emb)))
-        .withColumn("__sig", _sig_packed(n_tables, n_bits, dim))
-        .select("vec_id", "__v", "__norm", "__sig")
-    )
+    if sig_table is not None:
+        # Stored-index short-circuit (lsh_sig_table artifact): norms
+        # recompute from the stored embedding (cheap next to the
+        # 32-plane signature fold the artifact saves).
+        base = (
+            _with_norm(sig_table)
+            .withColumnRenamed("sig", "__sig")
+            .select("vec_id", "__v", "__norm", "__sig")
+        )
+    else:
+        base = (
+            _with_norm(_spread(valid_vectors(emb)))
+            .withColumn("__sig", _sig_packed(n_tables, n_bits, dim))
+            .select("vec_id", "__v", "__norm", "__sig")
+        )
     lane_mask = (1 << n_bits) - 1
     sig_rows = base.select(
         "vec_id",
@@ -1489,9 +1500,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql_lsh_sig_cte), which replays signature bits, bucket-join
     candidates, and the strict-fold cosine re-score — full value-hash
     evidence on top of the pytest recall assertion vs the exact
-    operator."""
+    operator. Since round 9 the packed signatures ride the stored
+    artifact (similarity.lsh_sig_table); the oracle recomputes them
+    from raw embeddings, so a stale record goes red."""
+    from .similarity import _load_or_build_lsh_sigs
+
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_lsh(emb, threshold=0.4)
+    sigs = _load_or_build_lsh_sigs(spark, emb, sf_dir)
+    return embedding_near_dup_lsh(emb, threshold=0.4, sig_table=sigs)
 
 
 def _oracle_embedding_lsh() -> str:

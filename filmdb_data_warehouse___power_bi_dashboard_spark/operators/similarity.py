@@ -434,6 +434,75 @@ def _sig_packed(n_tables: int, n_bits: int, dim: int):
     return _bind(dots, pack)
 
 
+def lsh_sig_table(
+    emb: DataFrame, n_tables: int = 8, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """(vec_id, embedding, sig): the packed hyperplane signature
+    stored as a column next to the embedding — the LSH analog of
+    :func:`pq_encode_table` (these docstrings have always described
+    the signature as "a stored index column"; this materializes it).
+    One scan, no shuffle; the planes are seeded constants, so the
+    table is a pure function of the corpus."""
+    return (
+        _spread(valid_vectors(emb))
+        .withColumn("__v", _as_double("embedding"))
+        .withColumn("sig", _sig_packed(n_tables, n_bits, dim))
+        .select("vec_id", "embedding", "sig")
+    )
+
+
+def _load_or_build_lsh_sigs(
+    spark: SparkSession,
+    emb: DataFrame,
+    sf_dir: str,
+    key_params: tuple = (8, 4, "v1"),
+) -> DataFrame:
+    """The signature table as a corpus-versioned parquet artifact.
+    Every LSH oracle recomputes signatures from raw embeddings (the
+    seeded planes inline as SQL literals), so a stale record goes red
+    the same round; pytest asserts artifact == pure recompute for all
+    three consumers."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    save, load = parquet_artifact_io(spark)
+    n_tables, n_bits = key_params[0], key_params[1]
+    return corpus_artifact(
+        sf_dir,
+        "embeddings",
+        "lshsig",
+        key_params,
+        lambda: lsh_sig_table(emb, n_tables, n_bits),
+        save,
+        load,
+        memo=False,  # the artifact is a session-bound DataFrame
+    )
+
+
+def unpack_sig_lanes(
+    df: DataFrame, n_tables: int = 8, n_bits: int = 4, sig_col: str = "sig"
+) -> DataFrame:
+    """(vec_id, table, signature) lane view of a packed signature
+    column — bit-identical to :func:`lsh_signatures`' per-table ints
+    (lane t of the packed long IS table t's signature), so consumers
+    of the exploded shape can ride the stored artifact."""
+    lane_mask = (1 << n_bits) - 1
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.shiftright(sig_col, t * n_bits)
+                .bitwiseAND(F.lit(lane_mask))
+                .cast("int")
+                .alias("signature"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("vec_id", F.explode(lanes).alias("tb")).select(
+        "vec_id", F.col("tb.table").alias("table"), F.col("tb.signature").alias("signature")
+    )
+
+
 def lsh_topk_broadcast(
     emb: DataFrame,
     queries: DataFrame,
@@ -442,6 +511,7 @@ def lsh_topk_broadcast(
     n_bits: int = 4,
     dim: int = 64,
     exclude_self: bool = True,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k, broadcast-prefilter plan: the SAME candidate
     semantics as :func:`lsh_topk` (a pair is scored iff it shares at
@@ -459,12 +529,18 @@ def lsh_topk_broadcast(
     cost more than brute's Q dots). At cluster scale with both sides
     huge, use :func:`lsh_topk`.
     """
-    packed = _sig_packed(n_tables, n_bits, dim)
-    base = (
-        _with_norm(_spread(valid_vectors(emb)))
-        .withColumn("__sig", packed)
-        .select("vec_id", "embedding", "__sig")
-    )
+    if sig_table is not None:
+        # Stored-index short-circuit: the signature rides a parquet
+        # column instead of recomputing the 32-plane fold per run.
+        base = sig_table.select(
+            "vec_id", "embedding", F.col("sig").alias("__sig")
+        )
+    else:
+        base = (
+            _with_norm(_spread(valid_vectors(emb)))
+            .withColumn("__sig", _sig_packed(n_tables, n_bits, dim))
+            .select("vec_id", "embedding", "__sig")
+        )
     q_ids, q_mat, q_norms = _collect_query_matrix(queries)
     if q_ids is None:
         return emb.sparkSession.createDataFrame(
@@ -1062,9 +1138,13 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     list literals and replays signatures, lane-bucket candidate
     generation, and the exact re-rank (sql_lsh_sig_cte) — full
     value-hash evidence for the LSH index path, on top of the pytest
-    recall assertion vs brute force."""
+    recall assertion vs brute force. Since round 9 the packed base
+    signatures ride the corpus-versioned artifact (lsh_sig_table);
+    the oracle recomputes them from raw embeddings, so a stale record
+    goes red."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_topk_broadcast(emb, emb, k=10)
+    sigs = _load_or_build_lsh_sigs(spark, emb, sf_dir)
+    return lsh_topk_broadcast(emb, emb, k=10, sig_table=sigs)
 
 
 def q_ann_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,9 +1154,12 @@ def q_ann_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     means n_bits is too low (candidate joins degenerate toward
     all-pairs) and a sea of singletons means recall is starving. One
     scan + two map-side-combined groupBys over (table, signature) —
-    16-bit key domain, no skew possible."""
+    16-bit key domain, no skew possible. Since round 9 the signatures
+    come from the stored artifact (lane-unpacked, bit-identical to
+    lsh_signatures); the oracle recomputes from raw embeddings, so a
+    stale record goes red."""
     emb = read_table(spark, sf_dir, "embeddings")
-    sig = lsh_signatures(valid_vectors(emb), 8, 4)
+    sig = unpack_sig_lanes(_load_or_build_lsh_sigs(spark, emb, sf_dir), 8, 4)
     buckets = sig.groupBy("table", "signature").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )

@@ -115,6 +115,36 @@ def test_pq_stored_codes_match_on_the_fly_encode(spark, sf_small):
     assert len(fly) > 0
 
 
+def test_lsh_sig_artifact_matches_pure_paths(spark, sf_small):
+    """All three LSH consumers fed the stored signature table must
+    return exactly what the per-run signature fold returns: the top-k
+    search, the near-dup pairs, and the lane-unpacked bucket profile."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import similarity as S
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    sigs = S._load_or_build_lsh_sigs(spark, emb, sf_small)
+
+    fly = S.lsh_topk_broadcast(emb, emb, k=5).collect()
+    stored = S.lsh_topk_broadcast(emb, emb, k=5, sig_table=sigs).collect()
+    assert fly == stored and len(fly) > 0
+
+    fly_p = embedding_near_dup_lsh(emb, threshold=0.4).collect()
+    stored_p = embedding_near_dup_lsh(emb, threshold=0.4, sig_table=sigs).collect()
+    assert fly_p == stored_p and len(fly_p) > 0
+
+    lanes = sorted(
+        map(tuple, S.unpack_sig_lanes(sigs, 8, 4).collect())
+    )
+    pure_lanes = sorted(
+        map(tuple, S.lsh_signatures(S.valid_vectors(emb), 8, 4).collect())
+    )
+    assert lanes == pure_lanes
+
+
 def test_ivf_shuffle_plan_hygiene(spark, sf_small):
     """ivf_topk_shuffle is not a registry entry, so the whole-registry
     hygiene gate never sees it — assert its plan directly: no
