@@ -1235,6 +1235,22 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (Lloyd training not SQL-expressible): the
+    NO-COLLECT IVF search — distributed probe sets
+    (:func:`_probe_sets_kernel`) + shuffle-side JVM scoring — i.e.
+    the plan a corpus-sized query side past ``_QUERY_COLLECT_CAP``
+    actually runs. Registered so it executes under bench, the
+    whole-registry plan-hygiene sweep, and the pathological-corpus
+    crash audit every round; row-equality with ann_topk_ivf's
+    collect-kernel plan is pytest-asserted on both k regimes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1)
+    return ivf_topk_shuffle(
+        emb, emb, k=10, n_clusters=16, nprobe=8, centroids=centroids
+    )
+
+
 def _load_or_train_quantizer(
     emb, sf_dir: str, n_clusters: int, iters: int
 ) -> list[list[float]]:
@@ -1904,6 +1920,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_lsh_bucket_profile": q_ann_lsh_bucket_profile,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_shuffle": q_ann_topk_ivf_shuffle,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_recall_report": q_ann_recall_report,
     "ann_ivf_largek_profile": q_ann_ivf_largek_profile,

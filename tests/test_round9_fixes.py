@@ -238,6 +238,39 @@ def test_simhash_drops_content_free_docs(spark):
     assert [(a, b) for a, b, _ in oracle] == [(4, 5)]
 
 
+def test_artifact_builders_cover_every_store_kind():
+    """bench's artifact_build block only stays honest if every
+    corpus_artifact kind in the codebase has a cold builder — a new
+    artifact family added without one would silently revert its build
+    cost to unmeasured. The kinds list is maintained here; extend BOTH
+    when adding a family."""
+    import inspect
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark import artifacts
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    known_kinds = {
+        "postings", "tfpostings", "minhashsig", "simhashfp", "jacpairs",
+        "ivf", "pq", "anntruth", "ivfassign", "pqcodes", "lshsig",
+    }
+    # every known kind has a builder whose name starts with it
+    src = inspect.getsource(artifacts)
+    missing = [k for k in known_kinds if f'"{k}' not in src]
+    assert not missing, f"artifact kinds with no cold builder: {missing}"
+    # and the codebase introduces no kind outside the known set
+    code = inspect.getsource(dedup) + inspect.getsource(similarity)
+    import re
+
+    for m in re.finditer(r'corpus_artifact\(\s*\n?\s*sf_dir,\s*\n?\s*"[a-z]+",\s*\n?\s*f?"([a-z]+)', code):
+        assert any(m.group(1).startswith(k) or k.startswith(m.group(1)) for k in known_kinds), (
+            f"new artifact kind {m.group(1)!r} — add a cold builder to "
+            "artifacts.py and extend known_kinds here"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Definition-hash tripwire (ADVICE r8: a forgotten changed_round bump
 # left stale driver evidence silently inside the gate window)
