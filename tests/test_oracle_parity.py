@@ -43,6 +43,8 @@ NON_SQL_WHITELIST: set[str] = {
     "dedup_simhash_pairs",
     "ann_topk_ivf",           # DATA-DEPENDENT training (Lloyd iterations over the corpus)
     "ann_topk_pq",            # — not expressible in a static SQL string; recall pytest-asserted
+    "ann_topk_ivf_shuffle",   # same Lloyd-trained quantizer; row-equality with ann_topk_ivf
+                              # pytest-asserted (test_round9_fixes), recall covered transitively
     "multimodal_features",    # mapInPandas path; equality tested in pytest
     "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
     "corpus_split_summary",   # xxhash64 split assignment; properties tested in pytest
