@@ -483,11 +483,165 @@ FROM agg ORDER BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA / whitening report (embedding preprocessing for training)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+
+
+def pca_report(emb: DataFrame, dim: int = _PCA_DIM) -> DataFrame:
+    """One-row PCA/whitening readiness report: the distributed part
+    computes the EXACT integer-scaled covariance of the embedding
+    matrix (the expensive O(N·d²) pass); the driver eigendecomposes
+    the resulting d×d matrix (numpy ``eigh`` on 64×64 — the same
+    driver-bounded-model shape as the IVF centroids) and the report
+    attests both halves:
+
+    - ``n_vectors`` / ``n_excluded`` (NULL, wrong-dim, NaN-bearing
+      vectors are excluded — a NaN poisons every cross-product it
+      touches) and ``total_var_r6`` replay EXACTLY in SQL: the trace
+      is accumulated as the all-integer ``Σ_i (n·P_ii − S_i²)``
+      (order-independent BIGINT sums — a float fold would diverge
+      across engines), divided once at the end in a pinned order.
+    - ``eig_ok`` (|Σλ − trace| ≤ 1e-9·max(trace,1)) and ``ortho_ok``
+      (max|VᵀV − I| ≤ 1e-8) are the eigendecomposition's invariants,
+      asserted TRUE by the oracle — numerically meaningful because
+      the eigenvalue sum is checked against the INDEPENDENTLY
+      SQL-replayed trace.
+
+    Scale shape: per vector the nested HOF emits the d(d+1)/2 = 2080
+    upper-triangle products as ONE constant-size expression (the
+    scaled array is materialized to a column first — the _bind
+    lesson, so the plan holds one reference, not 4160 inlined
+    copies); the aggregation map-side combines onto 2080 (i,j) keys,
+    so shuffle volume is partitions×2080 rows regardless of N. Only
+    the d×d sums reach the driver. At int64 limits (Σ n·s⁴ terms),
+    ~1e10 rows of unit-scale embeddings fit; past that the sums move
+    to DECIMAL(38,0) unchanged in shape. Whitening itself is then a
+    broadcast matmul of the collected rotation — downstream numpy/
+    Arrow work this report gates."""
+    import numpy as np
+
+    clean = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == dim)
+        & ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+    )
+    spark = emb.sparkSession
+    n_total = emb.count()
+    sc = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+    )
+    base = clean.select(sc.alias("__sc"))
+    n = base.count()
+    if n == 0:
+        rows = [(0, n_total, dim, 0.0, True, True)]
+    else:
+        i_seq = F.sequence(F.lit(0), F.lit(dim - 1))
+        pairs = F.flatten(
+            F.transform(
+                i_seq,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            F.element_at(F.col("__sc"), (i + 1).cast("int"))
+                            * F.element_at(F.col("__sc"), (j + 1).cast("int"))
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+        prods = (
+            base.select(F.explode(pairs).alias("t"))
+            .select("t.i", "t.j", "t.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("p"))
+            .collect()
+        )
+        s1 = (
+            base.select(F.posexplode("__sc").alias("i", "s"))
+            .groupBy("i")
+            .agg(F.sum("s").alias("s1"))
+            .collect()
+        )
+        P = np.zeros((dim, dim), dtype=np.int64)
+        for r in prods:
+            P[r["i"], r["j"]] = r["p"]
+            P[r["j"], r["i"]] = r["p"]
+        S = np.zeros(dim, dtype=np.int64)
+        for r in s1:
+            S[r["i"]] = r["s1"]
+        # trace in EXACT integers, single pinned-order division chain
+        # (ts/n/n/1e8 — the oracle spells the same left-assoc chain).
+        ts = int((int(n) * P.diagonal().astype(object) - S.astype(object) ** 2).sum())
+        # float(ts) FIRST (== the oracle's CAST(ts AS DOUBLE)): ts can
+        # exceed 2^53, where Python's exact big-int division and
+        # DuckDB's cast-then-divide differ in the last ulp.
+        total_var = float(ts) / n / n / 1e8
+        tv_r6 = np.floor(total_var * 1e6 + 0.5) / 1e6
+        # covariance in float for the eigendecomposition only
+        C = (P / n - np.multiply.outer(S / n, S / n)) / 1e8
+        w, v = np.linalg.eigh(C)
+        eig_ok = bool(abs(w.sum() - total_var) <= 1e-9 * max(total_var, 1.0))
+        ortho_ok = bool(np.abs(v.T @ v - np.eye(dim)).max() <= 1e-8)
+        rows = [(n, n_total - n, dim, float(tv_r6), eig_ok, ortho_ok)]
+    return spark.createDataFrame(
+        rows,
+        "n_vectors long, n_excluded long, dim int, total_var_r6 double, "
+        "eig_ok boolean, ortho_ok boolean",
+    )
+
+
+def q_embedding_pca_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_report(read_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_PCA_REPORT = f"""
+WITH v AS (
+  SELECT embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}
+    AND len([y for y in embedding if isnan(CAST(y AS DOUBLE))]) = 0
+),
+tot AS (SELECT COUNT(*) AS n_total FROM embeddings),
+sc AS (
+  SELECT [CAST(FLOOR(CAST(y AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          for y in embedding] AS s
+  FROM v
+),
+expl AS (SELECT generate_subscripts(s, 1) AS i, unnest(s) AS si FROM sc),
+agg AS (
+  SELECT i, CAST(SUM(si) AS BIGINT) AS s1,
+         CAST(SUM(si * si) AS BIGINT) AS pii
+  FROM expl GROUP BY i
+),
+n AS (SELECT COUNT(*) AS n FROM v),
+tr AS (
+  SELECT CAST(SUM(n.n * pii - s1 * s1) AS BIGINT) AS ts
+  FROM agg, n
+)
+SELECT CAST(n.n AS BIGINT) AS n_vectors,
+       CAST(tot.n_total - n.n AS BIGINT) AS n_excluded,
+       {_PCA_DIM} AS dim,
+       CASE WHEN n.n = 0 THEN 0.0 ELSE
+         FLOOR(CAST(tr.ts AS DOUBLE) / n.n / n.n / 1e8 * 1e6 + 0.5) / 1e6
+       END AS total_var_r6,
+       TRUE AS eig_ok,
+       TRUE AS ortho_ok
+FROM n, tot, tr
+"""
+
+
 QUERIES = {
     "embedding_integrity_audit": q_embedding_integrity_audit,
     "embedding_quantize_report": q_embedding_quantize_report,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "embedding_pca_report": q_embedding_pca_report,
 }
 
 ORACLES = {
@@ -495,4 +649,5 @@ ORACLES = {
     "embedding_quantize_report": ORACLE_QUANTIZE,
     "embedding_semantic_dedup": ORACLE_SEMDEDUP,
     "embedding_dim_stats": ORACLE_DIM_STATS,
+    "embedding_pca_report": ORACLE_PCA_REPORT,
 }

@@ -238,6 +238,52 @@ def test_simhash_drops_content_free_docs(spark):
     assert [(a, b) for a, b, _ in oracle] == [(4, 5)]
 
 
+# ---------------------------------------------------------------------------
+# PCA / whitening report
+# ---------------------------------------------------------------------------
+
+
+def test_pca_report_matches_numpy_and_survives_pathology(spark):
+    """The distributed integer-exact covariance trace must equal the
+    plain numpy population variance, and NULL / wrong-dim /
+    NaN-bearing vectors must be excluded (counted), never poison the
+    sums or abort the job."""
+    import numpy as np
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+        pca_report,
+    )
+
+    rng = np.random.RandomState(3)
+    good = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in good[i]], 0) for i in range(40)]
+    rows.append((100, None, 0))                           # NULL
+    rows.append((101, [1.0] * 8, 0))                      # wrong dim
+    bad = [1.0] * 64
+    bad[7] = float("nan")
+    rows.append((102, bad, 0))                            # NaN-bearing
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = pca_report(emb).collect()[0]
+    assert r["n_vectors"] == 40 and r["n_excluded"] == 3
+    assert r["eig_ok"] is True and r["ortho_ok"] is True
+    # numpy twin on the SAME integer-scaled values the pipeline sums
+    sc = np.floor(good.astype(np.float64) * 1e4 + 0.5)
+    expect = (sc.var(axis=0).sum()) / 1e8
+    assert abs(r["total_var_r6"] - expect) < 1e-5
+
+
+def test_pca_report_empty_corpus(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.vectors import (
+        pca_report,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    r = pca_report(emb).collect()[0]
+    assert tuple(r) == (0, 0, 64, 0.0, True, True)
+
+
 def test_artifact_builders_cover_every_store_kind():
     """bench's artifact_build block only stays honest if every
     corpus_artifact kind in the codebase has a cold builder — a new
