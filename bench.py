@@ -74,6 +74,20 @@ def main() -> None:
         "overwrite"
     ).save()
     release_persisted()
+    # Python-worker warmup (round-10 fix): the canary above warms JVM
+    # codegen but NOT the Arrow/Python worker pool — forking + first
+    # imports cost ~4.3 s (measured), and the alphabetical order made
+    # the first mapInPandas query (an ann_* entry) absorb it. One
+    # trivial 1-row-per-core mapInPandas job pays it before the clock.
+    import pandas as _pd
+
+    def _noop_batches(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({"x": pdf["id"]})
+
+    spark.range(0, 32, 1, 32).mapInPandas(_noop_batches, "x long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     load_start = os.getloadavg()
     load1: dict[str, float] = {}

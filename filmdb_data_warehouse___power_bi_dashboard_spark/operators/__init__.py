@@ -26,6 +26,7 @@ from . import (  # noqa: E402
     asof,
     cdc,
     chunking,
+    frequent,
     funnel,
     health,
     lm,
@@ -46,6 +47,7 @@ for _mod in (
     text,
     multimodal,
     asof,
+    frequent,
     sampling,
     quality,
     cdc,

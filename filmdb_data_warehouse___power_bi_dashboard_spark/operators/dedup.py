@@ -697,6 +697,36 @@ def minhash_signatures(
     return _spread(docs).where(F.size(sh) > 0).select("doc_id", sig.alias("sig"))
 
 
+def _band_frame(
+    sigs: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """(doc_id, sig, band, bucket) — one row per document per band,
+    bucket = hash of that band's signature slice. Shared by the
+    self-join pair finder and the incremental index probe."""
+    rows_per_band = num_hashes // bands
+    bucket_hash = h60 if portable else (lambda s: F.xxhash64(s))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                bucket_hash(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -726,37 +756,13 @@ def minhash_lsh_pairs(
     entries that each used to recompute shingle→signature from
     scratch (the portable md5 family alone was 60 s of BENCH_r07).
     """
-    rows_per_band = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures(docs, num_hashes, n, portable=portable)
-    bucket_hash = h60 if portable else (lambda s: F.xxhash64(s))
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                bucket_hash(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", i * rows_per_band + j + 1).cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = (
-        sigs.select("doc_id", "sig", F.explode(band_arr).alias("bb"))
-        .select(
-            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
+    banded = track_persist(
         # Both sides of the bucket self-join read this frame: persist
         # so the signature computation runs once, not twice.
-        .persist()
+        _band_frame(sigs, num_hashes, bands, portable).persist()
     )
-    banded = track_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -979,6 +985,297 @@ SELECT COUNT(*) AS n_pairs,
            "CAST(SUM(err_mu) AS DOUBLE) / COUNT(*) / 1e6", 4)} AS mean_abs_err
 FROM mu
 HAVING COUNT(*) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the daily-ingest pattern: a NEW batch of
+# documents probes the EXISTING corpus index instead of re-running
+# all-corpus dedup. At 100 TB this is the only affordable steady
+# state: the historical side's signatures/band buckets are served
+# from the corpus-versioned artifact store (built once per corpus
+# version), and each ingest shuffles only the new batch's
+# (band, bucket, doc_id) rows against the index buckets.
+# ---------------------------------------------------------------------------
+
+# Deterministic batch membership for the registry entry: doc_id % 10
+# == 7 plays the "today's ingest" role (~10% of the corpus), the rest
+# is the indexed historical corpus. Modulo (not a range cutoff) keeps
+# the batch spread across the id space at any SF.
+_INCR_MOD = 10
+_INCR_SLOT = 7
+
+
+def minhash_probe_pairs(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-side LSH probe: (new_doc, old_doc, est_jaccard) for every
+    batch document that lands in an index document's band bucket with
+    estimated Jaccard ≥ threshold. Unlike :func:`minhash_lsh_pairs`
+    there is no self-join — ONLY batch×index bucket collisions expand,
+    so ingest cost is bounded by the new batch's bucket occupancy, not
+    the corpus size."""
+    bi = _band_frame(index_sigs, num_hashes, bands, portable).alias("x")
+    bb = _band_frame(batch_sigs, num_hashes, bands, portable).alias("q")
+    cand = (
+        bb.join(
+            bi,
+            (F.col("q.band") == F.col("x.band"))
+            & (F.col("q.bucket") == F.col("x.bucket")),
+        )
+        .select(
+            F.col("q.doc_id").alias("new_doc"),
+            F.col("x.doc_id").alias("old_doc"),
+            F.col("q.sig").alias("sig_a"),
+            F.col("x.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (
+        cand.select("new_doc", "old_doc", round_half_up(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-document ingest verdict: how many indexed near-dups the
+    document collides with, its best match (smallest old doc_id among
+    the highest-estimate matches — deterministic), and the dup flag.
+    Signatures for BOTH sides come from the portable md5 artifact
+    (:func:`_materialized_minhash_sigs`); the oracle replays the whole
+    pipeline from raw text, so artifact staleness goes red. No-match
+    documents use non-NULL sentinels (best_match -1, best_est 0.0) —
+    the gate comparator rejects NULL numerics by design."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = _materialized_minhash_sigs(spark, sf_dir, portable=True)
+    is_batch = F.pmod(F.col("doc_id"), F.lit(_INCR_MOD)) == F.lit(_INCR_SLOT)
+    matches = minhash_probe_pairs(
+        sigs.where(~is_batch),
+        sigs.where(is_batch),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        portable=True,
+    )
+    best = matches.groupBy("new_doc").agg(
+        F.count("*").alias("n_matches"), F.max("est_jaccard").alias("best_est")
+    )
+    best_match = (
+        matches.join(best, "new_doc")
+        .where(F.col("est_jaccard") == F.col("best_est"))
+        .groupBy("new_doc", "n_matches", "best_est")
+        .agg(F.min("old_doc").alias("best_match"))
+    )
+    batch_docs = docs.where(is_batch).select(F.col("doc_id").alias("new_doc"))
+    return (
+        batch_docs.join(F.broadcast(best_match), "new_doc", "left")
+        .select(
+            "new_doc",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("best_match"), F.lit(-1)).cast("long").alias("best_match"),
+            F.coalesce(F.col("best_est"), F.lit(0.0)).alias("best_est"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+ORACLE_INCREMENTAL_MINHASH = f"""
+WITH {_minhash_portable_ctes()},
+m AS (
+  SELECT CASE WHEN doc_a % {_INCR_MOD} = {_INCR_SLOT} THEN doc_a ELSE doc_b END AS new_doc,
+         CASE WHEN doc_a % {_INCR_MOD} = {_INCR_SLOT} THEN doc_b ELSE doc_a END AS old_doc,
+         est_jaccard
+  FROM est
+  WHERE (doc_a % {_INCR_MOD} = {_INCR_SLOT}) <> (doc_b % {_INCR_MOD} = {_INCR_SLOT})
+    AND est_jaccard >= 0.5
+),
+b AS (
+  SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX(est_jaccard) AS best_est
+  FROM m GROUP BY new_doc
+),
+bm AS (
+  SELECT m.new_doc, b.n_matches, b.best_est,
+         MIN(m.old_doc) AS best_match
+  FROM m JOIN b ON m.new_doc = b.new_doc AND m.est_jaccard = b.best_est
+  GROUP BY m.new_doc, b.n_matches, b.best_est
+)
+SELECT d.doc_id AS new_doc,
+       CAST(COALESCE(bm.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(bm.best_match, -1) AS BIGINT) AS best_match,
+       COALESCE(bm.best_est, 0.0) AS best_est,
+       COALESCE(bm.n_matches, 0) > 0 AS is_dup
+FROM documents d LEFT JOIN bm ON bm.new_doc = d.doc_id
+WHERE d.doc_id % {_INCR_MOD} = {_INCR_SLOT}
+ORDER BY new_doc
+"""
+
+
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the portable minhash LSH pairs
+    rolled up by UNORDERED source pair — "which crawls/dumps duplicate
+    which" is the first question a corpus audit asks before deciding
+    what to drop. mean_est rides an exact integer basis-point sum
+    (est_jaccard is pre-rounded to 4 decimals, so ``est*1e4`` is an
+    integer) — a float AVG would be partial-sum-order dependent.
+
+    Scale shape: the pair list is tiny next to the corpus; the only
+    new work over the pair artifact is two broadcast-able joins onto
+    (doc_id, source) and one hash agg on a |sources|² key domain."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = _materialized_minhash_sigs(spark, sf_dir, portable=True)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.5, portable=True, sigs=sigs
+    )
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.floor(F.col("est_jaccard") * 1e4 + F.lit(0.5)).cast("long").alias("__bp"),
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            round_half_up(
+                F.sum("__bp").cast("double") / F.count("*") / 1e4, 4
+            ).alias("mean_est"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH {_minhash_portable_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(FLOOR(p.est_jaccard * 1e4 + 0.5) AS BIGINT) AS bp
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_round_half_up("CAST(SUM(bp) AS DOUBLE) / COUNT(*) / 1e4", 4)} AS mean_est
+FROM tagged
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical-document selection: within every
+    near-dup cluster (Jaccard-0.6 components, the dedup_clusters
+    graph) keep the HIGHEST-quality member (text.quality score; ties
+    → smallest doc_id) and mark the rest as drops — real pipelines
+    keep the best copy, not the first-seen one.
+
+    All-aggregate spelling (per-cluster max quality, then min doc_id
+    among the argmax ties): no per-cluster window, so a degenerate
+    giant cluster (shared boilerplate) costs two bounded hash aggs,
+    never a within-cluster sort. Quality is never NULL here — docs
+    with empty/NULL text have no shingles, hence no pairs, hence no
+    cluster membership — but both engines coalesce to 0.0 anyway so
+    the invariant is belt-and-braces, not load-bearing."""
+    from .text import _quality_expr, _words
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _materialized_jaccard_pairs(spark, sf_dir, threshold=0.6, n=3)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    quality = docs.select(
+        "doc_id",
+        F.coalesce(round_half_up(_quality_expr(_words()), 4), F.lit(0.0)).alias(
+            "quality_score"
+        ),
+    )
+    members = comp.join(quality, "doc_id")
+    mx = members.groupBy("cluster_id").agg(F.max("quality_score").alias("__q_max"))
+    keepers = (
+        members.join(F.broadcast(mx), "cluster_id")
+        .where(F.col("quality_score") == F.col("__q_max"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("__keeper"))
+    )
+    return (
+        members.join(F.broadcast(keepers), "cluster_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "quality_score",
+            (F.col("doc_id") == F.col("__keeper")).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _oracle_keep_policy() -> str:
+    from .text import _P_QUALITY
+
+    return f"""
+WITH RECURSIVE d AS ({_SH_D_CTE}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_JAC_GUARD} AND {_JAC} >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id,
+         COALESCE({_P_QUALITY}, 0.0) AS quality_score
+  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
+),
+mx AS (
+  SELECT cluster_id, MAX(quality_score) AS q_max FROM members GROUP BY 1
+),
+keepers AS (
+  SELECT m.cluster_id, MIN(m.doc_id) AS keeper
+  FROM members m JOIN mx ON m.cluster_id = mx.cluster_id
+  WHERE m.quality_score = mx.q_max
+  GROUP BY m.cluster_id
+)
+SELECT m.cluster_id, m.doc_id, m.quality_score,
+       m.doc_id = k.keeper AS keep
+FROM members m JOIN keepers k ON m.cluster_id = k.cluster_id
+ORDER BY m.cluster_id, m.doc_id
 """
 
 
@@ -1711,6 +2008,9 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_minhash_quality": q_dedup_minhash_quality,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "dedup_source_overlap": q_dedup_source_overlap,
+    "dedup_keep_policy": q_dedup_keep_policy,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -1724,6 +2024,9 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_portable": ORACLE_MINHASH_PORTABLE,
     "dedup_minhash_quality": ORACLE_MINHASH_QUALITY,
+    "dedup_incremental_minhash": ORACLE_INCREMENTAL_MINHASH,
+    "dedup_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "dedup_keep_policy": _oracle_keep_policy(),
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "dedup_embedding_lsh": _oracle_embedding_lsh(),

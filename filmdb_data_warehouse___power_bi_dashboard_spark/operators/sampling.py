@@ -159,10 +159,10 @@ def q_corpus_split_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_split_case(salt: str = "split-v1") -> str:
+def _sql_split_case(salt: str = "split-v1", col: str = "doc_id") -> str:
     edges = split_thresholds(_SPLIT_WEIGHTS)
     b = (
-        f"CAST('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({col} AS VARCHAR)), 1, 15)"
         f" AS BIGINT) % {_BUCKETS}"
     )
     whens = " ".join(
@@ -179,6 +179,255 @@ SELECT {_sql_split_case()} AS split, lang,
 FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (cluster-aware) split — the hash split above is stable
+# and cross-table leak-free, but it still lets two NEAR-DUPLICATE
+# documents land in different splits: a test document whose near-twin
+# sits in train leaks the answer. The standard fix (The Pile / C4 /
+# GPT-3 appendix-A style decontamination turned inside out) is to
+# split at the granularity of near-dup CLUSTERS: every connected
+# component of the near-dup pair graph is assigned to ONE split, so no
+# pair can ever cross a split boundary.
+# ---------------------------------------------------------------------------
+
+_LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LEAK_SALT = "leak-split-v1"
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    salt: str = _LEAK_SALT,
+) -> DataFrame:
+    """Assign each document a split so that near-duplicate documents
+    (any two connected through ``pairs``) always share it.
+
+    Unit of assignment = the connected component of the pair graph
+    (cluster id = smallest reachable doc_id, from
+    :func:`..operators.dedup.connected_components`); unpaired docs are
+    their own singleton group. The group id — not the doc id — feeds
+    the portable md5 hash bucket, so the assignment stays
+    recompute-stable AND cluster-atomic.
+
+    Scale shape: the pair graph is tiny next to the corpus (it holds
+    only near-dups), components cost O(|E|) shuffle per propagation
+    round, and the split itself is a scan-level predicate on the
+    joined group id — docs text never shuffles.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+    grouped = docs.join(comp, "doc_id", "left").withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col("doc_id"))
+    )
+    return deterministic_split(
+        grouped, ["group_id"], weights, salt=salt, portable=True
+    )
+
+
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split over the exact n-gram Jaccard
+    near-dup graph (threshold 0.6 — the same artifact-backed pair set
+    dedup_clusters consumes), summarized per split with its own leak
+    audit: ``cross_split_pairs`` counts near-dup pairs whose endpoints
+    landed in different splits, and is 0 BY CONSTRUCTION — the oracle
+    recomputes pairs, components, and assignment from raw text, so the
+    driver hash attests the guarantee, not just the counts."""
+    from .dedup import _materialized_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _materialized_jaccard_pairs(spark, sf_dir, threshold=0.6, n=3)
+    assigned = leakage_safe_split(docs, pairs, _LEAK_WEIGHTS, _LEAK_SALT)
+    lab = assigned.select("doc_id", "split")
+    leak = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("split_a") != F.col("split_b")).cast("long")),
+                F.lit(0),
+            ).alias("cross_split_pairs"),
+        )
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count("*").alias("nb_docs"),
+        F.countDistinct("group_id").alias("nb_groups"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "nb_docs",
+            "nb_groups",
+            "total_chars",
+            "n_pairs",
+            "cross_split_pairs",
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    from .dedup import _JAC, _JAC_GUARD, _SH_D_CTE
+
+    split_case = _sql_split_case(_LEAK_SALT, col="group_id")
+    return f"""
+WITH RECURSIVE d AS ({_SH_D_CTE}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_JAC_GUARD} AND {_JAC} >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS group_id
+  FROM reach GROUP BY a
+),
+grouped AS (
+  SELECT doc.doc_id, doc.n_chars,
+         COALESCE(l.group_id, doc.doc_id) AS group_id
+  FROM documents doc LEFT JOIN labels l ON l.doc_id = doc.doc_id
+),
+assigned AS (
+  SELECT doc_id, n_chars, group_id, {split_case} AS split FROM grouped
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS cross_split_pairs
+  FROM pairs p
+  JOIN assigned x ON p.doc_a = x.doc_id
+  JOIN assigned y ON p.doc_b = y.doc_id
+)
+SELECT s.split,
+       COUNT(*) AS nb_docs,
+       CAST(COUNT(DISTINCT s.group_id) AS BIGINT) AS nb_groups,
+       CAST(SUM(s.n_chars) AS BIGINT) AS total_chars,
+       leak.n_pairs AS n_pairs,
+       leak.cross_split_pairs AS cross_split_pairs
+FROM assigned s CROSS JOIN leak
+GROUP BY s.split, leak.n_pairs, leak.cross_split_pairs
+ORDER BY s.split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum eval sample — "pick k held-out documents
+# from every (source, lang) stratum" is how eval/calibration sets get
+# built. The naive spelling — ROW_NUMBER() PARTITION BY stratum ORDER
+# BY hash — shuffles EVERY row of a stratum to one task; at 100 TB a
+# stratum is billions of rows, so that window is the job. Two-phase
+# instead:
+#   1. stratum sizes (tiny agg) → per-stratum hash cutoff chosen so
+#      the expected survivor count is OVERSAMPLE·k (uniform hash ⇒
+#      Poisson(OVERSAMPLE·k) survivors; at OVERSAMPLE=16, k=4 the
+#      probability of fewer than k survivors is < 1e-20);
+#   2. the cutoff rides a broadcast join as a scan-level predicate,
+#      and the window runs over survivors only — ~64 rows/stratum
+#      whatever the corpus size.
+# Both phases are pure functions of the data (md5 bucket), so the
+# sample is recompute-stable and fully replayable by the SQL oracle —
+# the cutoff is a DETERMINISTIC device, not a statistical one.
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 4
+_EVAL_OVERSAMPLE = 16
+_EVAL_SALT = "eval-v1"
+
+
+def eval_sample(
+    docs: DataFrame,
+    strata: list[str],
+    k: int = _EVAL_K,
+    oversample: int = _EVAL_OVERSAMPLE,
+    salt: str = _EVAL_SALT,
+) -> DataFrame:
+    """k docs per stratum: the k smallest md5-bucket values, ties
+    broken by doc_id. Strata smaller than k contribute all their
+    docs."""
+    from pyspark.sql import Window
+
+    target = float(k * oversample)
+    sizes = docs.groupBy(*strata).agg(F.count("*").alias("__sz"))
+    cutoff = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.ceil(F.lit(float(_BUCKETS)) * F.lit(target) / F.col("__sz")),
+    )
+    b = _bucket(["doc_id"], salt, portable=True)
+    survivors = (
+        docs.withColumn("__bucket", b)
+        .join(F.broadcast(sizes.withColumn("__cut", cutoff)), strata)
+        .where(F.col("__bucket") < F.col("__cut"))
+    )
+    w = Window.partitionBy(*strata).orderBy("__bucket", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*strata, F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy(*strata, "rk")
+    )
+
+
+def q_corpus_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return eval_sample(docs, ["source", "lang"])
+
+
+def _oracle_eval_sample() -> str:
+    b = (
+        f"CAST('0x' || substr(md5('{_EVAL_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {_BUCKETS}"
+    )
+    target = float(_EVAL_K * _EVAL_OVERSAMPLE)
+    return f"""
+WITH s AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2
+),
+b AS (
+  SELECT doc_id, source, lang, {b} AS bucket FROM documents
+),
+f AS (
+  SELECT b.doc_id, b.source, b.lang, b.bucket
+  FROM b JOIN s ON b.source = s.source AND b.lang = s.lang
+  WHERE b.bucket < LEAST({_BUCKETS}, CAST(CEIL({float(_BUCKETS)} * {target} / s.sz) AS BIGINT))
+)
+SELECT source, lang, rk, doc_id
+FROM (
+  SELECT source, lang, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY bucket, doc_id)
+              AS BIGINT) AS rk
+  FROM f
+)
+WHERE rk <= {_EVAL_K}
+ORDER BY source, lang, rk
 """
 
 
@@ -248,10 +497,14 @@ ORDER BY epoch, position
 QUERIES = {
     "corpus_split_summary": q_corpus_split_summary,
     "corpus_split_portable": q_corpus_split_portable,
+    "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
+    "corpus_eval_sample": q_corpus_eval_sample,
     "corpus_epoch_order": q_corpus_epoch_order,
 }
 
 ORACLES: dict = {
     "corpus_split_portable": ORACLE_SPLIT_PORTABLE,
+    "corpus_leakage_safe_split": _oracle_leakage_safe_split(),
+    "corpus_eval_sample": _oracle_eval_sample(),
     "corpus_epoch_order": ORACLE_EPOCH_ORDER,
 }

@@ -183,6 +183,51 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: detected vs declared language,
+    with each cell's share of its declared-language row — the accuracy
+    evidence for the n-gram langid heuristic, as a queryable table
+    instead of a one-off eval script. The share window runs over the
+    AGGREGATED |langs|² frame (bounded domain), never the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    cells = (
+        language_id(docs)
+        .groupBy("lang_declared", "lang_detected")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_declared")
+    return (
+        cells.withColumn(
+            "row_share",
+            round_half_up(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+            ),
+        )
+        .orderBy("lang_declared", "lang_detected")
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_declared,
+         {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM documents
+),
+cells AS (
+  SELECT lang_declared, {_SQL_DETECT} AS lang_detected,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang_declared, lang_detected, n_docs,
+       {sql_round_half_up(
+           "CAST(n_docs AS DOUBLE)"
+           " / CAST(SUM(n_docs) OVER (PARTITION BY lang_declared) AS DOUBLE)", 4)}
+       AS row_share
+FROM cells
+ORDER BY lang_declared, lang_detected
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-text docs have no profile (every count would be NULL — and
     # a NULL in an int output column is unrepresentable under the
@@ -648,6 +693,7 @@ ORACLE_PIPELINE_FUNNEL = _funnel_oracle()
 
 QUERIES = {
     "text_language_id": q_text_language_id,
+    "text_langid_confusion": q_text_langid_confusion,
     "text_profile": q_text_profile,
     "text_fingerprint_clusters": q_text_fingerprint_clusters,
     "text_search": q_text_search,
@@ -659,6 +705,7 @@ QUERIES = {
 
 ORACLES = {
     "text_language_id": ORACLE_LANGUAGE_ID,
+    "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_profile": ORACLE_TEXT_PROFILE,
     "text_fingerprint_clusters": ORACLE_FINGERPRINT,
     "text_search": ORACLE_TEXT_SEARCH,
