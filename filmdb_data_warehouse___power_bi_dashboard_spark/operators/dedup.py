@@ -1187,6 +1187,69 @@ ORDER BY source_a, source_b
 """
 
 
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (smallest
+    doc_id) is this document — the "how much genuinely new content
+    does each doc contribute in ingestion order" curation signal
+    (high novelty → keep; near-zero → boilerplate/recombination).
+
+    Scale shape: shingles are reduced to 60-bit md5 hashes BEFORE the
+    shuffle (text never shuffles; the oracle replays the same h60, so
+    hash collisions — which conflate shingles identically on both
+    engines — are part of the defined semantics, not noise). First
+    occurrence is a map-side-combined MIN per hash; the join back is
+    hash-partitioned on the same key, and the per-doc rollup is a
+    second combined agg. Linear shuffle in total shingle count — the
+    same cost class as the posting-list build. Sub-3-token docs have
+    no shingles and are absent on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _spread(docs).select(
+        "doc_id", F.explode(_shingles(n=3)).alias("s")
+    )
+    hashed = sh.select("doc_id", h60(F.col("s")).alias("h"))
+    first = hashed.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        hashed.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            round_half_up(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH d AS ({_SH_D_CTE}),
+sh AS (
+  SELECT doc_id, {sql_h60('s')} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0)
+),
+f AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       {sql_round_half_up(
+           "CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / COUNT(*)", 4)} AS novelty
+FROM sh JOIN f ON sh.h = f.h
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical-document selection: within every
     near-dup cluster (Jaccard-0.6 components, the dedup_clusters
@@ -2011,6 +2074,7 @@ QUERIES = {
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_source_overlap": q_dedup_source_overlap,
     "dedup_keep_policy": q_dedup_keep_policy,
+    "text_ngram_novelty": q_text_ngram_novelty,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -2027,6 +2091,7 @@ ORACLES = {
     "dedup_incremental_minhash": ORACLE_INCREMENTAL_MINHASH,
     "dedup_source_overlap": ORACLE_SOURCE_OVERLAP,
     "dedup_keep_policy": _oracle_keep_policy(),
+    "text_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "dedup_embedding_lsh": _oracle_embedding_lsh(),

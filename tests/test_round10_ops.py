@@ -181,6 +181,41 @@ def test_probe_pairs_equal_full_pipeline_cross_side(spark, sf_small):
 
 
 # ---------------------------------------------------------------------------
+# Plan shapes — the scale claims above, asserted on the executed plan.
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_heavy_hitter_recount_join_is_broadcast(spark, sf_small):
+    """The exact recount must semi-join the tiny candidate set into
+    the token stream as a broadcast — a SortMergeJoin here would
+    shuffle the full tail, defeating the design."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.frequent import (
+        q_text_heavy_hitters,
+    )
+
+    plan = _plan(q_text_heavy_hitters(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_eval_sample_cutoff_join_is_broadcast(spark, sf_small):
+    """The per-stratum cutoff must reach the scan as a broadcast join
+    (stratum-size table is tiny); the corpus must never shuffle to
+    fetch its cutoff."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        q_corpus_eval_sample,
+    )
+
+    plan = _plan(q_corpus_eval_sample(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Per-stratum eval sample
 # ---------------------------------------------------------------------------
 
