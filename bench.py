@@ -89,7 +89,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    def _cpu_ticks() -> tuple[int, int]:
+        """(steal_ticks, total_ticks) from /proc/stat — hypervisor
+        steal is the one host condition loadavg cannot see (round-10:
+        18% steal measured under load on an overcommitted host turned
+        random queries 3-16x slower while loadavg looked normal)."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8]), sum(int(x) for x in parts[1:])
+        except (OSError, IndexError, ValueError):
+            return 0, 0
+
     load_start = os.getloadavg()
+    steal0, ticks0 = _cpu_ticks()
     load1: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in sorted(reg.items()):
@@ -117,6 +130,12 @@ def main() -> None:
     canary_end = round(time.perf_counter() - t0, 3)
     release_persisted()
     load_end = os.getloadavg()
+    steal1, ticks1 = _cpu_ticks()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(ticks1 - ticks0, 1), 1)
+        if ticks1 > ticks0
+        else None
+    )
 
     # Scale-exponent spot check (round-8 addition): the 10 heaviest
     # queries of this run, re-timed WARM at both this SF and sf0.01 in
@@ -180,6 +199,7 @@ def main() -> None:
             {"detail": "per_query_wall", "unit": "sec", "total": total,
              "sf": sf_num, "queries": times, "load1_after_query": load1,
              "scale_check_vs_sf0_01": scale_check,
+             "cpu_steal_pct": steal_pct,
              "artifact_build": artifact_build,
              "artifact_build_total_sec": artifact_build_total},
             f, indent=1, sort_keys=True,
@@ -220,6 +240,7 @@ def main() -> None:
                 "artifact_build_total_sec": artifact_build_total,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in load_end],
+                "cpu_steal_pct": steal_pct,
             }
         )
     )
