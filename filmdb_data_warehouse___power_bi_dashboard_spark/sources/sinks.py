@@ -94,3 +94,73 @@ def stage_and_swap_write(
 
 def read_warehouse_table(spark: SparkSession, dw_root: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(dw_root, name))
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key_cols: str | list[str],
+) -> int:
+    """Targeted row deletion (GDPR erasure / retention enforcement):
+    rewrite the table without any row whose key appears in ``keys``,
+    via the atomic stage-and-swap. Returns the number of rows removed.
+
+    The relational DELETE the reference gets from Postgres, re-spelled
+    for immutable parquet: an anti-join (key list broadcast — erasure
+    request batches are small next to the table) + full rewrite. At
+    100 TB the rewrite narrows to affected partitions only: filter the
+    key list per partition value and rewrite just those directories
+    (the same changed-partition pattern as etl_incremental_agg_refresh);
+    Delta/Iceberg deletion vectors are the managed-table spelling.
+    """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    table = spark.read.parquet(table_path)
+    before = table.count()
+    kept = table.join(F.broadcast(keys.select(*cols).distinct()), on=cols, how="left_anti")
+    kept = kept.persist()
+    after = kept.count()  # materialize BEFORE the swap unlinks the input files
+    stage_and_swap_write(kept, table_path)
+    kept.unpersist()
+    return before - after
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Small-file compaction (the maintenance job every streaming /
+    incremental sink eventually needs — micro-batch appends leave
+    thousands of KB-sized files whose per-file open/footer cost
+    dominates scans): rewrite the table into ``ceil(rows/target)``
+    files via the atomic stage-and-swap. Returns (files_before,
+    files_after).
+
+    ``repartition`` (round-robin), not ``coalesce``: coalesce narrows
+    the plan and can skew output sizes by input locality; a compaction
+    job WANTS the shuffle — it runs off-peak, and even output files
+    are the point. At 100 TB this runs per-partition-directory with
+    the same swap, compacting only partitions whose file count drifted
+    past a threshold.
+    """
+    table = spark.read.parquet(table_path)
+    n_before = sum(
+        1
+        for root, _dirs, files in os.walk(table_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    rows = table.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    compacted = table.repartition(n_files).persist()
+    compacted.count()  # materialize BEFORE the swap unlinks the input files
+    stage_and_swap_write(compacted, table_path)
+    compacted.unpersist()
+    n_after = sum(
+        1
+        for root, _dirs, files in os.walk(table_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return n_before, n_after

@@ -181,6 +181,44 @@ def test_probe_pairs_equal_full_pipeline_cross_side(spark, sf_small):
 
 
 # ---------------------------------------------------------------------------
+# Warehouse maintenance: delete-by-keys, small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_delete_by_keys_removes_exactly_requested(spark, tmp_path):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+        delete_by_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(path)
+    keys = spark.createDataFrame([(3,), (7,), (99,), (1000,)], "id long")
+    removed = delete_by_keys(spark, path, keys, "id")
+    assert removed == 3  # 1000 was never present
+    left = spark.read.parquet(path)
+    assert left.count() == 97
+    assert left.where(F.col("id").isin(3, 7, 99)).count() == 0
+    # untouched rows keep their values
+    assert left.where((F.col("id") == 5) & (F.col("v") == 10)).count() == 1
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    # simulate micro-batch appends: 12 tiny files
+    for i in range(12):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(path)
+    before, after = compact_small_files(spark, path, target_rows_per_file=1000)
+    assert before >= 12
+    assert after == 1
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(120))
+
+
+# ---------------------------------------------------------------------------
 # Streaming minhash dedup
 # ---------------------------------------------------------------------------
 
