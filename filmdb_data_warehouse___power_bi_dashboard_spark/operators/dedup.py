@@ -412,6 +412,101 @@ ORDER BY train_doc, test_doc
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the same answer, with the train
+# side pruned BEFORE the shuffle. At 100 TB the decontamination
+# bottleneck is shuffling every train shingle to its (block, shingle)
+# reducer just to discover no holdout doc shares it; a Bloom filter
+# built from the (small) holdout side drops those postings at scan
+# time. The filter is ANSWER-PRESERVING by construction: a false
+# positive only ships a train posting whose shingle has no holdout
+# twin — the existing `size(te) >= 1` group filter discards it — and
+# false negatives are impossible. Hence this hash-dependent plan
+# carries the EXACT decontamination oracle.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 longs; sized for benchmark-scale holdouts
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def _bloom_probes(key) -> list:
+    """Two independent bit positions per key (k=2 Bloom)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(seed), key), F.lit(_BLOOM_BITS))
+        for seed in ("bloomA", "bloomB")
+    ]
+
+
+def bloom_table(keys: DataFrame, key_col: str = "k") -> DataFrame:
+    """(word, bm): the Bloom bitset as 64-bit words — at most
+    ``_BLOOM_WORDS`` rows whatever the key count, so it broadcasts by
+    DESIGN PARAMETER, not by data-size luck (the regime where a plain
+    distinct-key broadcast semi-join would already have OOM'd)."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_probes(F.col(key_col)))).alias("p")
+    )
+    # call_function: the Python shiftleft wrapper only accepts a
+    # literal shift; the SQL function takes a column.
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+    )
+    return (
+        pos.select((F.col("p") / 64).cast("int").alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bm"))
+    )
+
+
+def bloom_filter_join(df: DataFrame, key, bloom: DataFrame) -> DataFrame:
+    """Keep rows whose key MAY be in the bloom (both probe bits set).
+    Two broadcast joins on the word index + one bitwise test each —
+    stays in whole-stage codegen, no giant literal arrays (PERF.md
+    Lesson 1: thousand-child expression trees fall out of codegen)."""
+    probes = _bloom_probes(key)
+    out = df
+    for i, p in enumerate(probes):
+        b = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bm").alias(f"__bm{i}")
+        )
+        out = (
+            out.withColumn(f"__w{i}", (p / 64).cast("int"))
+            .withColumn(
+                f"__m{i}",
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                ),
+            )
+            .join(F.broadcast(b), f"__w{i}", "left")
+            .where(
+                F.coalesce(F.col(f"__bm{i}"), F.lit(0)).bitwiseAND(F.col(f"__m{i}"))
+                != 0
+            )
+            .drop(f"__w{i}", f"__m{i}", f"__bm{i}")
+        )
+    return out
+
+
+def q_dedup_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the holdout-shingle Bloom prefilter:
+    identical pairs to dedup_decontamination (same oracle — the
+    prefilter is provably answer-preserving), but train postings that
+    share no (block, shingle) bucket with the holdout are dropped at
+    scan time instead of shuffling. Equality with the plain path and
+    the actual pruning are pytest-asserted."""
+    post = _materialized_postings(spark, sf_dir, n=3).withColumn(
+        "is_test", F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+    key = F.concat_ws("\x00", F.col("block"), F.col("s"))
+    test_post = post.where(F.col("is_test"))
+    bloom = bloom_table(
+        test_post.select(key.alias("k")).distinct(), "k"
+    )
+    bloom = track_persist(bloom.persist())
+    train_kept = bloom_filter_join(post.where(~F.col("is_test")), key, bloom)
+    pruned = train_kept.unionByName(test_post)
+    return _decon_from_postings(pruned, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF cosine similarity join — the WEIGHTED complement of Jaccard
 # ---------------------------------------------------------------------------
 
@@ -2068,6 +2163,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_tfidf_pairs": q_dedup_tfidf_pairs,
     "dedup_decontamination": q_dedup_decontamination,
+    "dedup_decontamination_bloom": q_dedup_decontamination_bloom,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_minhash_quality": q_dedup_minhash_quality,
@@ -2097,6 +2193,7 @@ ORACLES = {
     "dedup_embedding_lsh": _oracle_embedding_lsh(),
     "dedup_tfidf_pairs": ORACLE_TFIDF_PAIRS,
     "dedup_decontamination": ORACLE_DECONTAMINATION,
+    "dedup_decontamination_bloom": ORACLE_DECONTAMINATION,
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -110,6 +110,85 @@ def test_mg_candidates_bounded_output(spark, longtail_docs):
     assert mg_candidates(words, m).count() <= m * n_parts
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=1, max_value=50),
+    )
+    def test_mg_guarantee_holds_on_random_streams(stream, m, chunk):
+        """Formal MG property: after chunked merges with m counters,
+        every item with true count > n/(m+1) survives, and surviving
+        estimates undercount by at most n/(m+1)."""
+        from collections import Counter
+
+        sketch: dict[int, int] = {}
+        for i in range(0, len(stream), chunk):
+            _mg_merge(sketch, Counter(stream[i : i + chunk]), m)
+        n = len(stream)
+        true = Counter(stream)
+        bound = n / (m + 1)
+        assert len(sketch) <= m
+        for item, c in true.items():
+            if c > bound:
+                assert item in sketch, (item, c, bound)
+            if item in sketch:
+                assert sketch[item] <= c
+                assert c - sketch[item] <= bound
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontamination_equals_plain_and_prunes(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _DECON_TEST_SOURCES,
+        _materialized_postings,
+        bloom_filter_join,
+        bloom_table,
+        q_dedup_decontamination,
+        q_dedup_decontamination_bloom,
+    )
+
+    plain = {tuple(r) for r in q_dedup_decontamination(spark, sf_small).collect()}
+    bloomed = {
+        tuple(r) for r in q_dedup_decontamination_bloom(spark, sf_small).collect()
+    }
+    assert plain == bloomed and plain, "answer must be preserved and non-empty"
+    post = _materialized_postings(spark, sf_small, n=3).withColumn(
+        "is_test", F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+    key = F.concat_ws("\x00", F.col("block"), F.col("s"))
+    bloom = bloom_table(
+        post.where(F.col("is_test")).select(key.alias("k")).distinct(), "k"
+    )
+    n_train = post.where(~F.col("is_test")).count()
+    kept = bloom_filter_join(post.where(~F.col("is_test")), key, bloom).count()
+    assert kept < n_train, "prefilter dropped nothing — bloom is dead weight"
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        bloom_filter_join,
+        bloom_table,
+    )
+
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    bloom = bloom_table(members, "k")
+    kept = bloom_filter_join(members, F.col("k"), bloom).count()
+    assert kept == 500  # every inserted key must pass its own filter
+
+
 # ---------------------------------------------------------------------------
 # Leakage-safe split
 # ---------------------------------------------------------------------------
