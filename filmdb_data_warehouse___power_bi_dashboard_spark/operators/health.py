@@ -146,6 +146,154 @@ ORDER BY bucket_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) — the monitoring op a production pipeline
+# runs BETWEEN anomaly detection (single-series spikes) and retraining
+# decisions: has this month's value DISTRIBUTION moved vs last month?
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+def value_drift_psi(events: DataFrame, n_bins: int = _DRIFT_BINS) -> DataFrame:
+    """Week-over-week Population Stability Index of ``value``.
+
+    PSI(w) = Σ_bins (p_b − q_b) · ln(p_b / q_b), p = this week's bin
+    share, q = previous week's, over GLOBAL equi-width bins (shared
+    edges keep weeks comparable) with add-one (Laplace) smoothing so
+    empty bins contribute finitely. Conventional reading: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted.
+
+    Cross-engine exactness (the corr/trend/CUSUM discipline): the only
+    transcendental is ln, integer-scaled at the source —
+    ``floor(ln(ratio)·1e6)`` — and the (p−q) difference is carried as
+    an EXACT integer numerator over the common denominator
+    (T_w+B)(T_prev+B), so the per-week sum is a BIGINT fold; one
+    IEEE division + round at the very end. Scale shape: one scan to
+    bin (1-row min/max broadcast), then everything runs on the
+    |weeks|×n_bins aggregate — the LAG window partitions by bucket
+    over weeks, never over events. (Week, not month: both engines
+    truncate to the ISO Monday; the test corpus spans one month but
+    five ISO weeks.)
+    """
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.date_trunc("week", "ts").cast("date").alias("semaine"), "value"
+    )
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy("semaine", bucket.alias("bucket_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        counts.select("semaine")
+        .distinct()
+        .select(
+            "semaine",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bucket_id"),
+        )
+    )
+    full = (
+        spine.join(counts, ["semaine", "bucket_id"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+    )
+    tot = full.groupBy("semaine").agg(F.sum("c").alias("t"))
+    full = full.join(F.broadcast(tot), "semaine")
+    w = Window.partitionBy("bucket_id").orderBy("semaine")
+    lagged = (
+        full.withColumn("cp", F.lag("c").over(w))
+        .withColumn("tp", F.lag("t").over(w))
+        .where(F.col("cp").isNotNull())
+    )
+    B = F.lit(n_bins).cast("long")
+    num_p = (F.col("c") + 1) * (F.col("tp") + B)
+    num_q = (F.col("cp") + 1) * (F.col("t") + B)
+    l_mu = F.floor(F.log(num_p.cast("double") / num_q.cast("double")) * 1e6).cast(
+        "long"
+    )
+    term = (num_p - num_q) * l_mu
+    return (
+        lagged.groupBy("semaine", "t", "tp")
+        .agg(F.sum(term).alias("__s"), F.sum("c").alias("n_events"))
+        .select(
+            "semaine",
+            F.col("n_events"),
+            round_half_up(
+                F.col("__s").cast("double")
+                / ((F.col("t") + B) * (F.col("tp") + B)).cast("double")
+                / 1e6,
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("semaine")
+    )
+
+
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_drift_psi(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_VALUE_DRIFT = f"""
+WITH v AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS semaine, value
+  FROM events WHERE value IS NOT NULL
+),
+st AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM v),
+binned AS (
+  SELECT semaine,
+         CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / {float(_DRIFT_BINS)!r})),
+                    {_DRIFT_BINS - 1}) AS INT) AS bucket_id
+  FROM v CROSS JOIN st
+),
+counts AS (
+  SELECT semaine, bucket_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+spine AS (
+  SELECT m.semaine, g.bucket_id
+  FROM (SELECT DISTINCT semaine FROM counts) m
+  CROSS JOIN (SELECT unnest(generate_series(0, {_DRIFT_BINS - 1})) AS bucket_id) g
+),
+filled AS (
+  SELECT s.semaine, s.bucket_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN counts c
+    ON c.semaine = s.semaine AND c.bucket_id = s.bucket_id
+),
+tot AS (SELECT semaine, CAST(SUM(c) AS BIGINT) AS t FROM filled GROUP BY 1),
+joined AS (
+  SELECT f.semaine, f.bucket_id, f.c, tot.t,
+         LAG(f.c) OVER (PARTITION BY f.bucket_id ORDER BY f.semaine) AS cp,
+         LAG(tot.t) OVER (PARTITION BY f.bucket_id ORDER BY f.semaine) AS tp
+  FROM filled f JOIN tot ON tot.semaine = f.semaine
+),
+terms AS (
+  SELECT semaine, t, tp, c,
+         (c + 1) * (tp + {_DRIFT_BINS}) AS num_p,
+         (cp + 1) * (t + {_DRIFT_BINS}) AS num_q
+  FROM joined WHERE cp IS NOT NULL
+),
+scaled AS (
+  SELECT semaine, t, tp, c,
+         CAST(FLOOR(ln(CAST(num_p AS DOUBLE) / CAST(num_q AS DOUBLE)) * 1e6)
+              AS BIGINT) * (num_p - num_q) AS term
+  FROM terms
+)
+SELECT semaine,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       {sql_round_half_up(
+           "CAST(SUM(term) AS DOUBLE)"
+           f" / CAST((t + {_DRIFT_BINS}) * (tp + {_DRIFT_BINS}) AS DOUBLE) / 1e6",
+           6)} AS psi
+FROM scaled
+GROUP BY semaine, t, tp
+ORDER BY semaine
+"""
+
+
 def join_key_skew_profile(
     fact: DataFrame, key: str = "l_suppkey", top_n: int = 10
 ) -> DataFrame:
@@ -621,6 +769,7 @@ QUERIES = {
     "corpus_health_report": q_corpus_health_report,
     "events_time_decay": q_events_time_decay,
     "events_value_histogram": q_events_value_histogram,
+    "events_value_drift": q_events_value_drift,
     "join_key_skew_profile": q_join_key_skew_profile,
     "robust_value_stats": q_robust_value_stats,
     "events_anomaly_days": q_events_anomaly_days,
@@ -631,6 +780,7 @@ ORACLES = {
     "corpus_health_report": ORACLE_HEALTH,
     "events_time_decay": ORACLE_TIME_DECAY,
     "events_value_histogram": ORACLE_HISTOGRAM,
+    "events_value_drift": ORACLE_VALUE_DRIFT,
     "join_key_skew_profile": ORACLE_SKEW_PROFILE,
     "robust_value_stats": ORACLE_ROBUST_STATS,
     "events_anomaly_days": ORACLE_ANOMALY_DAYS,
