@@ -97,7 +97,11 @@ def main() -> None:
         try:
             with open("/proc/stat") as fh:
                 parts = fh.readline().split()
-            return int(parts[8]), sum(int(x) for x in parts[1:])
+            # First eight fields only: user nice system idle iowait irq
+            # softirq steal — guest/guest_nice (fields 9-10) are already
+            # accounted inside user/nice, so including them would
+            # double-count total ticks and understate steal%.
+            return int(parts[8]), sum(int(x) for x in parts[1:9])
         except (OSError, IndexError, ValueError):
             return 0, 0
 

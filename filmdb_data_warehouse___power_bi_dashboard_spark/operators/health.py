@@ -168,10 +168,17 @@ def value_drift_psi(events: DataFrame, n_bins: int = _DRIFT_BINS) -> DataFrame:
     transcendental is ln, integer-scaled at the source —
     ``floor(ln(ratio)·1e6)`` — and the (p−q) difference is carried as
     an EXACT integer numerator over the common denominator
-    (T_w+B)(T_prev+B), so the per-week sum is a BIGINT fold; one
-    IEEE division + round at the very end. Scale shape: one scan to
-    bin (1-row min/max broadcast), then everything runs on the
-    |weeks|×n_bins aggregate — the LAG window partitions by bucket
+    (T_w+B)(T_prev+B). The fold is widened to DECIMAL(38,0) (HUGEINT
+    in the oracle): num_p ≈ (c+1)(T'+B) is quadratic in weekly event
+    counts, so at production scale the per-term product
+    (num_p−num_q)·l_mu exceeds 2^63 — BIGINT would wrap silently in
+    Spark and raise in DuckDB. One IEEE division + round at the very
+    end (denominator multiplied in double: its bigint product also
+    overflows first). A constant-valued week range (mx == mn) maps
+    every row to bucket 0 instead of dividing by a zero width, so both
+    engines agree on PSI = 0 rather than NaN-vs-error. Scale shape:
+    one scan to bin (1-row min/max broadcast), then everything runs on
+    the |weeks|×n_bins aggregate — the LAG window partitions by bucket
     over weeks, never over events. (Week, not month: both engines
     truncate to the ISO Monday; the test corpus spans one month but
     five ISO weeks.)
@@ -181,8 +188,10 @@ def value_drift_psi(events: DataFrame, n_bins: int = _DRIFT_BINS) -> DataFrame:
     )
     stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("mn")) / width), F.lit(n_bins - 1)
+    bucket = F.when(F.col("mx") <= F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width), F.lit(n_bins - 1)
+        )
     ).cast("int")
     counts = (
         ev.crossJoin(F.broadcast(stats))
@@ -210,12 +219,16 @@ def value_drift_psi(events: DataFrame, n_bins: int = _DRIFT_BINS) -> DataFrame:
         .where(F.col("cp").isNotNull())
     )
     B = F.lit(n_bins).cast("long")
-    num_p = (F.col("c") + 1) * (F.col("tp") + B)
-    num_q = (F.col("cp") + 1) * (F.col("t") + B)
+    num_p = (F.col("c") + 1).cast("decimal(19,0)") * (F.col("tp") + B).cast(
+        "decimal(19,0)"
+    )
+    num_q = (F.col("cp") + 1).cast("decimal(19,0)") * (F.col("t") + B).cast(
+        "decimal(19,0)"
+    )
     l_mu = F.floor(F.log(num_p.cast("double") / num_q.cast("double")) * 1e6).cast(
         "long"
     )
-    term = (num_p - num_q) * l_mu
+    term = (num_p - num_q) * l_mu.cast("decimal(9,0)")
     return (
         lagged.groupBy("semaine", "t", "tp")
         .agg(F.sum(term).alias("__s"), F.sum("c").alias("n_events"))
@@ -224,7 +237,7 @@ def value_drift_psi(events: DataFrame, n_bins: int = _DRIFT_BINS) -> DataFrame:
             F.col("n_events"),
             round_half_up(
                 F.col("__s").cast("double")
-                / ((F.col("t") + B) * (F.col("tp") + B)).cast("double")
+                / ((F.col("t") + B).cast("double") * (F.col("tp") + B).cast("double"))
                 / 1e6,
                 6,
             ).alias("psi"),
@@ -245,8 +258,9 @@ WITH v AS (
 st AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM v),
 binned AS (
   SELECT semaine,
-         CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / {float(_DRIFT_BINS)!r})),
-                    {_DRIFT_BINS - 1}) AS INT) AS bucket_id
+         CAST(CASE WHEN mx <= mn THEN 0
+              ELSE LEAST(FLOOR((value - mn) / ((mx - mn) / {float(_DRIFT_BINS)!r})),
+                         {_DRIFT_BINS - 1}) END AS INT) AS bucket_id
   FROM v CROSS JOIN st
 ),
 counts AS (
@@ -272,8 +286,8 @@ joined AS (
 ),
 terms AS (
   SELECT semaine, t, tp, c,
-         (c + 1) * (tp + {_DRIFT_BINS}) AS num_p,
-         (cp + 1) * (t + {_DRIFT_BINS}) AS num_q
+         CAST(c + 1 AS HUGEINT) * (tp + {_DRIFT_BINS}) AS num_p,
+         CAST(cp + 1 AS HUGEINT) * (t + {_DRIFT_BINS}) AS num_q
   FROM joined WHERE cp IS NOT NULL
 ),
 scaled AS (
@@ -286,7 +300,8 @@ SELECT semaine,
        CAST(SUM(c) AS BIGINT) AS n_events,
        {sql_round_half_up(
            "CAST(SUM(term) AS DOUBLE)"
-           f" / CAST((t + {_DRIFT_BINS}) * (tp + {_DRIFT_BINS}) AS DOUBLE) / 1e6",
+           f" / (CAST(t + {_DRIFT_BINS} AS DOUBLE) * CAST(tp + {_DRIFT_BINS} AS DOUBLE))"
+           " / 1e6",
            6)} AS psi
 FROM scaled
 GROUP BY semaine, t, tp

@@ -26,6 +26,7 @@ the active-user cardinality, not the event volume.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -1081,7 +1082,14 @@ def stream_minhash_dedup(
     streaming demo to a driver-hash-attested operator. A redelivered
     batch (restart mid-run) would re-append the same rows; the final
     read deduplicates on the pair key, so the result is idempotent
-    under at-least-once delivery.
+    under at-least-once delivery — including the half-committed case
+    where the batch's signatures reached the index before the
+    checkpoint commit: the re-run then probes an index containing its
+    own docs, so the cross probe drops ``new_doc == old_doc``
+    self-collisions explicitly. All staging, index, pairs and
+    checkpoint directories are temporary; the result is materialized
+    (``localCheckpoint``) before they are removed, so repeated bench
+    runs don't accumulate corpus-sized trees in /tmp.
     """
     from ..operators.dedup import (
         minhash_lsh_pairs,
@@ -1092,66 +1100,74 @@ def stream_minhash_dedup(
 
     docs = read_table(spark, sf_dir, "documents")
     staged = tempfile.mkdtemp(prefix="docstream-")
-    for b in range(n_slices):
-        docs.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
-            1
-        ).write.mode("append").parquet(staged)
-
     work = tempfile.mkdtemp(prefix="minhash-stream-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     index_path = os.path.join(work, "index")
     pairs_path = os.path.join(work, "pairs")
+    try:
+        for b in range(n_slices):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(staged)
 
-    doc_schema = docs.schema
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
+        doc_schema = docs.schema
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
 
-    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        sigs_new = minhash_signatures(batch_df, portable=True).persist()
-        out = None
-        if os.path.exists(index_path):
-            index_sigs = spark.read.parquet(index_path)
-            cross = minhash_probe_pairs(
-                index_sigs, sigs_new, threshold=threshold, portable=True
-            ).select(
-                F.least("new_doc", "old_doc").alias("doc_a"),
-                F.greatest("new_doc", "old_doc").alias("doc_b"),
-                "est_jaccard",
+        def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df = batch_df.persist()
+            sigs_new = minhash_signatures(batch_df, portable=True).persist()
+            out = None
+            if os.path.exists(index_path):
+                index_sigs = spark.read.parquet(index_path)
+                cross = (
+                    minhash_probe_pairs(
+                        index_sigs, sigs_new, threshold=threshold, portable=True
+                    )
+                    .where(F.col("new_doc") != F.col("old_doc"))
+                    .select(
+                        F.least("new_doc", "old_doc").alias("doc_a"),
+                        F.greatest("new_doc", "old_doc").alias("doc_b"),
+                        "est_jaccard",
+                    )
+                )
+                out = cross
+            within = minhash_lsh_pairs(
+                batch_df, threshold=threshold, portable=True, sigs=sigs_new
+            ).select("doc_a", "doc_b", "est_jaccard")
+            out = within if out is None else out.unionByName(within)
+            out.write.mode("append").parquet(pairs_path)
+            sigs_new.write.mode("append").parquet(index_path)
+            sigs_new.unpersist()
+            batch_df.unpersist()
+
+        name = f"stream_mh_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
             )
-            out = cross
-        within = minhash_lsh_pairs(
-            batch_df, threshold=threshold, portable=True, sigs=sigs_new
-        ).select("doc_a", "doc_b", "est_jaccard")
-        out = within if out is None else out.unionByName(within)
-        out.write.mode("append").parquet(pairs_path)
-        sigs_new.write.mode("append").parquet(index_path)
-        sigs_new.unpersist()
-        batch_df.unpersist()
-
-    name = f"stream_mh_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
-    with _sized_state(spark):
-        q = (
-            stream.writeStream.outputMode("append")
-            .foreachBatch(ingest)
-            .queryName(name)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+            q.awaitTermination()
+        if not os.path.exists(pairs_path):
+            return spark.createDataFrame(
+                [], "doc_a long, doc_b long, est_jaccard double"
+            )
+        return (
+            spark.read.parquet(pairs_path)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint(eager=True)
+            .orderBy("doc_a", "doc_b")
         )
-        q.awaitTermination()
-    if not os.path.exists(pairs_path):
-        return spark.createDataFrame(
-            [], "doc_a long, doc_b long, est_jaccard double"
-        )
-    return (
-        spark.read.parquet(pairs_path)
-        .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
-    )
+    finally:
+        for d in (staged, work, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
