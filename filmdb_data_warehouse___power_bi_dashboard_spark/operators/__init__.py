@@ -30,6 +30,7 @@ from . import (  # noqa: E402
     funnel,
     health,
     lm,
+    maintenance,
     multimodal,
     quality,
     retention,
@@ -57,6 +58,7 @@ for _mod in (
     segments,
     vectors,
     lm,
+    maintenance,
     retrieval,
     retention,
     trend,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..runtime import track_persist
 from ..sources.catalog import read_table
 
 # Typed media schema: blob + metadata struct (SURVEY-style explicit
@@ -551,12 +552,202 @@ ORDER BY media_id, window_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Image perceptual near-dup: dHash + Hamming pigeonhole banding
+# ---------------------------------------------------------------------------
+
+_DHASH_ROWS = 8  # difference-hash grid: 8 rows x 9 cols -> 64 bits
+_DHASH_COLS = _DHASH_ROWS + 1
+_DHASH_CELLS = _DHASH_ROWS * _DHASH_COLS  # 72
+_DHASH_BANDS = 4  # 16-bit bands; pigeonhole-complete for hamming <= 3
+_DHASH_MAX_HAMMING = _DHASH_BANDS - 1
+
+DHASH = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        *[
+            T.StructField(f"b{k}", T.LongType(), False)
+            for k in range(_DHASH_BANDS)
+        ],
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: "decode" the
+    payload to an 8×9 grayscale grid (cell = exact int sum of its
+    proportional byte slice — the same byte-slice decode stub as
+    :func:`extract_frame_features`; a real deployment swaps in a codec
+    resize keeping the schema), then set bit (r,c) where the right
+    neighbour is brighter: ``p[r][c+1] > p[r][c]`` — 64 bits, robust
+    to brightness shifts since only the gradient sign survives.
+
+    The hash ships as four 16-bit band values (sign-safe BIGINTs, and
+    exactly the pigeonhole chunks the pair join buckets on) rather
+    than one 64-bit word whose top bit would go negative in a signed
+    long. Arrow-batched mapInPandas, vectorized per payload (cumsum
+    slice sums — no per-cell Python); no shuffle.
+
+    Images shorter than one byte per cell (72) are dropped on both
+    engines: their empty slices make degenerate all-zero grids that
+    band-match every other tiny image at hamming 0.
+    """
+    import numpy as np
+
+    imgs = media.filter(
+        (F.col("kind") == "image")
+        & F.col("payload").isNotNull()
+        & (F.octet_length("payload") >= _DHASH_CELLS)
+    ).select("media_id", "payload")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_DHASH_CELLS + 1, dtype=np.int64)
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in it:
+            out = {"media_id": []}
+            for k in range(_DHASH_BANDS):
+                out[f"b{k}"] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                edges = (idx * n) // _DHASH_CELLS
+                cum = np.concatenate(([0], np.cumsum(a)))
+                grid = (cum[edges[1:]] - cum[edges[:-1]]).reshape(
+                    _DHASH_ROWS, _DHASH_COLS
+                )
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64).ravel()
+                out["media_id"].append(media_id)
+                for k in range(_DHASH_BANDS):
+                    out[f"b{k}"].append(
+                        int((bits[16 * k : 16 * (k + 1)] * weights).sum())
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in DHASH.fields])
+
+    return imgs.mapInPandas(_batches, schema=DHASH)
+
+
+def image_dhash_pairs(
+    media: DataFrame, max_hamming: int = _DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Image near-dup pairs with dHash Hamming distance <= max_hamming
+    — the training-pipeline image-dedup workhorse. Candidate
+    generation is the simhash pigeonhole (dedup.py:simhash_pairs): 4
+    bands of 16 bits, any pair within radius 3 agrees on >= 1 band, so
+    pairs form only inside band-equality buckets — never all-pairs,
+    and a 16-bit band keys ~n/65536 rows per bucket at scale (wider
+    bands than simhash's 8-bit chunks exactly because image corpora
+    are bigger than near-dup text clusters)."""
+    hashes = track_persist(image_dhash(media).persist())
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+            for k in range(_DHASH_BANDS)
+        ]
+    )
+    banded = hashes.select(
+        "media_id",
+        *[f"b{k}" for k in range(_DHASH_BANDS)],
+        F.explode(band_arr).alias("c"),
+    ).select(
+        "media_id",
+        *[f"b{k}" for k in range(_DHASH_BANDS)],
+        F.col("c.band").alias("band"),
+        F.col("c.val").alias("val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(_DHASH_BANDS)
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("media_a", "media_b")
+    )
+
+
+def q_multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked image perceptual near-dup: the byte-slice decode
+    is SQL-replayable under the ASCII invariant (runtime-asserted by
+    :func:`ascii_guarded`), so the DuckDB oracle recomputes the full
+    dHash + banding + Hamming pipeline from raw text and the driver
+    hash attests the numpy kernel AND the pigeonhole join."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = ascii_guarded(synthesize_media(docs))
+    return image_dhash_pairs(media)
+
+
+# Byte-as-char replay of the dHash kernel (ASCII invariant, as in
+# ORACLE_FRAME_SAMPLE): pixel sums via prefix-free slice comprehensions,
+# bit (r,c) at flat index b = idx - idx//9, bands = 16-bit windows.
+ORACLE_IMAGE_DHASH_PAIRS = f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id, text AS payload, length(text) AS n
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 0 AND text IS NOT NULL
+    AND length(text) >= {_DHASH_CELLS}
+),
+pix AS (
+  SELECT media_id, CAST(idx AS INT) AS idx,
+         COALESCE(list_sum([ascii(substring(payload, i, 1))
+                            for i in range(CAST(idx * n // {_DHASH_CELLS} AS INT) + 1,
+                                           CAST((idx + 1) * n // {_DHASH_CELLS} AS INT) + 1)]),
+                  0) AS p
+  FROM imgs CROSS JOIN (SELECT unnest(range(0, {_DHASH_CELLS})) AS idx) ii
+),
+bitsrc AS (
+  SELECT p0.media_id,
+         CAST(p0.idx - p0.idx // {_DHASH_COLS} AS INT) AS b,
+         CASE WHEN p1.p > p0.p THEN 1 ELSE 0 END AS bit
+  FROM pix p0 JOIN pix p1
+    ON p1.media_id = p0.media_id AND p1.idx = p0.idx + 1
+  WHERE p0.idx % {_DHASH_COLS} < {_DHASH_COLS - 1}
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN b // 16 = 0 THEN CAST(bit AS BIGINT) << (b % 16) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN b // 16 = 1 THEN CAST(bit AS BIGINT) << (b % 16) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN b // 16 = 2 THEN CAST(bit AS BIGINT) << (b % 16) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN b // 16 = 3 THEN CAST(bit AS BIGINT) << (b % 16) ELSE 0 END) AS BIGINT) AS b3
+  FROM bitsrc GROUP BY media_id
+),
+banded AS (
+  SELECT media_id, b0, b1, b2, b3, CAST(band AS INT) AS band,
+         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS val
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, {_DHASH_BANDS})) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+           AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+)
+SELECT media_a, media_b, hamming FROM cand
+WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY media_a, media_b
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_byte_entropy": q_multimodal_byte_entropy,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "multimodal_image_dhash_pairs": q_multimodal_image_dhash_pairs,
 }
 
 ORACLES = {
@@ -564,4 +755,5 @@ ORACLES = {
     "multimodal_byte_entropy": ORACLE_BYTE_ENTROPY,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
+    "multimodal_image_dhash_pairs": ORACLE_IMAGE_DHASH_PAIRS,
 }

@@ -22,10 +22,11 @@ for a lossy curation pass and called out here by design.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import read_table
+from .dedup import _spread, h60, sql_h60
 
 _WINDOW = 4
 _MIN_DOCS = 3
@@ -155,10 +156,135 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup: duplicated-span detection
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 40  # window width in characters
+
+
+def duplicated_spans(
+    docs: DataFrame, width: int = _SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-span detection (the "exact substring dedup" of
+    Lee et al., Deduplicating Training Data Makes Language Models
+    Better, 2022 — re-expressed Spark-first): every ``width``-char
+    sliding window is hashed IN THE SCAN PROJECTION; a window whose
+    exact content occurs in >= ``min_docs`` distinct documents is
+    duplicated, and per document the overlapping/adjacent duplicated
+    windows merge into maximal spans ``[span_start, span_end)`` —
+    every character inside a reported span is covered by some
+    cross-document duplicated window, so removing the spans removes
+    exactly the boilerplate and preserves all novel text.
+
+    Spark-first shape instead of the paper's suffix array: stride-1
+    windows + the :func:`~.dedup.h60` cross-engine hash give the same
+    span semantics as a composition of existing DataFrame ops. Scale:
+    text never shuffles — only (h, doc_id, pos) triples (the
+    text_ngram_novelty pattern); the duplicate decision is a
+    map-side-combined COUNT(DISTINCT doc_id) per hash; the merge is a
+    per-document window (partitioned by doc_id, never global). Window
+    count is len(text) - width + 1 per doc, i.e. the same linear cost
+    class as shingling; a 60-bit collision conflates windows
+    identically on both engines (defined semantics, ~2^-60/pair).
+    """
+    d = _spread(docs).where(
+        F.col("text").isNotNull() & (F.length("text") >= width)
+    )
+    win_arr = F.transform(
+        F.sequence(F.lit(0), F.length("text") - width),
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),
+            h60(F.col("text").substr(p + F.lit(1), F.lit(width))).alias("h"),
+        ),
+    )
+    hashed = d.select("doc_id", F.explode(win_arr).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("h")
+    )
+    dp = hashed.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # New island when the previous duplicated window can't merge:
+    # windows at p1 < p2 cover [p1, p2+width) contiguously iff
+    # p2 - p1 <= width. NULL lag (first row) falls to otherwise(1).
+    gap = F.when(F.col("pos") - F.lag("pos").over(w) <= width, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    isl = dp.withColumn(
+        "island",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("__maxp"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("__maxp") + width).cast("int").alias("span_end"),
+            (F.col("__maxp") + width - F.col("span_start"))
+            .cast("int")
+            .alias("span_len"),
+            "n_dup_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs)
+
+
+ORACLE_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_SPAN_W}
+),
+win AS (
+  SELECT doc_id, unnest(generate_series(0, n - {_SPAN_W})) AS pos, text
+  FROM d
+),
+hashed AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         {sql_h60(f"substring(text, CAST(pos AS INT) + 1, {_SPAN_W})")} AS h
+  FROM win
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, pos FROM hashed JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dp)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_W} AS INT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_W} - MIN(pos) AS INT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "text_segment_dedup": q_text_segment_dedup,
+    "text_dup_spans": q_text_dup_spans,
 }
 
 ORACLES = {
     "text_segment_dedup": ORACLE_SEGMENT_DEDUP,
+    "text_dup_spans": ORACLE_DUP_SPANS,
 }
