@@ -158,7 +158,18 @@ def main() -> None:
     small_sf = 0.01
     data_ratio = round(sf_num / small_sf, 2) if sf_num else None
     if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir):
-        for name in sorted(times, key=times.get, reverse=True)[:10]:
+        check_names = sorted(times, key=times.get, reverse=True)[:10]
+        # Always pair plain-vs-bloom decontamination (round-11): the
+        # bloom prefilter LOSES at sf0.1 (two extra broadcast probes vs
+        # a 96% posting prune) and only pays at scale — recording both
+        # ratios every round turns that crossover from prose into a
+        # measured trend (the gap should narrow as data grows).
+        check_names += [
+            n
+            for n in ("dedup_decontamination", "dedup_decontamination_bloom")
+            if n in times and n not in check_names
+        ]
+        for name in check_names:
             try:
                 per_sf = {}
                 for d in (small_dir, sf_dir):

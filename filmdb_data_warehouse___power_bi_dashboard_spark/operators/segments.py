@@ -279,12 +279,154 @@ ORDER BY doc_id, span_start
 """
 
 
+def remove_duplicated_spans(
+    docs: DataFrame, width: int = _SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """The REWRITE half of exact substring dedup: cut every maximal
+    duplicated span (:func:`duplicated_spans`) out of its document and
+    reassemble the survivors in order — returns
+    (doc_id, n_spans, removed_chars, cleaned_text), one row per input
+    document (docs with no duplicated span, including sub-``width``
+    docs, pass through untouched with n_spans = 0).
+
+    Spark shape: spans per doc are FEW (bounded by len/width); the
+    kept pieces come from a LAG window over the span list (piece k =
+    [prev span_end, span_start)), plus one tail piece per spanned doc,
+    then an ordered array_sort(collect_list) reassembly — the same A8
+    ordered-string-agg pattern as segment_dedup. The only text shuffle
+    is the final join of piece offsets back to the document text, the
+    same cost class as any rewrite pass."""
+    spans = duplicated_spans(docs, width=width, min_docs=min_docs)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    mid = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("seg_start"),
+        F.col("span_start").alias("seg_end"),
+        F.col("span_len").alias("cut"),
+    )
+    tail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("seg_start"))
+        .withColumn("seg_end", F.lit(None).cast("int"))  # to end of text
+        .withColumn("cut", F.lit(0).cast("int"))
+    )
+    pieces = mid.unionByName(tail)
+    base = docs.select("doc_id", "text")
+    rebuilt = (
+        pieces.join(base, "doc_id")
+        .select(
+            "doc_id",
+            "seg_start",
+            "cut",
+            F.col("text")
+            .substr(
+                F.col("seg_start") + 1,
+                F.coalesce(F.col("seg_end"), F.length("text"))
+                - F.col("seg_start"),
+            )
+            .alias("piece"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cut") > 0, 1).otherwise(0)).alias("n_spans"),
+            F.sum("cut").alias("removed_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
+                    lambda s: s.getField("piece"),
+                ),
+                "",
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("removed_chars"), F.lit(0))
+            .cast("long")
+            .alias("removed_chars"),
+            F.coalesce(F.col("cleaned_text"), F.col("text")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs)
+
+
+ORACLE_DUP_SPAN_REMOVAL = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_SPAN_W}
+),
+win AS (
+  SELECT doc_id, unnest(generate_series(0, n - {_SPAN_W})) AS pos, text
+  FROM d
+),
+hashed AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         {sql_h60(f"substring(text, CAST(pos AS INT) + 1, {_SPAN_W})")} AS h
+  FROM win
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, pos FROM hashed JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dp)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_W} AS span_end,
+         MAX(pos) + {_SPAN_W} - MIN(pos) AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT doc_id,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+           AS seg_start,
+         span_start AS seg_end,
+         span_len AS cut
+  FROM spans
+  UNION ALL
+  SELECT s.doc_id, MAX(s.span_end) AS seg_start, MAX(dd.n) AS seg_end, 0 AS cut
+  FROM spans s JOIN d dd USING (doc_id)
+  GROUP BY s.doc_id
+),
+rebuilt AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) FILTER (WHERE p.cut > 0) AS BIGINT) AS n_spans,
+         CAST(SUM(p.cut) AS BIGINT) AS removed_chars,
+         COALESCE(STRING_AGG(substring(dd.text, p.seg_start + 1,
+                                       p.seg_end - p.seg_start),
+                             '' ORDER BY p.seg_start), '') AS cleaned_text
+  FROM pieces p JOIN d dd USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(r.removed_chars, 0) AS BIGINT) AS removed_chars,
+       COALESCE(r.cleaned_text, documents.text) AS cleaned_text
+FROM documents LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_segment_dedup": q_text_segment_dedup,
     "text_dup_spans": q_text_dup_spans,
+    "text_dup_span_removal": q_text_dup_span_removal,
 }
 
 ORACLES = {
     "text_segment_dedup": ORACLE_SEGMENT_DEDUP,
     "text_dup_spans": ORACLE_DUP_SPANS,
+    "text_dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
 }

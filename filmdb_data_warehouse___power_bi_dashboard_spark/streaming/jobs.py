@@ -1056,14 +1056,20 @@ def stream_minhash_dedup(
     sf_dir: str,
     threshold: float = 0.5,
     n_slices: int = 4,
+    files_per_trigger: int = 2,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection as a streaming maintenance job.
 
     The corpus is staged as ``n_slices`` parquet files (doc_id % n
     slices — stands in for an arriving-files directory) and consumed
-    with ``maxFilesPerTrigger=1``, so the index genuinely GROWS across
-    micro-batches. Per batch (foreachBatch, driver-side plan over
-    normal DataFrames):
+    with ``maxFilesPerTrigger=files_per_trigger``, so the index
+    genuinely GROWS across micro-batches. The registry entry defaults
+    to 2 files/trigger (2 micro-batches — each trigger+checkpoint
+    commit costs ~real seconds and the pair math is batch-count
+    independent); the pytest property run uses 1 file/trigger so batch
+    membership equals slice membership and the cross-batch-pair
+    assertion stays maximally strong. Per batch (foreachBatch,
+    driver-side plan over normal DataFrames):
 
     1. portable md5 signatures for the batch's docs;
     2. cross probe: batch band-buckets join the INDEX band source
@@ -1113,7 +1119,7 @@ def stream_minhash_dedup(
         doc_schema = docs.schema
         stream = (
             spark.readStream.schema(doc_schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", files_per_trigger)
             .parquet(staged)
         )
 

@@ -314,7 +314,9 @@ def test_stream_minhash_equals_batch_and_crosses_batches(spark, sf_small):
         stream_minhash_dedup,
     )
 
-    streamed = stream_minhash_dedup(spark, sf_small, n_slices=4)
+    # 1 file/trigger: batch membership == slice membership, so the
+    # cross-slice check below genuinely proves an index probe.
+    streamed = stream_minhash_dedup(spark, sf_small, n_slices=4, files_per_trigger=1)
     docs = read_table(spark, sf_small, "documents")
     batch = minhash_lsh_pairs(docs, threshold=0.5, portable=True)
     # Collected-set compare (pairs are unique by construction);

@@ -153,6 +153,31 @@ def test_dup_spans_cover_only_shared_text_and_reassembly_preserves_unique(
             assert span_text[off : off + _SPAN_W] in docs[1]
 
 
+def test_dup_span_removal_agrees_with_manual_cut(planted_docs):
+    """cleaned_text must equal the python-side cut of the reported
+    spans, untouched docs must pass through verbatim, and the
+    bookkeeping columns must reconcile with the span list."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.segments import (
+        remove_duplicated_spans,
+    )
+
+    docs = {r.doc_id: r.text for r in planted_docs.collect()}
+    spans: dict[int, list] = {}
+    for r in duplicated_spans(planted_docs).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    out = {r.doc_id: r for r in remove_duplicated_spans(planted_docs).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        expected = text
+        for s, e in sorted(spans.get(doc_id, []), reverse=True):
+            expected = expected[:s] + expected[e:]
+        r = out[doc_id]
+        assert r.cleaned_text == expected
+        assert r.n_spans == len(spans.get(doc_id, []))
+        assert r.removed_chars == sum(e - s for s, e in spans.get(doc_id, []))
+    assert out[2].cleaned_text == docs[2]  # fully unique doc untouched
+
+
 def test_dup_spans_empty_when_no_cross_doc_duplication(spark):
     docs = spark.createDataFrame(
         [
