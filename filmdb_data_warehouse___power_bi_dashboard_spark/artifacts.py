@@ -39,6 +39,7 @@ def artifact_builders(
         minhash_signatures,
         simhash_fingerprints,
     )
+    from .operators.segments import duplicated_spans
     from .sources.catalog import read_table
 
     def docs() -> DataFrame:
@@ -77,6 +78,7 @@ def artifact_builders(
             simhash_fingerprints(docs(), 32, portable=True)
         ),
         "jacpairs_t0.6_n3": jacpairs,
+        "dupspans40m2": lambda: _materialize(duplicated_spans(docs())),
         "ivf_k16_i1": lambda: S.train_ivf_centroids(emb(), n_clusters=16, iters=1),
         f"ivf_k{S._LARGEK_CLUSTERS}_i1": lambda: S.train_ivf_centroids(
             emb(), n_clusters=S._LARGEK_CLUSTERS, iters=1

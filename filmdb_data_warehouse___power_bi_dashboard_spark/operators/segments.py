@@ -239,9 +239,37 @@ def duplicated_spans(
     )
 
 
+def _materialized_dup_spans(
+    spark: SparkSession, sf_dir: str, width: int = _SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """The (doc_id, span) table as a corpus-versioned artifact — the
+    same staged-pipeline move as the minhash/simhash/posting
+    artifacts: the stride-1 window hashing dominates both span
+    entries, and spans are a pure function of the corpus + (width,
+    min_docs). Both oracles recompute from raw text, so a stale
+    record goes red the same round."""
+    from ..runtime import corpus_artifact, parquet_artifact_io
+
+    def build() -> DataFrame:
+        return duplicated_spans(
+            read_table(spark, sf_dir, "documents"), width=width, min_docs=min_docs
+        )
+
+    save, load = parquet_artifact_io(spark)
+    return corpus_artifact(
+        sf_dir,
+        "documents",
+        f"dupspans{width}m{min_docs}",
+        ("v1",),
+        build,
+        save,
+        load,
+        memo=False,
+    )
+
+
 def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return duplicated_spans(docs)
+    return _materialized_dup_spans(spark, sf_dir).orderBy("doc_id", "span_start")
 
 
 ORACLE_DUP_SPANS = f"""
@@ -280,7 +308,10 @@ ORDER BY doc_id, span_start
 
 
 def remove_duplicated_spans(
-    docs: DataFrame, width: int = _SPAN_W, min_docs: int = 2
+    docs: DataFrame,
+    width: int = _SPAN_W,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The REWRITE half of exact substring dedup: cut every maximal
     duplicated span (:func:`duplicated_spans`) out of its document and
@@ -295,8 +326,11 @@ def remove_duplicated_spans(
     then an ordered array_sort(collect_list) reassembly — the same A8
     ordered-string-agg pattern as segment_dedup. The only text shuffle
     is the final join of piece offsets back to the document text, the
-    same cost class as any rewrite pass."""
-    spans = duplicated_spans(docs, width=width, min_docs=min_docs)
+    same cost class as any rewrite pass. ``spans`` short-circuits the
+    span build with the corpus-versioned artifact from
+    :func:`_materialized_dup_spans`."""
+    if spans is None:
+        spans = duplicated_spans(docs, width=width, min_docs=min_docs)
     w = Window.partitionBy("doc_id").orderBy("span_start")
     mid = spans.select(
         "doc_id",
@@ -355,7 +389,9 @@ def remove_duplicated_spans(
 
 def q_text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return remove_duplicated_spans(docs)
+    return remove_duplicated_spans(
+        docs, spans=_materialized_dup_spans(spark, sf_dir)
+    )
 
 
 ORACLE_DUP_SPAN_REMOVAL = f"""
