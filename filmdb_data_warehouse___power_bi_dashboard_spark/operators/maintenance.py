@@ -31,7 +31,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import read_table
 from ..sources.sinks import delete_by_keys
 
@@ -58,9 +57,14 @@ def warehouse_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_before = spark.read.parquet(path).count()
         rows_removed = delete_by_keys(spark, path, keys, "o_custkey")
         after = spark.read.parquet(path)
+        # o_totalprice is DOUBLE — sum exact integer cents (the
+        # nation_revenue_trend floor device) so the total is
+        # order-independent across partial-agg orders and engines;
+        # COALESCE covers the fully-erased (empty kept side) corpus.
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         kept_agg = after.agg(
             F.count(F.lit(1)).alias("rows_kept"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("kept_total_price"),
+            F.coalesce(F.sum(cents), F.lit(0)).alias("kept_cents"),
         ).collect()[0]
         residual = after.join(F.broadcast(keys), "o_custkey", "left_semi").count()
         return spark.createDataFrame(
@@ -70,7 +74,7 @@ def warehouse_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows_removed,
                     kept_agg["rows_kept"],
                     residual,
-                    float(kept_agg["kept_total_price"]),
+                    kept_agg["kept_cents"] / 100.0,
                 )
             ],
             "rows_before long, rows_removed long, rows_kept long, "
@@ -101,8 +105,8 @@ SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS rows_before,
             AS BIGINT) AS rows_removed,
        CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS rows_kept,
        CAST(0 AS BIGINT) AS residual_erased_rows,
-       CAST({sql_round_half_up("(SELECT SUM(o_totalprice) FROM kept)", 2)}
-            AS DOUBLE) AS kept_total_price
+       CAST(COALESCE((SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      FROM kept), 0) AS DOUBLE) / 100.0 AS kept_total_price
 """
 
 

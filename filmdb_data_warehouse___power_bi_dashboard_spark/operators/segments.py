@@ -272,8 +272,10 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized_dup_spans(spark, sf_dir).orderBy("doc_id", "span_start")
 
 
-ORACLE_DUP_SPANS = f"""
-WITH d AS (
+# Shared CTE chain for BOTH span oracles (detection + removal): one
+# definition of "what is a duplicated span", so the two entries can
+# never drift apart through an edit to only one oracle.
+_SPAN_CTES = f"""d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE text IS NOT NULL AND length(text) >= {_SPAN_W}
 ),
@@ -296,13 +298,21 @@ isl AS (
   FROM (SELECT doc_id, pos,
                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
         FROM dp)
-)
-SELECT doc_id,
-       CAST(MIN(pos) AS INT) AS span_start,
-       CAST(MAX(pos) + {_SPAN_W} AS INT) AS span_end,
-       CAST(MAX(pos) + {_SPAN_W} - MIN(pos) AS INT) AS span_len,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
-FROM isl GROUP BY doc_id, island
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INT) AS span_start,
+         CAST(MAX(pos) + {_SPAN_W} AS INT) AS span_end,
+         CAST(MAX(pos) + {_SPAN_W} - MIN(pos) AS INT) AS span_len,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+ORACLE_DUP_SPANS = f"""
+WITH {_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_len, n_dup_windows
+FROM spans
 ORDER BY doc_id, span_start
 """
 
@@ -395,35 +405,7 @@ def q_text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DUP_SPAN_REMOVAL = f"""
-WITH d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE text IS NOT NULL AND length(text) >= {_SPAN_W}
-),
-win AS (
-  SELECT doc_id, unnest(generate_series(0, n - {_SPAN_W})) AS pos, text
-  FROM d
-),
-hashed AS (
-  SELECT doc_id, CAST(pos AS INT) AS pos,
-         {sql_h60(f"substring(text, CAST(pos AS INT) + 1, {_SPAN_W})")} AS h
-  FROM win
-),
-dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-dp AS (SELECT doc_id, pos FROM hashed JOIN dup USING (h)),
-isl AS (
-  SELECT doc_id, pos,
-         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_W} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
-           AS island
-  FROM (SELECT doc_id, pos,
-               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        FROM dp)
-),
-spans AS (
-  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_W} AS span_end,
-         MAX(pos) + {_SPAN_W} - MIN(pos) AS span_len
-  FROM isl GROUP BY doc_id, island
-),
+WITH {_SPAN_CTES},
 pieces AS (
   SELECT doc_id,
          COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
