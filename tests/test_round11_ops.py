@@ -206,6 +206,32 @@ def test_delete_report_consistent_and_residual_zero(spark, sf_small):
     assert row.kept_total_price > 0.0
 
 
+def test_delete_report_survives_full_erasure(spark, tmp_path):
+    """A corpus where EVERY order belongs to an erased customer must
+    produce a valid all-zero kept side (kept_total_price 0.0, not a
+    float(None) crash) — locks the round-11 review fix."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.maintenance import (
+        _ERASE_MOD,
+        warehouse_delete_report,
+    )
+
+    sf = str(tmp_path)
+    custkeys = [_ERASE_MOD * i for i in range(1, 4)]
+    spark.createDataFrame(
+        [(k, f"cust{k}") for k in custkeys], "c_custkey long, c_name string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(i, custkeys[i % 3], 100.0 + i) for i in range(9)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    row = warehouse_delete_report(spark, sf).collect()[0]
+    assert row.rows_before == 9
+    assert row.rows_removed == 9
+    assert row.rows_kept == 0
+    assert row.residual_erased_rows == 0
+    assert row.kept_total_price == 0.0
+
+
 def test_delete_by_keys_removes_exactly_the_requested_keys(spark, sf_small, tmp_path):
     from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
         delete_by_keys,
