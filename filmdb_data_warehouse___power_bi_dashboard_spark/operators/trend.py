@@ -301,12 +301,160 @@ ORDER BY nation
 """
 
 
+# ---------------------------------------------------------------------------
+# Bootstrap confidence intervals — uncertainty quantification for a
+# corpus metric, the report a pipeline attaches to any number it
+# publishes from a SAMPLE (an eval slice, an A/B cell, a curated
+# subset): how stable is this mean under resampling?
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse CDF at 16-bit granularity: weight k iff
+# u16 < _POIS_T[k] (floor(CDF(k)·65536), k = 0..4; else 5). INTEGER
+# thresholds compared to an INTEGER hash — cross-engine exact with no
+# floating-point CDF anywhere.
+_POIS_T = (24109, 48218, 60273, 64291, 65296)
+
+
+def bootstrap_mean_ci(
+    orders: DataFrame, n_reps: int = _BOOT_B, seed: str = "boot"
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for mean(o_totalprice).
+
+    The distributed bootstrap: instead of materializing B resampled
+    copies (B× the data — the naive spelling no 100 TB pipeline can
+    afford), each row draws its replicate-b multiplicity w_b ~
+    Poisson(1) and every replicate is one weighted aggregate. Here
+    that collapses further: ALL B replicates ride ONE scan as 2B
+    map-side-combined sums (Σ w_b·cents, Σ w_b) — no explode, no row
+    multiplication; the only shuffle is the 1-row final reduce, and
+    the percentile runs over the B-row replicate-mean frame.
+
+    Determinism & cross-engine exactness: w_b derives from
+    ``md5(seed || b//8 || ':' || o_orderkey)`` — one md5 yields eight
+    16-bit uniforms (4 hex chars each), so B=32 costs 4 md5/row — and
+    the Poisson inverse CDF is the integer threshold ladder
+    ``_POIS_T`` (no float compare). Money is exact integer cents (the
+    nation_revenue_trend floor device); each replicate mean is ONE
+    IEEE division, the CI is the pinned Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont`` pairing over B doubles.
+    """
+    assert n_reps % 8 == 0, "replicates pack 8 per md5"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderkey").cast("string").alias("k"), cents.alias("cents")
+    )
+    md5s = [
+        F.md5(F.concat(F.lit(f"{seed}{g}:"), F.col("k")))
+        for g in range(n_reps // 8)
+    ]
+    proj = base.select(
+        "cents", *[m.alias(f"m{g}") for g, m in enumerate(md5s)]
+    )
+
+    def weight(b: int):
+        u16 = F.conv(
+            F.substring(F.col(f"m{b // 8}"), (b % 8) * 4 + 1, 4), 16, 10
+        ).cast("long")
+        w = F.lit(5)
+        for k in range(len(_POIS_T) - 1, -1, -1):
+            w = F.when(u16 < _POIS_T[k], F.lit(k)).otherwise(w)
+        return w.cast("long")
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")]
+    for b in range(n_reps):
+        w = weight(b)
+        aggs.append(F.sum(w * F.col("cents")).alias(f"swc{b}"))
+        aggs.append(F.sum(w).alias(f"sw{b}"))
+    one = proj.agg(*aggs)
+    reps = one.select(
+        "n",
+        "sc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"swc{b}").alias("swc"), F.col(f"sw{b}").alias("sw")
+                    )
+                    for b in range(n_reps)
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        "n",
+        "sc",
+        (
+            F.col("r.swc").cast("double") / F.col("r.sw").cast("double") / 100.0
+        ).alias("mean_b"),
+    )
+    return reps.groupBy("n", "sc").agg(
+        F.percentile("mean_b", 0.025).alias("__lo"),
+        F.percentile("mean_b", 0.975).alias("__hi"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.lit(n_reps).cast("long").alias("n_replicates"),
+        round_half_up(
+            F.col("sc").cast("double") / F.col("n").cast("double") / 100.0, 4
+        ).alias("mean_price"),
+        round_half_up(F.col("__lo"), 4).alias("ci_lo"),
+        round_half_up(F.col("__hi"), 4).alias("ci_hi"),
+    )
+
+
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_mean_ci(read_table(spark, sf_dir, "orders"))
+
+
+def _pois_case(u16: str) -> str:
+    branches = " ".join(
+        f"WHEN {u16} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+w AS (
+  SELECT b, cents,
+         CAST('0x' || substr(md5('boot' || CAST(b // 8 AS VARCHAR) || ':' || k),
+                             (b % 8) * 4 + 1, 4) AS BIGINT) AS u16
+  FROM o CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) reps
+),
+means AS (
+  SELECT b,
+         CAST(SUM({_pois_case('u16')} * cents) AS DOUBLE)
+           / CAST(SUM({_pois_case('u16')}) AS DOUBLE) / 100.0 AS mean_b
+  FROM w GROUP BY b
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS sc
+  FROM o
+)
+SELECT n_orders,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       {sql_round_half_up("CAST(sc AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0", 4)}
+         AS mean_price,
+       {sql_round_half_up("(SELECT quantile_cont(mean_b, 0.025) FROM means)", 4)}
+         AS ci_lo,
+       {sql_round_half_up("(SELECT quantile_cont(mean_b, 0.975) FROM means)", 4)}
+         AS ci_hi
+FROM tot
+"""
+
+
 QUERIES = {
     "events_type_correlation": q_events_type_correlation,
     "nation_revenue_trend": q_nation_revenue_trend,
+    "orders_bootstrap_ci": q_orders_bootstrap_ci,
 }
 
 ORACLES = {
     "events_type_correlation": ORACLE_TYPE_CORRELATION,
     "nation_revenue_trend": ORACLE_NATION_TREND,
+    "orders_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
 }

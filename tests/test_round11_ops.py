@@ -190,6 +190,63 @@ def test_dup_spans_empty_when_no_cross_doc_duplication(spark):
 
 
 # ---------------------------------------------------------------------------
+# Bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_deterministically(spark, sf_small):
+    """The 95% CI must bracket the point estimate, be strictly
+    ordered, and be bit-identical across runs (the resampling is a
+    pure hash function, not an RNG)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        bootstrap_mean_ci,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_small, "orders")
+    r1 = bootstrap_mean_ci(orders).collect()[0]
+    r2 = bootstrap_mean_ci(orders).collect()[0]
+    assert r1 == r2  # deterministic
+    assert r1.ci_lo < r1.mean_price < r1.ci_hi
+    assert r1.n_replicates == 32
+
+
+def test_bootstrap_ci_narrows_with_more_data(spark, sf_small, sf_med):
+    """Sampling-theory sanity: 10x the rows shrinks the CI width by
+    roughly sqrt(10) (allow a loose 1.5x-6x band — B=32 replicates)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        bootstrap_mean_ci,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    small = bootstrap_mean_ci(read_table(spark, sf_small, "orders")).collect()[0]
+    med = bootstrap_mean_ci(read_table(spark, sf_med, "orders")).collect()[0]
+    shrink = (small.ci_hi - small.ci_lo) / (med.ci_hi - med.ci_lo)
+    assert 1.5 < shrink < 6.0
+
+
+def test_poisson_threshold_ladder_is_the_integer_cdf():
+    """The integer thresholds are floor(CDF_Poisson(1)(k) * 65536) —
+    the spec constants both engines compare the same u16 against."""
+    import math
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        _POIS_T,
+    )
+
+    cdf, fact = 0.0, 1
+    for k, t in enumerate(_POIS_T):
+        if k > 0:
+            fact *= k
+        cdf += math.exp(-1) / fact
+        assert t == math.floor(cdf * 65536)
+
+
+# ---------------------------------------------------------------------------
 # GDPR erasure audit
 # ---------------------------------------------------------------------------
 
