@@ -29,6 +29,7 @@ from . import (  # noqa: E402
     frequent,
     funnel,
     health,
+    linkage,
     lm,
     maintenance,
     multimodal,
@@ -62,6 +63,7 @@ for _mod in (
     retrieval,
     retention,
     trend,
+    linkage,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -307,3 +307,80 @@ def test_delete_by_keys_removes_exactly_the_requested_keys(spark, sf_small, tmp_
     after = spark.read.parquet(path)
     assert after.where(F.col("o_custkey").isin(7, 13)).count() == 0
     assert after.count() == orders.count() - expected_removed
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (record linkage)
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_match_report_equals_bruteforce(spark, sf_small):
+    """The blocked + length-band + threshold-levenshtein pipeline must
+    equal a plain Python brute force over the same semantics."""
+    from collections import Counter, defaultdict
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.linkage import (
+        _FUZZY_T,
+        fuzzy_match_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    part = read_table(spark, sf_small, "part")
+    names = Counter(r.p_name for r in part.select("p_name").collect())
+    blocks = defaultdict(Counter)
+    for nm, cnt in names.items():
+        blocks[nm.split(" ")[0]][nm] = cnt
+    expected = {}
+    for blk, members in blocks.items():
+        n_rows = sum(members.values())
+        exact = sum(c * (c - 1) // 2 for c in members.values())
+        dists, row_pairs = [], 0
+        ordered = sorted(members)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1 :]:
+                d = _levenshtein(a, b)  # no prefilter: the full truth
+                if d <= _FUZZY_T:
+                    dists.append(d)
+                    row_pairs += members[a] * members[b]
+        if dists:
+            expected[blk] = (
+                n_rows, len(members), exact, len(dists), row_pairs,
+                min(dists), max(dists),
+            )
+    got = {
+        r.block_token: (
+            r.n_rows, r.n_names, r.exact_dup_pairs, r.fuzzy_name_pairs,
+            r.fuzzy_row_pairs, r.min_dist, r.max_dist,
+        )
+        for r in fuzzy_match_report(part).collect()
+    }
+    assert got == expected
+    assert got, "fixture should produce at least one fuzzy block"
+
+
+def test_length_band_prefilter_is_a_levenshtein_lower_bound():
+    """|len(a) - len(b)| <= levenshtein(a, b) for ALL strings, so the
+    band prefilter can never drop a within-threshold pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab ", max_size=12), st.text(alphabet="ab ", max_size=12))
+    def check(a, b):
+        assert abs(len(a) - len(b)) <= _levenshtein(a, b)
+
+    check()
