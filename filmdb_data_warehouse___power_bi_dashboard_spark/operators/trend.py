@@ -344,6 +344,15 @@ def bootstrap_mean_ci(
     base = orders.where(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderkey").cast("string").alias("k"), cents.alias("cents")
     )
+    # The weight projection is heavy (~4 md5 + 32 six-branch CASE
+    # ladders per row); a small single-split parquet file would run
+    # the whole fold on one core. Spread ONLY when the scan yields
+    # fewer splits than cores — at scale inputs arrive pre-split and
+    # an unconditional repartition would be a wasted full-row shuffle
+    # (the partial agg already collapses each split to one 2B-sum row).
+    parallelism = orders.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
     md5s = [
         F.md5(F.concat(F.lit(f"{seed}{g}:"), F.col("k")))
         for g in range(n_reps // 8)
