@@ -164,9 +164,17 @@ def main() -> None:
         # a 96% posting prune) and only pays at scale — recording both
         # ratios every round turns that crossover from prose into a
         # measured trend (the gap should narrow as data grows).
+        # part_fuzzy_matches (round-11): its fuzzy quadratic rides the
+        # DISTINCT-NAME frame (constant 64 names at every SF), so its
+        # warm ratio should stay near 1 + scan growth — recording it
+        # makes the vocabulary-bounded claim a measured trend too.
         check_names += [
             n
-            for n in ("dedup_decontamination", "dedup_decontamination_bloom")
+            for n in (
+                "dedup_decontamination",
+                "dedup_decontamination_bloom",
+                "part_fuzzy_matches",
+            )
             if n in times and n not in check_names
         ]
         for name in check_names:
