@@ -28,6 +28,7 @@ from . import (  # noqa: E402
     chunking,
     frequent,
     funnel,
+    graph,
     health,
     linkage,
     lm,
@@ -64,6 +65,7 @@ for _mod in (
     retention,
     trend,
     linkage,
+    graph,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

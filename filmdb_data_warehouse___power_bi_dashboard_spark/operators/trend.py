@@ -375,26 +375,40 @@ def bootstrap_mean_ci(
         w = weight(b)
         aggs.append(F.sum(w * F.col("cents")).alias(f"swc{b}"))
         aggs.append(F.sum(w).alias(f"sw{b}"))
-    one = proj.agg(*aggs)
-    reps = one.select(
-        "n",
-        "sc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"swc{b}").alias("swc"), F.col(f"sw{b}").alias("sw")
-                    )
-                    for b in range(n_reps)
-                ]
-            )
-        ).alias("r"),
-    ).select(
-        "n",
-        "sc",
-        (
-            F.col("r.swc").cast("double") / F.col("r.sw").cast("double") / 100.0
-        ).alias("mean_b"),
+    # Empty-input edge: a global agg still yields one row with n=0 /
+    # NULL sums — drop it so an empty corpus returns zero rows, not a
+    # NULL-numeric report.
+    one = proj.agg(*aggs).where(F.col("n") > 0)
+    reps = (
+        one.select(
+            "n",
+            "sc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"swc{b}").alias("swc"),
+                            F.col(f"sw{b}").alias("sw"),
+                        )
+                        for b in range(n_reps)
+                    ]
+                )
+            ).alias("r"),
+        )
+        # A replicate that resampled zero rows (possible on tiny
+        # strata: P = e^-n per replicate) has no mean — drop it
+        # instead of dividing by zero (ANSI mode makes 0/0 an ERROR,
+        # not NaN).
+        .where(F.col("r.sw") > 0)
+        .select(
+            "n",
+            "sc",
+            (
+                F.col("r.swc").cast("double")
+                / F.col("r.sw").cast("double")
+                / 100.0
+            ).alias("mean_b"),
+        )
     )
     return reps.groupBy("n", "sc").agg(
         F.percentile("mean_b", 0.025).alias("__lo"),
@@ -438,6 +452,7 @@ means AS (
          CAST(SUM({_pois_case('u16')} * cents) AS DOUBLE)
            / CAST(SUM({_pois_case('u16')}) AS DOUBLE) / 100.0 AS mean_b
   FROM w GROUP BY b
+  HAVING SUM({_pois_case('u16')}) > 0
 ),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -453,6 +468,7 @@ SELECT n_orders,
        {sql_round_half_up("(SELECT quantile_cont(mean_b, 0.975) FROM means)", 4)}
          AS ci_hi
 FROM tot
+WHERE n_orders > 0
 """
 
 

@@ -384,3 +384,106 @@ def test_length_band_prefilter_is_a_levenshtein_lower_bound():
         assert abs(len(a) - len(b)) <= _levenshtein(a, b)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (graph link analysis)
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(pairs, hops):
+    """Exact integer replication of fixed_point_pagerank."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in pairs:
+        adj[u].append(v)
+        adj[v].append(u)
+    deg = {u: len(ns) for u, ns in adj.items()}
+    r = {u: 1_000_000_000 for u in adj}
+    for _ in range(hops):
+        inflow = defaultdict(int)
+        for u, ns in adj.items():
+            c = r[u] // deg[u]
+            for v in ns:
+                inflow[v] += c
+        r = {u: 150_000_000 + (inflow[u] * 85) // 100 for u in adj}
+    return r, deg
+
+
+def test_pagerank_equals_python_fixed_point(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.graph import (
+        fixed_point_pagerank,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_small, "orders")
+    lineitem = read_table(spark, sf_small, "lineitem")
+    pairs_df = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    pairs = [(r.u, r.v) for r in pairs_df.collect()]
+    exp_r, exp_deg = _py_pagerank(pairs, hops=3)
+    got = {r.u: (r.deg, r.rank_fp) for r in fixed_point_pagerank(pairs_df).collect()}
+    assert got == {u: (exp_deg[u], exp_r[u]) for u in exp_r}
+    assert len(got) > 50  # the sf0.001 purchase graph is non-trivial
+
+
+def test_pagerank_center_of_star_dominates(spark):
+    """On a star graph the hub must strictly outrank every leaf, and
+    the result must be deterministic across runs."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.graph import (
+        fixed_point_pagerank,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"
+    )
+    r1 = {r.u: r.rank_fp for r in fixed_point_pagerank(pairs).collect()}
+    r2 = {r.u: r.rank_fp for r in fixed_point_pagerank(pairs).collect()}
+    assert r1 == r2
+    hub, leaves = r1[0], [r1[i] for i in range(1, 9)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # symmetry: identical leaves tie exactly
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input edges for the late-round-11 ops
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_degenerate_inputs(spark):
+    """Empty input → zero rows (not a NULL-numeric report); a single
+    row survives the zero-weight replicates (P = e^-1 each) without
+    ANSI divide-by-zero and degenerates to a zero-width CI."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        bootstrap_mean_ci,
+    )
+
+    empty = spark.createDataFrame([], "o_orderkey long, o_totalprice double")
+    assert bootstrap_mean_ci(empty).collect() == []
+    one = spark.createDataFrame([(1, 5.0)], "o_orderkey long, o_totalprice double")
+    row = bootstrap_mean_ci(one).collect()[0]
+    assert row.n_orders == 1
+    assert row.ci_lo == row.mean_price == row.ci_hi == 5.0
+
+
+def test_fuzzy_and_pagerank_empty_inputs(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.graph import (
+        fixed_point_pagerank,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.linkage import (
+        fuzzy_match_report,
+    )
+
+    empty_part = spark.createDataFrame([], "p_partkey long, p_name string")
+    assert fuzzy_match_report(empty_part).collect() == []
+    empty_pairs = spark.createDataFrame([], "u long, v long")
+    assert fixed_point_pagerank(empty_pairs).collect() == []
