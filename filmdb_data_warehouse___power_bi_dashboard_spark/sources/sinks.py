@@ -164,3 +164,44 @@ def compact_small_files(
         if f.endswith(".parquet")
     )
     return n_before, n_after
+
+
+def cluster_by_layout(
+    spark: SparkSession,
+    table_path: str,
+    cluster_cols: list[str],
+    n_files: int,
+) -> None:
+    """Rewrite a table range-clustered on ``cluster_cols`` so scan
+    predicates prune files and row groups instead of reading them.
+
+    Parquet footers carry per-row-group min/max statistics for every
+    column, and both Spark's reader and any lakehouse engine skip a
+    row group (or a whole file, via its footer) when a pushed-down
+    predicate cannot match its [min, max]. Those statistics are only
+    selective when the data is CLUSTERED: an append-ordered 100 TB
+    events table has every file spanning the full key range, so
+    min/max excludes nothing and a one-day query scans everything.
+    ``repartitionByRange(cluster_cols)`` + ``sortWithinPartitions``
+    makes ranges per file near-disjoint, turning the same footer
+    stats into an effective coarse index — the open-format analog of
+    Delta/Iceberg ``OPTIMIZE ... ZORDER/SORT BY`` for the
+    single-dimension case (for multi-column predicates an interleaved
+    key would go here; range-on-leading-column is the 80% tool).
+
+    Runs through the same atomic stage-and-swap as compaction; like
+    it, at scale this runs per-partition-directory, clustering only
+    partitions whose query profile warrants it. pytest asserts the
+    mechanism directly from the rewritten footers: per-file min/max
+    ranges are pairwise non-overlapping after clustering (and heavily
+    overlapping before), while the table's content is unchanged.
+    """
+    table = spark.read.parquet(table_path)
+    clustered = (
+        table.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .persist()
+    )
+    clustered.count()  # materialize BEFORE the swap unlinks the input files
+    stage_and_swap_write(clustered, table_path)
+    clustered.unpersist()

@@ -487,3 +487,75 @@ def test_fuzzy_and_pagerank_empty_inputs(spark):
     assert fuzzy_match_report(empty_part).collect() == []
     empty_pairs = spark.createDataFrame([], "u long, v long")
     assert fixed_point_pagerank(empty_pairs).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Clustered layout for scan pruning
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges(path, col):
+    """Per-parquet-file (min, max) of ``col`` read from the footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def test_cluster_by_layout_makes_footer_stats_selective(spark, sf_small, tmp_path):
+    """After cluster_by_layout the per-file [min,max] ranges of the
+    cluster column are pairwise non-overlapping (footer stats become a
+    coarse index), the content is unchanged, and the append-ordered
+    BEFORE layout really was non-selective (every file spans ~the full
+    range) — i.e. the rewrite, not luck, creates the pruning."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+        cluster_by_layout,
+    )
+
+    path = str(tmp_path / "orders")
+    orders = read_table(spark, sf_small, "orders")
+    # Append-ordered layout: 8 round-robin files, each spanning ~all keys.
+    orders.repartition(8).write.parquet(path)
+    before = _file_ranges(path, "o_orderkey")
+    assert len(before) == 8
+    glo = min(lo for lo, _ in before)
+    ghi = max(hi for _, hi in before)
+    overlapping = sum(
+        1 for (lo1, hi1), (lo2, hi2) in zip(before, before[1:]) if hi1 > lo2
+    )
+    assert overlapping >= 6  # round-robin: essentially every pair overlaps
+
+    cluster_by_layout(spark, path, ["o_orderkey"], n_files=8)
+    after = _file_ranges(path, "o_orderkey")
+    assert len(after) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(after, after[1:]):
+        assert hi1 <= lo2  # pairwise disjoint: a range predicate prunes files
+    assert min(lo for lo, _ in after) == glo
+    assert max(hi for _, hi in after) == ghi
+
+    rewritten = spark.read.parquet(path)
+    assert rewritten.count() == orders.count()
+    assert (
+        rewritten.agg(F.sum("o_orderkey")).collect()[0][0]
+        == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
