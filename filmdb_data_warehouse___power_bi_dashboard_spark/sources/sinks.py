@@ -205,3 +205,84 @@ def cluster_by_layout(
     clustered.count()  # materialize BEFORE the swap unlinks the input files
     stage_and_swap_write(clustered, table_path)
     clustered.unpersist()
+
+
+def _spread_bits16(c):
+    """Spread a 16-bit value's bits onto even positions (0,2,4,...)
+    of a 32-bit lane — the classic magic-mask interleave ladder, four
+    shift+mask steps, all in whole-stage codegen."""
+    c = c.bitwiseAND(F.lit(0xFFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key(u, v):
+    """Interleave two 16-bit bucket ids into a 32-bit Z-curve key.
+
+    Sorting by this key gives every file a bounding box that is
+    compact in BOTH dimensions, so footer min/max stats prune
+    single-dimension queries on EITHER column — the property a plain
+    lexicographic sort only has for its leading column.
+    """
+    return _spread_bits16(u).bitwiseOR(F.shiftleft(_spread_bits16(v), 1))
+
+
+def zorder_by_layout(
+    spark: SparkSession,
+    table_path: str,
+    cols: tuple[str, str],
+    n_files: int,
+) -> None:
+    """Rewrite a table Z-ordered on two columns (the multi-column
+    completion of ``cluster_by_layout``; Delta/Iceberg spell it
+    ``OPTIMIZE ... ZORDER BY``).
+
+    Each column is scaled to a 16-bit bucket id against its global
+    [min, max] (a 1-row aggregate broadcast back via cross join — the
+    repo's no-collect spine pattern; a constant column degenerates to
+    bucket 0), the ids are bit-interleaved with the magic-mask
+    ladder, and the table is range-partitioned + sorted by the
+    Z key, which is dropped before the write. All expression-level:
+    no UDF, no driver collect, one extra shuffle — exactly what the
+    maintenance job budget is for.
+    """
+    table = spark.read.parquet(table_path)
+    a, b = cols
+    stats = table.agg(
+        F.min(a).alias("__mna"),
+        F.max(a).alias("__mxa"),
+        F.min(b).alias("__mnb"),
+        F.max(b).alias("__mxb"),
+    )
+
+    def bucket(c, mn, mx):
+        span = F.col(mx) - F.col(mn)
+        return F.when(span <= 0, F.lit(0)).otherwise(
+            F.floor(
+                (F.col(c) - F.col(mn)).cast("double") * 65535.0
+                / span.cast("double")
+            ).cast("int")
+        )
+
+    keyed = (
+        table.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__z",
+            zorder_key(
+                bucket(a, "__mna", "__mxa"), bucket(b, "__mnb", "__mxb")
+            ),
+        )
+        .drop("__mna", "__mxa", "__mnb", "__mxb")
+    )
+    clustered = (
+        keyed.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .persist()
+    )
+    clustered.count()  # materialize BEFORE the swap unlinks the input files
+    stage_and_swap_write(clustered, table_path)
+    clustered.unpersist()

@@ -559,3 +559,43 @@ def test_cluster_by_layout_makes_footer_stats_selective(spark, sf_small, tmp_pat
         rewritten.agg(F.sum("o_orderkey")).collect()[0][0]
         == orders.agg(F.sum("o_orderkey")).collect()[0][0]
     )
+
+
+def _files_intersecting(path, col, lo, hi):
+    """How many parquet files COULD contain col in [lo, hi] per their
+    footer min/max — i.e. how many a stats-pruning scan must read."""
+    return sum(1 for mn, mx in _file_ranges(path, col) if mx >= lo and mn <= hi)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """On a uniform 64x64 grid split into 8 files: a plain sort by x
+    leaves a y-band query unprunable (every file spans all of y),
+    while the Z-order layout bounds BOTH dimensions per file, so the
+    same y-band query skips most files — and an x-band query still
+    prunes too. Content must survive the rewrite bit-for-bit."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+        cluster_by_layout,
+        zorder_by_layout,
+    )
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    xsorted, zpath = str(tmp_path / "xsorted"), str(tmp_path / "zorder")
+    grid.write.parquet(xsorted)
+    grid.write.parquet(zpath)
+    cluster_by_layout(spark, xsorted, ["x"], n_files=8)
+    zorder_by_layout(spark, zpath, ("x", "y"), n_files=8)
+
+    # y-band query (y in [8, 15], 1/8 of the domain):
+    assert _files_intersecting(xsorted, "y", 8, 15) == 8  # sort-by-x: no help
+    assert _files_intersecting(zpath, "y", 8, 15) <= 4  # Z: boxes bound y
+    # x-band query still prunes on the Z layout as well:
+    assert _files_intersecting(zpath, "x", 8, 15) <= 4
+
+    z = spark.read.parquet(zpath)
+    assert z.count() == 4096
+    assert sorted((r.x, r.y) for r in z.collect()) == sorted(
+        (r.x, r.y) for r in grid.collect()
+    )
