@@ -178,10 +178,165 @@ ORDER BY client_id, valid_from
 """
 
 
+def _client_versions(customer: DataFrame) -> DataFrame:
+    """The same deterministic version table q_scd2_dim_client emits
+    (seed 1992-01-01, custkey%10==0 → 'UPGRADED' effective
+    1998-01-01), rebuilt here so the PIT query can consume it without
+    touching that entry's registered definition."""
+    current = customer.select(
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("nom_client"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(OPEN_END).alias("valid_to"),
+    )
+    updates = customer.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("client_id"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("1998-01-01").alias("effective_date"),
+    )
+    return scd2_apply(current, updates, key="client_id", tracked=["segment"])
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    fact_key: str,
+    fact_date,
+) -> DataFrame:
+    """Kimball point-in-time enrichment: attach to each fact row the
+    dimension version valid AT the fact date (``valid_from <= date <
+    valid_to``, ISO strings compared lexicographically — the module's
+    interval convention). Because versions partition each key's
+    timeline, the join is lossless and unique: exactly one version
+    matches every fact (pytest-asserted). Plan shape: an equi hash
+    join on the business key (broadcast when the dim fits, the normal
+    case) with the interval test as a join filter — at 100 TB both
+    sides hash-partition by key and the few-versions-per-key interval
+    scan is a per-row filter, never a range-join blowup."""
+    d = fact_date.cast("string")
+    return facts.join(
+        F.broadcast(versions),
+        (facts[fact_key] == versions["client_id"])
+        & (d >= versions["valid_from"])
+        & (d < versions["valid_to"]),
+    )
+
+
+def q_scd2_point_in_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-was vs as-is revenue by client segment — THE report SCD2
+    exists to make possible. As-was attributes each order to the
+    segment its customer was in ON THE ORDER DATE (point-in-time
+    join); as-is restates all history under the customer's live
+    segment (the SCD1 answer). Upgraded customers' pre-1998 orders
+    are the divergence: original segment in as-was, 'UPGRADED' in
+    as-is. Money is exact integer cents until one final division."""
+    from ..functions.scalar import round_half_up
+
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    versions = _client_versions(customer)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    facts = orders.select(
+        F.col("o_custkey"), F.col("o_orderdate"), cents.alias("cents")
+    )
+
+    as_was = (
+        point_in_time_join(facts, versions, "o_custkey", F.col("o_orderdate"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("orders_as_was"),
+            F.sum("cents").alias("__c_was"),
+        )
+    )
+    live = versions.where(F.col("valid_to") == OPEN_END).select(
+        "client_id", "segment"
+    )
+    as_is = (
+        facts.join(F.broadcast(live), facts["o_custkey"] == live["client_id"])
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("orders_as_is"),
+            F.sum("cents").alias("__c_is"),
+        )
+    )
+    money = lambda c: round_half_up(  # noqa: E731
+        F.coalesce(c, F.lit(0)).cast("double") / 100.0, 2
+    )
+    return (
+        as_was.join(as_is, "segment", "full")
+        .select(
+            "segment",
+            F.coalesce("orders_as_was", F.lit(0)).cast("long").alias("orders_as_was"),
+            money(F.col("__c_was")).alias("rev_as_was"),
+            F.coalesce("orders_as_is", F.lit(0)).cast("long").alias("orders_as_is"),
+            money(F.col("__c_is")).alias("rev_as_is"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _oracle_pit() -> str:
+    from ..functions.scalar import sql_round_half_up
+
+    versions = f"""
+seed AS (
+  SELECT c_custkey AS client_id, c_mktsegment AS segment,
+         '1992-01-01' AS valid_from, '{OPEN_END}' AS valid_to
+  FROM customer
+),
+changed AS (
+  SELECT * FROM seed WHERE client_id % 10 = 0 AND segment <> 'UPGRADED'
+),
+versions AS (
+  SELECT client_id, segment, valid_from, valid_to FROM seed
+  WHERE client_id NOT IN (SELECT client_id FROM changed)
+  UNION ALL
+  SELECT client_id, segment, valid_from, '1998-01-01' FROM changed
+  UNION ALL
+  SELECT client_id, 'UPGRADED', '1998-01-01', '{OPEN_END}' FROM changed
+),
+facts AS (
+  SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS d,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+as_was AS (
+  SELECT v.segment, CAST(COUNT(*) AS BIGINT) AS orders_as_was,
+         CAST(SUM(f.cents) AS BIGINT) AS c_was
+  FROM facts f JOIN versions v
+    ON f.o_custkey = v.client_id
+   AND f.d >= v.valid_from AND f.d < v.valid_to
+  GROUP BY v.segment
+),
+as_is AS (
+  SELECT v.segment, CAST(COUNT(*) AS BIGINT) AS orders_as_is,
+         CAST(SUM(f.cents) AS BIGINT) AS c_is
+  FROM facts f JOIN versions v
+    ON f.o_custkey = v.client_id AND v.valid_to = '{OPEN_END}'
+  GROUP BY v.segment
+)"""
+    money = lambda c: sql_round_half_up(  # noqa: E731
+        f"CAST(COALESCE({c}, 0) AS DOUBLE) / 100.0", 2
+    )
+    return f"""
+WITH {versions}
+SELECT COALESCE(w.segment, i.segment) AS segment,
+       COALESCE(w.orders_as_was, 0) AS orders_as_was,
+       {money('w.c_was')} AS rev_as_was,
+       COALESCE(i.orders_as_is, 0) AS orders_as_is,
+       {money('i.c_is')} AS rev_as_is
+FROM as_was w FULL JOIN as_is i ON w.segment = i.segment
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "scd2_dim_client": q_scd2_dim_client,
+    "scd2_point_in_time_report": q_scd2_point_in_time_report,
 }
 
 ORACLES = {
     "scd2_dim_client": ORACLE_SCD2,
+    "scd2_point_in_time_report": _oracle_pit(),
 }

@@ -599,3 +599,59 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     assert sorted((r.x, r.y) for r in z.collect()) == sorted(
         (r.x, r.y) for r in grid.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_time_join_is_lossless_and_unique(spark, sf_small):
+    """Version intervals partition each key's timeline, so the PIT
+    join must match EXACTLY one version per fact — same row count in,
+    same row count out, no fan-out, no drops."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.scd import (
+        _client_versions,
+        point_in_time_join,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_small, "orders")
+    versions = _client_versions(read_table(spark, sf_small, "customer"))
+    joined = point_in_time_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        versions,
+        "o_custkey",
+        F.col("o_orderdate"),
+    )
+    assert joined.count() == orders.count()
+    assert joined.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_point_in_time_attribution_diverges_from_live(spark):
+    """A fact dated before a version change must attribute to the OLD
+    version under PIT and the NEW one under as-is — the whole reason
+    SCD2 exists."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.scd import (
+        OPEN_END,
+        point_in_time_join,
+    )
+
+    versions = spark.createDataFrame(
+        [
+            (1, "OLD", "1992-01-01", "1998-01-01"),
+            (1, "NEW", "1998-01-01", OPEN_END),
+        ],
+        "client_id long, segment string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "1995-06-15"), (200, 1, "1998-01-01")],
+        "fact_id long, o_custkey long, d string",
+    )
+    got = {
+        r.fact_id: r.segment
+        for r in point_in_time_join(facts, versions, "o_custkey", F.col("d")).collect()
+    }
+    assert got == {100: "OLD", 200: "NEW"}  # boundary day belongs to NEW
