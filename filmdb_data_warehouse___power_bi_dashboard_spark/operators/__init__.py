@@ -26,6 +26,7 @@ from . import (  # noqa: E402
     asof,
     cdc,
     chunking,
+    classifier,
     frequent,
     funnel,
     graph,

@@ -50,22 +50,46 @@ _PR_TELEPORT = _PR_SCALE * (_PR_ALPHA_DEN - _PR_ALPHA_NUM) // _PR_ALPHA_DEN
 _PR_HOPS = 3
 
 
-def fixed_point_pagerank(pairs: DataFrame, hops: int = _PR_HOPS) -> DataFrame:
+def fixed_point_pagerank(
+    pairs: DataFrame, hops: int = _PR_HOPS, scale: int = _PR_SCALE
+) -> DataFrame:
     """K-hop damped PageRank over an undirected graph.
 
     ``pairs`` holds one row per undirected edge (``u``, ``v`` long
     node ids, each pair listed once). Returns (``u``, ``deg``,
     ``rank_fp``) with the fixed-point rank after ``hops`` rounds from
-    a uniform start of ``_PR_SCALE`` per node. Isolated nodes (no
+    a uniform start of ``scale`` per node. Isolated nodes (no
     edge) are by definition absent.
+
+    Overflow guard (enforced, not just documented): total rank mass
+    is conserved-or-shrinking hop to hop (teleport·n + 0.85·mass ≤
+    n·scale whenever mass ≤ n·scale), so any node's inflow is at most
+    n·scale and the hop's ``inflow * 85`` stays in BIGINT iff
+    ``n·scale ≤ (2^63−1)//85``. Past that bound Spark's non-ANSI long
+    multiply would WRAP SILENTLY (quietly wrong ranks) while DuckDB
+    raises — an asymmetric failure for an operator sold on bit-equal
+    cross-engine results — so the bound is checked up front and fails
+    loudly on both engines' behalf: raise, telling the caller to
+    lower ``scale`` (the rank unit is a parameter, not a constraint;
+    at 1e9 nodes use scale=1e6). The node count is one
+    map-side-combined aggregate over the already-persisted edge list.
     """
+    teleport = scale * (_PR_ALPHA_DEN - _PR_ALPHA_NUM) // _PR_ALPHA_DEN
     edges = track_persist(
         pairs.select("u", "v")
         .unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist()
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    ranks = deg.select("u", "deg", F.lit(_PR_SCALE).cast("long").alias("r"))
+    n_nodes = deg.count()
+    if n_nodes * scale > (2**63 - 1) // _PR_ALPHA_NUM:
+        raise ValueError(
+            f"fixed-point overflow bound: {n_nodes} nodes at rank unit "
+            f"scale={scale} puts the hop's damped inflow past BIGINT "
+            f"(need n*scale <= {(2**63 - 1) // _PR_ALPHA_NUM}); lower "
+            "the scale parameter"
+        )
+    ranks = deg.select("u", "deg", F.lit(scale).cast("long").alias("r"))
     for _ in range(hops):
         # Each undirected neighbor u sends r//deg to v; the new rank
         # is teleport + damped inflow — all BIGINT, order-independent.
@@ -79,7 +103,7 @@ def fixed_point_pagerank(pairs: DataFrame, hops: int = _PR_HOPS) -> DataFrame:
             "u",
             "deg",
             (
-                F.lit(_PR_TELEPORT)
+                F.lit(teleport)
                 + F.expr(f"(inflow * {_PR_ALPHA_NUM}) div {_PR_ALPHA_DEN}")
             ).cast("long").alias("r"),
         )

@@ -31,9 +31,12 @@ min/max distance), so the cross-engine comparison is bit-exact with
 no float anywhere.
 
 Scale shape: one map-side-combined groupBy collapses rows to the
-name frame; the self-join is broadcast-sized by construction (the
-vocabulary); per-block aggregates land on ≤ |blocks| keys. Raw rows
-are scanned exactly once with a two-column projection.
+name frame; the self-join strategy is left to AQE — broadcast when
+the collapsed vocabulary is small (the dimension-name norm), shuffle
+hash join on the blocking key when a free-text column makes it large
+(no forced hint, so the big-vocabulary case degrades to a shuffle
+instead of an OOM); per-block aggregates land on ≤ |blocks| keys.
+Raw rows are scanned exactly once with a two-column projection.
 """
 
 from __future__ import annotations
@@ -87,9 +90,15 @@ def fuzzy_match_report(part: DataFrame, threshold: int = _FUZZY_T) -> DataFrame:
     # Threshold levenshtein returns −1 past the bound (early-exit DP)
     # — the scale spelling; ≥0 therefore means "distance ≤ threshold".
     dist = F.levenshtein(F.col("a.nm"), F.col("c.nm"), threshold)
+    # No explicit broadcast hint: the collapsed name frame is usually
+    # vocabulary-small (dimension-like name columns), but nothing
+    # BOUNDS it — a high-cardinality free-text column would OOM a
+    # forced broadcast. AQE sees the collapsed frame's actual size at
+    # runtime and picks broadcast when it fits, shuffle hash join when
+    # it doesn't (the blk equi-key makes either strategy valid).
     pairs = (
         a.join(
-            F.broadcast(c),
+            c,
             on=[
                 F.col("a.blk") == F.col("c.blk"),
                 F.col("a.nm") < F.col("c.nm"),

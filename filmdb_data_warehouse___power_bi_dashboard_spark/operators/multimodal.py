@@ -692,8 +692,11 @@ def q_multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 # Byte-as-char replay of the dHash kernel (ASCII invariant, as in
 # ORACLE_FRAME_SAMPLE): pixel sums via prefix-free slice comprehensions,
 # bit (r,c) at flat index b = idx - idx//9, bands = 16-bit windows.
-ORACLE_IMAGE_DHASH_PAIRS = f"""
-WITH imgs AS (
+# Kept as a WITH-body fragment (ending at the candidate-pair CTE) so
+# the cluster/keep oracle below replays the identical pipeline; the
+# pairs oracle string it composes into is byte-for-byte what shipped
+# in round 11 (def-hash-stable).
+_DHASH_CAND_CTES = f"""imgs AS (
   SELECT doc_id AS media_id, text AS payload, length(text) AS n
   FROM documents
   WHERE CAST(doc_id % 3 AS INT) = 0 AND text IS NOT NULL
@@ -735,9 +738,120 @@ cand AS (
            AS hamming
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
-)
+)"""
+
+ORACLE_IMAGE_DHASH_PAIRS = f"""
+WITH {_DHASH_CAND_CTES}
 SELECT media_a, media_b, hamming FROM cand
 WHERE hamming <= {_DHASH_MAX_HAMMING} ORDER BY media_a, media_b
+"""
+
+
+def image_dedup_keep(media: DataFrame) -> DataFrame:
+    """The detect→act completion of image dedup (text got it first:
+    dup_spans → span_removal, pairs → clusters → keep_policy; this
+    closes the same arc for media): dHash near-dup pairs → connected
+    components (dedup.connected_components — min-label propagation,
+    per-round shuffle O(|E|)) → canonical-keep. Within each near-dup
+    cluster the KEPT copy is the one with the largest payload (bytes —
+    the resolution/quality proxy a real image pipeline argmaxes before
+    codecs enter the picture; ties → smallest media_id), everything
+    else is marked a drop.
+
+    Keep selection is all-aggregate (per-cluster max, then min id
+    among the argmax ties — the dedup_keep_policy spelling): no
+    per-cluster window, so one boilerplate-heavy giant cluster costs
+    two bounded hash aggs, never a within-cluster sort. The
+    cluster-level frames (one row per cluster) get no forced
+    broadcast — AQE broadcasts them when small, which they are by
+    construction at fixture SFs but not by any enforced bound.
+
+    Returns (cluster_id, media_id, payload_bytes, keep) — one row per
+    clustered image, exactly one keep=true per cluster.
+    """
+    from .dedup import connected_components
+
+    pairs = image_dhash_pairs(media)
+    comp = connected_components(pairs, src="media_a", dst="media_b").select(
+        F.col("node").alias("media_id"), F.col("label").alias("cluster_id")
+    )
+    size = media.filter(
+        (F.col("kind") == "image") & F.col("payload").isNotNull()
+    ).select(
+        "media_id", F.octet_length("payload").cast("long").alias("payload_bytes")
+    )
+    members = comp.join(size, "media_id")
+    mx = members.groupBy("cluster_id").agg(
+        F.max("payload_bytes").alias("__b_max")
+    )
+    keepers = (
+        members.join(mx, "cluster_id")
+        .where(F.col("payload_bytes") == F.col("__b_max"))
+        .groupBy("cluster_id")
+        .agg(F.min("media_id").alias("__keeper"))
+    )
+    return (
+        members.join(keepers, "cluster_id")
+        .select(
+            "cluster_id",
+            "media_id",
+            "payload_bytes",
+            (F.col("media_id") == F.col("__keeper")).alias("keep"),
+        )
+        .orderBy("cluster_id", "media_id")
+    )
+
+
+def q_multimodal_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked image dedup end-to-end: the DuckDB oracle
+    replays the whole chain — dHash kernel (ASCII invariant), banded
+    pigeonhole pairs, recursive-CTE transitive closure, argmax keep —
+    so the driver hash attests candidate generation, clustering AND
+    the keep decision in one value-hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = ascii_guarded(synthesize_media(docs))
+    return image_dedup_keep(media)
+
+
+# Transitive closure + keep over the SAME candidate CTEs the pairs
+# oracle uses (payload_bytes == imgs.n: octet_length == char length
+# under the runtime-asserted ASCII invariant).
+ORACLE_IMAGE_DEDUP_KEEP = f"""
+WITH RECURSIVE {_DHASH_CAND_CTES},
+pairs AS (
+  SELECT media_a, media_b FROM cand WHERE hamming <= {_DHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT media_a AS a, media_b AS b FROM pairs
+  UNION
+  SELECT media_b, media_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS media_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+members AS (
+  SELECT c.cluster_id, c.media_id, CAST(i.n AS BIGINT) AS payload_bytes
+  FROM comp c JOIN imgs i ON i.media_id = c.media_id
+),
+mx AS (
+  SELECT cluster_id, MAX(payload_bytes) AS b_max FROM members GROUP BY 1
+),
+keepers AS (
+  SELECT m.cluster_id, MIN(m.media_id) AS keeper
+  FROM members m JOIN mx ON m.cluster_id = mx.cluster_id
+  WHERE m.payload_bytes = mx.b_max
+  GROUP BY m.cluster_id
+)
+SELECT m.cluster_id, m.media_id, m.payload_bytes,
+       m.media_id = k.keeper AS keep
+FROM members m JOIN keepers k ON m.cluster_id = k.cluster_id
+ORDER BY m.cluster_id, m.media_id
 """
 
 
@@ -748,6 +862,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_image_dhash_pairs": q_multimodal_image_dhash_pairs,
+    "multimodal_image_dedup_keep": q_multimodal_image_dedup_keep,
 }
 
 ORACLES = {
@@ -756,4 +871,5 @@ ORACLES = {
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
     "multimodal_image_dhash_pairs": ORACLE_IMAGE_DHASH_PAIRS,
+    "multimodal_image_dedup_keep": ORACLE_IMAGE_DEDUP_KEEP,
 }

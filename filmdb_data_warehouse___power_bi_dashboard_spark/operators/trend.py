@@ -398,7 +398,11 @@ def bootstrap_mean_ci(
         # A replicate that resampled zero rows (possible on tiny
         # strata: P = e^-n per replicate) has no mean — drop it
         # instead of dividing by zero (ANSI mode makes 0/0 an ERROR,
-        # not NaN).
+        # not NaN). If EVERY replicate resamples zero rows (~1-row
+        # inputs only), this frame goes empty and the groupBy below
+        # emits zero rows; the oracle mirrors that exact shape with
+        # its EXISTS(SELECT 1 FROM means) guard, so neither engine
+        # ever emits a NULL-CI report row.
         .where(F.col("r.sw") > 0)
         .select(
             "n",
@@ -468,7 +472,7 @@ SELECT n_orders,
        {sql_round_half_up("(SELECT quantile_cont(mean_b, 0.975) FROM means)", 4)}
          AS ci_hi
 FROM tot
-WHERE n_orders > 0
+WHERE n_orders > 0 AND EXISTS (SELECT 1 FROM means)
 """
 
 

@@ -210,13 +210,17 @@ def point_in_time_join(
     interval convention). Because versions partition each key's
     timeline, the join is lossless and unique: exactly one version
     matches every fact (pytest-asserted). Plan shape: an equi hash
-    join on the business key (broadcast when the dim fits, the normal
-    case) with the interval test as a join filter — at 100 TB both
-    sides hash-partition by key and the few-versions-per-key interval
-    scan is a per-row filter, never a range-join blowup."""
+    join on the business key with the interval test as a join filter —
+    no forced broadcast hint, so AQE broadcasts the dim when it fits
+    (the normal case) and at 100 TB, where the version table itself is
+    huge, both sides hash-partition by key and the
+    few-versions-per-key interval scan is a per-row filter, never a
+    range-join blowup. (A hard ``F.broadcast`` here would make that
+    documented large-dim plan unreachable — the big case would OOM
+    instead of shuffling.)"""
     d = fact_date.cast("string")
     return facts.join(
-        F.broadcast(versions),
+        versions,
         (facts[fact_key] == versions["client_id"])
         & (d >= versions["valid_from"])
         & (d < versions["valid_to"]),
@@ -253,7 +257,10 @@ def q_scd2_point_in_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "client_id", "segment"
     )
     as_is = (
-        facts.join(F.broadcast(live), facts["o_custkey"] == live["client_id"])
+        # Like point_in_time_join: AQE-decided join strategy — the
+        # live-version frame is one row per client, small at fixture
+        # SFs but unbounded in principle.
+        facts.join(live, facts["o_custkey"] == live["client_id"])
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("orders_as_is"),

@@ -145,6 +145,30 @@ def corpus_artifact(
     return art
 
 
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory on the repo's warehouse volume.
+
+    Maintenance operators (GDPR erasure audit, layout rewrites) stage
+    working copies of real tables; ``tempfile.mkdtemp`` would put those
+    under ``/tmp``, which on many hosts is a small tmpfs that a
+    table-sized staging copy can exhaust. The warehouse volume is the
+    disk sized for table data, so staging belongs next to the
+    ``corpus_artifacts`` store. Callers own cleanup (``shutil.rmtree``
+    in ``finally`` for per-invocation staging; ``atexit`` for
+    process-lifetime staging)."""
+    import os
+    import uuid
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "scratch",
+    )
+    path = os.path.join(base, f"{prefix}{uuid.uuid4().hex}")
+    os.makedirs(path)
+    return path
+
+
 def json_artifact_io():
     """(save, load) pair for JSON-serializable artifacts."""
     import json

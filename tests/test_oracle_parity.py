@@ -48,6 +48,9 @@ NON_SQL_WHITELIST: set[str] = {
     "multimodal_features",    # mapInPandas path; equality tested in pytest
     "approx_month_profile",   # sketch internals engine-specific; error bounds tested in pytest
     "corpus_split_summary",   # xxhash64 split assignment; properties tested in pytest
+    "warehouse_layout_pruning",  # per-file membership is range-sample-dependent (no SQL
+                              # oracle); pruning bounds pytest-asserted (test_round12_ops),
+                              # content/file-count half value-hashed by warehouse_layout_report
 }
 
 
