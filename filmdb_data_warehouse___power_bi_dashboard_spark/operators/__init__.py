@@ -35,6 +35,7 @@ from . import (  # noqa: E402
     lm,
     maintenance,
     multimodal,
+    privacy,
     quality,
     retention,
     retrieval,
@@ -67,6 +68,8 @@ for _mod in (
     trend,
     linkage,
     graph,
+    classifier,
+    privacy,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

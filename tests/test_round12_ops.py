@@ -317,3 +317,118 @@ def test_scratch_dir_on_warehouse_volume():
         assert os.path.join("spark-warehouse", "scratch") in d
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Privacy family: k-anonymity audit + DP geometric release
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report_matches_bruteforce(spark, sf_small):
+    import math
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.privacy import (
+        _K_THRESH,
+        k_anonymity_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    cust = read_table(spark, sf_small, "customer")
+    classes: dict = {}
+    for r in cust.collect():
+        classes.setdefault((r.c_nationkey, r.c_mktsegment), []).append(
+            math.floor(r.c_acctbal / 1000.0)
+        )
+    sizes = [len(v) for v in classes.values()]
+    rep = k_anonymity_report(cust).collect()[0]
+    assert rep.n_rows == sum(sizes)
+    assert rep.n_classes == len(classes)
+    assert rep.k_min == min(sizes)
+    assert rep.l_min == min(len(set(v)) for v in classes.values())
+    assert rep.classes_below_k == sum(s < _K_THRESH for s in sizes)
+    assert rep.rows_below_k == sum(s for s in sizes if s < _K_THRESH)
+
+
+def test_dp_ladder_symmetric_normalized_geometric():
+    """The mechanism's correctness lives in the ladder: thresholds
+    must be monotone, cover the full u16 range exactly, be symmetric
+    about 0 (within the uniform's 1-step quantization), and decay
+    geometrically at rate alpha — i.e. actually BE the truncated
+    two-sided geometric distribution."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.privacy import (
+        _DP_ALPHA,
+        _DP_LADDER,
+    )
+
+    ths = [t for _, t in _DP_LADDER]
+    assert ths == sorted(ths) and ths[-1] == 65536
+    width = {
+        k: t - p for (k, t), p in zip(_DP_LADDER, [0] + ths[:-1])
+    }
+    assert sum(width.values()) == 65536
+    for k in range(0, 11):
+        assert abs(width[k] - width[-k]) <= 1
+    for k in range(0, 6):
+        assert abs(width[k + 1] / width[k] - float(_DP_ALPHA)) < 0.01
+
+
+def test_dp_counts_noise_bounded_deterministic(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.privacy import (
+        _DP_K,
+        dp_counts,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    cust = read_table(spark, sf_small, "customer")
+    a = {r.c_mktsegment: tuple(r) for r in dp_counts(cust).collect()}
+    assert a == {r.c_mktsegment: tuple(r) for r in dp_counts(cust).collect()}
+    exact = {
+        r.c_mktsegment: r.cnt
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for seg, (_, e, noise, dp) in a.items():
+        assert e == exact[seg]
+        assert abs(noise) <= _DP_K
+        assert dp == e + noise
+    # A different seed re-draws the noise — the knob a real
+    # per-publication RNG replaces.
+    other = {
+        r.c_mktsegment: r.noise for r in dp_counts(cust, seed="other:").collect()
+    }
+    assert any(other[s] != a[s][2] for s in other)
+
+
+def test_generalization_report_lattice_monotone_and_chosen_minimal(spark, sf_small):
+    """The ladder is a chain of true coarsenings, so along levels:
+    n_classes is non-increasing, k_min non-decreasing, and
+    rows_below_k non-increasing (a row below k after a merge was
+    below k before it). The chosen flag marks exactly the MINIMAL
+    level meeting k, and at most one row carries it."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.privacy import (
+        _K_THRESH,
+        generalization_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    rows = generalization_report(
+        read_table(spark, sf_small, "customer"),
+        read_table(spark, sf_small, "nation"),
+    ).collect()
+    assert [r.level for r in rows] == [0, 1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_classes >= b.n_classes
+        assert a.k_min <= b.k_min
+        assert a.rows_below_k >= b.rows_below_k
+    for r in rows:
+        assert r.meets_k == (r.k_min >= _K_THRESH)
+    meeting = [r.level for r in rows if r.meets_k]
+    chosen = [r.level for r in rows if r.is_chosen]
+    assert chosen == (meeting[:1] if meeting else [])
