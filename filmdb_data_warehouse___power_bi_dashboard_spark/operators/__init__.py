@@ -24,9 +24,12 @@ ORACLES.update(dedup.ORACLES)
 # (registry() only raises for unknown names, not missing ones).
 from . import (  # noqa: E402
     asof,
+    bpe,
     cdc,
     chunking,
     classifier,
+    collocation,
+    dq,
     frequent,
     funnel,
     graph,
@@ -41,10 +44,12 @@ from . import (  # noqa: E402
     retrieval,
     sampling,
     segments,
+    sequence,
     similarity,
     text,
     trend,
     vectors,
+    versioning,
 )
 
 for _mod in (
@@ -70,6 +75,11 @@ for _mod in (
     graph,
     classifier,
     privacy,
+    bpe,
+    versioning,
+    sequence,
+    dq,
+    collocation,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1392,6 +1392,120 @@ def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-factor training weights: the POST-dedup corpus with
+    each survivor carrying its cluster multiplicity.
+
+    Deduplication changes the training distribution — dropping 9
+    copies of a document down-weights its content 10×. The standard
+    correction (kept alongside the keep/drop decision in
+    SlimPajama-style pipelines) is to keep ONE canonical copy per
+    near-dup cluster weighted by the cluster size, so the loss can
+    re-weight (or epoch sampling can replicate) the survivor to match
+    the pre-dedup mass. This entry is that artifact: one row per
+    SURVIVING document — the quality-argmax keeper of every
+    Jaccard-0.6 cluster (same keeper rule as dedup_keep_policy) plus
+    every unclustered document at weight 1 — with ``weight`` = number
+    of documents the survivor represents. Σ weight = |corpus| by
+    construction (conservation pytest-asserted).
+
+    Scale shape: reuses the corpus-versioned pair artifact and the
+    O(|E|)-per-round component propagation; sizes and keepers are two
+    bounded aggregates on the cluster frame; the singleton side is
+    one LEFT ANTI join of the corpus against the (small) clustered-id
+    set. Nothing new shuffles the text.
+    """
+    from .text import _quality_expr, _words
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _materialized_jaccard_pairs(spark, sf_dir, threshold=0.6, n=3)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    quality = docs.select(
+        "doc_id",
+        F.coalesce(round_half_up(_quality_expr(_words()), 4), F.lit(0.0)).alias(
+            "quality_score"
+        ),
+    )
+    members = comp.join(quality, "doc_id")
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    mx = members.groupBy("cluster_id").agg(F.max("quality_score").alias("__q_max"))
+    keepers = (
+        members.join(F.broadcast(mx), "cluster_id")
+        .where(F.col("quality_score") == F.col("__q_max"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    clustered = keepers.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id", "weight", F.lit(True).alias("clustered")
+    )
+    singles = (
+        docs.where(F.col("text").isNotNull())
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("weight"),
+            F.lit(False).alias("clustered"),
+        )
+    )
+    return clustered.unionByName(singles).orderBy("doc_id")
+
+
+def _oracle_survivor_weights() -> str:
+    from .text import _P_QUALITY
+
+    return f"""
+WITH RECURSIVE d AS ({_SH_D_CTE}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_JAC_GUARD} AND {_JAC} >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id,
+         COALESCE({_P_QUALITY}, 0.0) AS quality_score
+  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS weight FROM members GROUP BY 1
+),
+mx AS (
+  SELECT cluster_id, MAX(quality_score) AS q_max FROM members GROUP BY 1
+),
+keepers AS (
+  SELECT m.cluster_id, MIN(m.doc_id) AS doc_id
+  FROM members m JOIN mx ON m.cluster_id = mx.cluster_id
+  WHERE m.quality_score = mx.q_max
+  GROUP BY m.cluster_id
+)
+SELECT k.doc_id, s.weight, TRUE AS clustered
+FROM keepers k JOIN sizes s ON s.cluster_id = k.cluster_id
+UNION ALL
+SELECT doc.doc_id, CAST(1 AS BIGINT) AS weight, FALSE AS clustered
+FROM documents doc
+WHERE doc.text IS NOT NULL
+  AND doc.doc_id NOT IN (SELECT doc_id FROM comp)
+ORDER BY doc_id
+"""
+
+
 def _oracle_keep_policy() -> str:
     from .text import _P_QUALITY
 
@@ -2170,6 +2284,7 @@ QUERIES = {
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_source_overlap": q_dedup_source_overlap,
     "dedup_keep_policy": q_dedup_keep_policy,
+    "dedup_survivor_weights": q_dedup_survivor_weights,
     "text_ngram_novelty": q_text_ngram_novelty,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_portable": q_dedup_simhash_portable,
@@ -2187,6 +2302,7 @@ ORACLES = {
     "dedup_incremental_minhash": ORACLE_INCREMENTAL_MINHASH,
     "dedup_source_overlap": ORACLE_SOURCE_OVERLAP,
     "dedup_keep_policy": _oracle_keep_policy(),
+    "dedup_survivor_weights": _oracle_survivor_weights(),
     "text_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "dedup_simhash_portable": ORACLE_SIMHASH_PORTABLE,
     "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,

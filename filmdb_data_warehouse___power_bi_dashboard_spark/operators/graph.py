@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..runtime import track_persist
 from ..sources.catalog import read_table
+from .dedup import h60, sql_h60
 
 _PR_SCALE = 1_000_000_000  # rank unit: 1e-9 of one teleport mass
 _PR_ALPHA_NUM, _PR_ALPHA_DEN = 85, 100  # damping 0.85 as a ratio
@@ -178,10 +179,202 @@ LIMIT 20
 """
 
 
+_CC_SCALE = 1_000_000  # clustering coefficient unit: 1e-6
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph via the
+    degree-ordered forward algorithm.
+
+    ``edges`` holds one row per undirected edge (``a`` < ``b``, long
+    ids, deduplicated). Every edge is ORIENTED from its
+    (degree, id)-smaller endpoint to the larger one — the classic
+    trick (Chiba–Nishizeki / Schank–Wagner "forward") that bounds
+    every node's out-degree by O(√m), so the path-candidate join
+    e1(u→v) ⋈ e2(v→w) is O(m^1.5) worst-case instead of the hub-degree
+    quadratic the naive id-ordering pays on skewed graphs. The
+    ordering is a pure function of the edge list ((deg, id) tuple
+    compare — no floats, no randomness), so the DuckDB oracle replays
+    it exactly. Each triangle u<v<w (in degree order) is produced
+    exactly once by closing e1(u→v), e2(v→w) with e3(u→w), which the
+    total order guarantees is also oriented.
+
+    Returns (``u``, ``deg``, ``triangles``) for every node in at
+    least one triangle — BIGINTs only.
+
+    Scale shape: edge list persisted and reused (orientation, both
+    path sides, the closing probe); the path join shuffles on v, the
+    closing join on (u, w); participation is one explode +
+    map-side-combined count onto node keys. No collect, nothing
+    beyond O(m^1.5).
+    """
+    e = track_persist(edges.select("a", "b").persist())
+    deg = (
+        e.select(F.col("a").alias("u"))
+        .unionByName(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ed = e.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("dega")), "a").join(
+        deg.select(F.col("u").alias("b"), F.col("deg").alias("degb")), "b"
+    )
+    lower = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = track_persist(
+        ed.select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        ).persist()
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    nodes = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return nodes.join(deg, "u").select("u", "deg", "triangles")
+
+
+_TRI_SALT = "tri-v1"
+_TRI_INV_P = 5  # DOULION sparsification: keep each edge w.p. 1/5
+
+
+def q_graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle count in the sparsified co-purchase
+    graph, with the DOULION-unbiased full-graph estimate.
+
+    Nodes are parts; an undirected edge connects two parts bought in
+    the same order at least once (per-order line count is bounded —
+    ≤7 in the TPC-H-shaped fixture — so the per-order pair expansion
+    is a constant factor on the order count, never quadratic in the
+    table). The co-purchase graph is DENSE (avg degree ~180 at
+    sf0.1), so exact counting pays Σ outdeg² path candidates; the
+    published answer is DOULION (Tsourakakis et al., KDD 2009):
+    sparsify by keeping each edge independently with probability p,
+    count exactly on the sparse graph, scale by p⁻³ — an unbiased
+    estimator of the full count whose join cost shrinks by p². Here
+    p = 1/5 via a 60-bit md5 bucket over the edge key, so the
+    "coin flips" are deterministic and the DuckDB oracle replays the
+    identical sample — the estimator's randomness is salted-hash
+    randomness, the repo-wide pattern.
+
+    ``triangles`` is the EXACT count on the sampled graph,
+    ``est_full_triangles`` the unbiased p⁻³ per-node estimate, and
+    ``clustering_fp`` the local clustering coefficient
+    2·tri/(deg·(deg−1)) of the sampled graph in exact 1e-6 integer
+    units. Sampled-graph degree ties are broken by part key, so the
+    frontier is deterministic.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    x, y = items.alias("x"), items.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").cast("long").alias("a"),
+            F.col("y.l_partkey").cast("long").alias("b"),
+        )
+        .distinct()
+        .where(
+            F.pmod(
+                h60(
+                    F.concat(
+                        F.lit(_TRI_SALT + ":"),
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                F.lit(_TRI_INV_P),
+            )
+            == 0
+        )
+    )
+    nodes = triangle_participation(edges)
+    return (
+        nodes.select(F.col("u").alias("p_partkey"), "deg", "triangles")
+        .join(F.broadcast(part.select(F.col("p_partkey").cast("long").alias("p_partkey"), "p_name")), "p_partkey")
+        .select(
+            "p_partkey",
+            "p_name",
+            "triangles",
+            (F.col("triangles") * _TRI_INV_P**3).cast("long").alias("est_full_triangles"),
+            "deg",
+            F.expr(f"(triangles * {2 * _CC_SCALE}) div (deg * (deg - 1))")
+            .cast("long")
+            .alias("clustering_fp"),
+        )
+        .orderBy(F.col("triangles").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+ORACLE_COPURCHASE_TRIANGLES = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e_full AS (
+  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+                  CAST(y.l_partkey AS BIGINT) AS b
+  FROM items x JOIN items y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+e AS (
+  SELECT a, b FROM e_full
+  WHERE {sql_h60(
+      f"'{_TRI_SALT}:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+  )} % {_TRI_INV_P} = 0
+),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+  GROUP BY u
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+nodes AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT u FROM tri UNION ALL SELECT v AS u FROM tri
+        UNION ALL SELECT w AS u FROM tri)
+  GROUP BY u
+)
+SELECT n.u AS p_partkey, p.p_name, n.triangles,
+       CAST(n.triangles * {_TRI_INV_P**3} AS BIGINT) AS est_full_triangles,
+       d.deg,
+       CAST((n.triangles * {2 * _CC_SCALE}) // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS clustering_fp
+FROM nodes n
+JOIN deg d ON d.u = n.u
+JOIN part p ON CAST(p.p_partkey AS BIGINT) = n.u
+ORDER BY triangles DESC, p_partkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "graph_supplier_authority": q_graph_supplier_authority,
+    "graph_copurchase_triangles": q_graph_copurchase_triangles,
 }
 
 ORACLES = {
     "graph_supplier_authority": ORACLE_SUPPLIER_AUTHORITY,
+    "graph_copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
 }

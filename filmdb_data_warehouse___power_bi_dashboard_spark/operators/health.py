@@ -780,6 +780,144 @@ LIMIT 1
 """
 
 
+_KS_RECENT_DAYS = 7
+_KS_SCALE = 1_000_000
+_KS_CRIT_95 = 1.358  # two-sample KS critical coefficient at alpha=0.05
+
+
+def ks_drift(events: DataFrame, recent_days: int = _KS_RECENT_DAYS) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test: the last
+    ``recent_days`` of events vs everything before.
+
+    PSI (events_value_drift) needs binning by construction; KS is the
+    binning-free classic — but its exact form needs the max over a
+    GLOBAL cumulative distribution, which at corpus scale means a
+    global sort. The scalable spelling, used here: evaluate the ECDFs
+    on the integer value grid floor(value) — a BOUNDED set of
+    evaluation points — so the cumulative pass runs on a frame of at
+    most |value range| rows (≤ ~600 on the fixture; a design
+    parameter, not data-sized). On that grid the statistic is EXACT
+    integer arithmetic:
+
+        D = max over grid points g of |R(g)·n_ref − F(g)·n_recent|
+            / (n_recent·n_ref)
+
+    with R/F the cumulative counts. The numerator is widened to
+    DECIMAL(38,0)/HUGEINT (c·n products overflow BIGINT at production
+    scale — the events_value_drift lesson); the single max row is
+    converted to double once for the reported statistic. The 95 %
+    critical value 1.358·√((n₁+n₂)/(n₁·n₂)) is computed from the same
+    integers by identical IEEE ops on both engines.
+
+    Returns ONE row: (``n_recent``, ``n_ref``, ``d_stat``,
+    ``ks_crit_95``, ``drift``). Scale shape: one scan with a
+    broadcast 1-row max-ts frame, map-side-combined groupBy onto the
+    bounded grid, the cumsum window on the tiny grid frame, one max.
+    """
+    ev = events.where(F.col("value").isNotNull()).select("ts", "value")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    tagged = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("ts") >= F.expr(f"mx - INTERVAL {recent_days} DAYS")).alias("recent"),
+        F.floor("value").cast("int").alias("g"),
+    )
+    grid = tagged.groupBy("g").agg(
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).cast("long").alias("c_r"),
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).cast("long").alias("c_f"),
+    )
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        F.sum("c_r").over(w).alias("cum_r"),
+        F.sum("c_f").over(w).alias("cum_f"),
+    )
+    totals = grid.agg(
+        F.sum("c_r").cast("long").alias("n_recent"),
+        F.sum("c_f").cast("long").alias("n_ref"),
+    )
+    num = cum.crossJoin(F.broadcast(totals)).select(
+        "n_recent",
+        "n_ref",
+        F.abs(
+            F.col("cum_r").cast("decimal(38,0)") * F.col("n_ref")
+            - F.col("cum_f").cast("decimal(38,0)") * F.col("n_recent")
+        ).alias("num"),
+    )
+    d = (
+        F.col("max_num").cast("double")
+        / (F.col("n_recent").cast("double") * F.col("n_ref").cast("double"))
+    )
+    crit = _KS_CRIT_95 * F.sqrt(
+        (F.col("n_recent") + F.col("n_ref")).cast("double")
+        / (F.col("n_recent").cast("double") * F.col("n_ref").cast("double"))
+    )
+    return (
+        num.groupBy("n_recent", "n_ref")
+        .agg(F.max("num").alias("max_num"))
+        .select(
+            "n_recent",
+            "n_ref",
+            round_half_up(d, 6).alias("d_stat"),
+            round_half_up(crit, 6).alias("ks_crit_95"),
+            (d > crit).alias("drift"),
+        )
+    )
+
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_drift(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_KS_DRIFT = f"""
+WITH ev AS (
+  SELECT ts, value FROM events WHERE value IS NOT NULL
+),
+mx AS (SELECT MAX(ts) AS mx FROM ev),
+tagged AS (
+  SELECT (ts >= mx - INTERVAL {_KS_RECENT_DAYS} DAYS) AS recent,
+         CAST(FLOOR(value) AS INT) AS g
+  FROM ev CROSS JOIN mx
+),
+grid AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS BIGINT) AS c_f
+  FROM tagged GROUP BY g
+),
+totals AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_recent,
+         CAST(SUM(c_f) AS BIGINT) AS n_ref
+  FROM grid
+),
+cum AS (
+  SELECT SUM(c_r) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+         SUM(c_f) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_f
+  FROM grid
+),
+m AS (
+  SELECT t.n_recent, t.n_ref,
+         MAX(ABS(CAST(c.cum_r AS HUGEINT) * t.n_ref
+                 - CAST(c.cum_f AS HUGEINT) * t.n_recent)) AS max_num
+  FROM cum c CROSS JOIN totals t
+  GROUP BY t.n_recent, t.n_ref
+)
+SELECT n_recent, n_ref,
+       {sql_round_half_up(
+           "CAST(max_num AS DOUBLE)"
+           " / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE))", 6)}
+         AS d_stat,
+       {sql_round_half_up(
+           f"{_KS_CRIT_95!r} * sqrt(CAST(n_recent + n_ref AS DOUBLE)"
+           " / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE)))", 6)}
+         AS ks_crit_95,
+       (CAST(max_num AS DOUBLE)
+          / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE)))
+         > ({_KS_CRIT_95!r} * sqrt(CAST(n_recent + n_ref AS DOUBLE)
+              / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE)))) AS drift
+FROM m
+"""
+
+
 QUERIES = {
     "corpus_health_report": q_corpus_health_report,
     "events_time_decay": q_events_time_decay,
@@ -789,6 +927,7 @@ QUERIES = {
     "robust_value_stats": q_robust_value_stats,
     "events_anomaly_days": q_events_anomaly_days,
     "events_changepoint": q_events_changepoint,
+    "events_ks_drift": q_events_ks_drift,
 }
 
 ORACLES = {
@@ -800,4 +939,5 @@ ORACLES = {
     "robust_value_stats": ORACLE_ROBUST_STATS,
     "events_anomaly_days": ORACLE_ANOMALY_DAYS,
     "events_changepoint": ORACLE_CHANGEPOINT,
+    "events_ks_drift": ORACLE_KS_DRIFT,
 }

