@@ -45,6 +45,7 @@ from . import (  # noqa: E402
     sampling,
     segments,
     sequence,
+    sketches,
     similarity,
     text,
     trend,
@@ -80,6 +81,7 @@ for _mod in (
     sequence,
     dq,
     collocation,
+    sketches,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,214 @@
+"""Portable HyperLogLog: the cardinality sketch under the exact gate.
+
+Spark ships `approx_count_distinct` (HLL++), and the registry's
+approx_month_profile exercises it — but as a black box it can only
+carry a rows-only check (its hash seed lives JVM-side). This module
+implements HyperLogLog (Flajolet et al. 2007) FROM FIRST PRINCIPLES
+on the cross-engine md5 hash, so the ENTIRE sketch — bucket split,
+leading-zero registers, harmonic estimate, small-range correction —
+is replayed bit-for-bit by the DuckDB oracle and carries a full
+value-hash driver row. The point is pedagogical-operational both:
+the sketch mechanics a 100 TB pipeline relies on, held to the same
+evidence standard as an exact aggregate.
+
+Exactness discipline:
+
+* **Registers are integers.** h = h60(salt:key) is 60 bits; the low
+  ``_HLL_B`` bits pick the bucket, the remaining W = 60−B bits form
+  the window w; the register value is the position of w's highest
+  set bit from the window top (ρ = 1..W, W+1 for w = 0), computed by
+  a GENERATED comparison ladder (``CASE WHEN w >= 2^(W−1) THEN 1
+  ...``) — the same SQL text runs on both engines, no log2 floats,
+  no bit intrinsics with differing semantics.
+* **The harmonic sum is an exact BIGINT.** Σ_j 2^(−M_j) is carried
+  as Σ_j 2^(W+1−M_j) (≤ m·2^(W+1) ≪ 2^63), summed over the FULL
+  m-register spine (empty registers coalesce to M = 0) — double
+  summation would be order-dependent across partitions; the integer
+  sum is not.
+* **One float conversion at the end.** E = α_m·m²·2^(W+1)/S, and the
+  standard small-range correction E ≤ 2.5m ∧ V>0 → m·ln(m/V), both
+  computed from identical integers by identical IEEE ops (the
+  value_drift ln precedent); outputs rounded on the 1e-4 grid.
+
+Scale shape: one scan projects (group, bucket, ρ); a map-side-
+combined MAX lands on |groups|·m keys; the spine fill and estimate
+run on that bounded frame. This is exactly how HLL distributes — the
+register frame IS the mergeable sketch state (MAX is the merge), so
+the same plan computes per-partition sketches and their union free
+of any second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+from .dedup import sql_h60
+
+_HLL_SALT = "hll-v1"
+_HLL_B = 8  # 2^8 = 256 buckets
+_HLL_M = 1 << _HLL_B
+_HLL_W = 60 - _HLL_B  # rho window width
+# alpha_256 = 0.7213 / (1 + 1.079/m) — embedded as one repr'd double
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# The raw-estimate numerator alpha·m²·2^(W+1) PRE-FOLDED to one Python
+# double and embedded as a single CAST(... AS DOUBLE) literal on both
+# sides: multiplying the three literals in-engine would (a) leave the
+# association order to each engine and (b) hit DuckDB's
+# decimal-literal parsing (0.72... is DECIMAL(16,16); decimal×decimal
+# overflows DECIMAL(18) long before double would).
+_HLL_EST_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(2 ** (_HLL_W + 1))
+
+
+def _rho_ladder(w_expr: str) -> str:
+    """The leading-one-position ladder: identical SQL text for Spark
+    and DuckDB (integer comparisons only)."""
+    branches = "\n    ".join(
+        f"WHEN {w_expr} >= {1 << (_HLL_W - k)} THEN {k}"
+        for k in range(1, _HLL_W + 1)
+    )
+    return f"CASE\n    {branches}\n    ELSE {_HLL_W + 1} END"
+
+
+def _hash_exprs(key_sql: str) -> tuple[str, str]:
+    """(bucket, rho) SQL fragments over a 60-bit hash of key_sql —
+    the DuckDB spelling; the Spark side differs only in the h60 call."""
+    h = sql_h60(f"'{_HLL_SALT}:' || CAST({key_sql} AS VARCHAR)")
+    bucket = f"({h}) % {_HLL_M}"
+    rho = _rho_ladder(f"(({h}) // {_HLL_M})")
+    return bucket, rho
+
+
+def hll_report(events: DataFrame) -> DataFrame:
+    """Per-event-type distinct-user cardinality: exact vs the portable
+    HLL estimate.
+
+    Returns (``event_type``, ``n_exact``, ``n_hll``, ``rel_err``)
+    ordered by event_type — n_hll and rel_err on the 1e-4 grid.
+    """
+    ev = events.where(F.col("user_id").isNotNull()).select("event_type", "user_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_HLL_SALT + ":"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        # integer division, NOT h/256: a 60-bit h is not exactly
+        # representable in double, float division would corrupt w
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    registers = (
+        hashed.select("event_type", "bucket", F.expr(_rho_ladder("w")).alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                registers.sparkSession.range(_HLL_M).select(
+                    F.col("id").cast("long").alias("bucket")
+                )
+            )
+        )
+    )
+    filled = spine.join(registers, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("m_j"), F.lit(0)).cast("int").alias("m_j")
+    )
+    folded = filled.groupBy("event_type").agg(
+        F.sum(F.expr(f"CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT)"))
+        .cast("long")
+        .alias("s_int"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    raw = F.lit(_HLL_EST_NUM) / F.col("s_int").cast("double")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            round_half_up(est, 4).alias("n_hll"),
+            round_half_up(
+                (est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_report(read_table(spark, sf_dir, "events"))
+
+
+def _oracle_hll() -> str:
+    bucket, rho = _hash_exprs("user_id")
+    raw = f"(CAST({_HLL_EST_NUM!r} AS DOUBLE) / CAST(s_int AS DOUBLE))"
+    est = (
+        f"CASE WHEN {raw} <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND v_zero > 0"
+        f" THEN CAST({float(_HLL_M)!r} AS DOUBLE)"
+        f" * ln(CAST({float(_HLL_M)!r} AS DOUBLE) / CAST(v_zero AS DOUBLE))"
+        f" ELSE {raw} END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type, {bucket} AS bucket, {rho} AS rho FROM ev
+),
+registers AS (
+  SELECT event_type, bucket, MAX(rho) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) g
+),
+filled AS (
+  SELECT s.event_type, COALESCE(r.m_j, 0) AS m_j
+  FROM spine s LEFT JOIN registers r
+    ON r.event_type = s.event_type AND r.bucket = s.bucket
+),
+folded AS (
+  SELECT event_type,
+         CAST(SUM(CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT)) AS BIGINT)
+           AS s_int,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM filled GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM ev GROUP BY 1
+)
+SELECT f.event_type, e.n_exact,
+       {sql_round_half_up(est, 4)} AS n_hll,
+       {sql_round_half_up(
+           f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4
+       )} AS rel_err
+FROM folded f JOIN exact e ON e.event_type = f.event_type
+ORDER BY f.event_type
+"""
+
+
+QUERIES = {"approx_distinct_hll_portable": q_approx_distinct_hll_portable}
+ORACLES = {"approx_distinct_hll_portable": _oracle_hll()}

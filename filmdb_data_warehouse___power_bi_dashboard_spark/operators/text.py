@@ -691,7 +691,110 @@ agg AS (
 ORACLE_PIPELINE_FUNNEL = _funnel_oracle()
 
 
+_KW_SCALE = 1_000_000
+_KW_TOP = 5
+
+
+def keywords_by_source(docs: DataFrame, top_k: int = _KW_TOP) -> DataFrame:
+    """Characteristic-term extraction: the top tf-idf keywords of each
+    SOURCE — the corpus-card profiling pass ("what is this slice of
+    the pile actually about") and the source-level twin of text_bm25's
+    per-document ranking.
+
+    idf is over SOURCES (how many of the corpus' slices contain the
+    term), so a term every source shares gets idf 0 and drops out —
+    stop-structure vanishes without a stop list. The only
+    transcendental is ln, integer-scaled at the source
+    (``floor(ln(n_sources/df)·1e6)`` — the tf-idf/value_drift
+    precedent), so scores are exact BIGINTs: ``score_fp =
+    tf · idf_fp``.
+
+    Scale shape: explode + map-side-combined (source, token) counts;
+    df aggregates THAT frame onto token keys; the 1-row source count
+    broadcasts into the scoring projection; per-source top-k is a
+    window over (source) partitions — parallel across sources, never
+    a global sort.
+    """
+    toks = docs.select("source", F.explode(_words()).alias("token"))
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df_sources"))
+    nsrc = toks.select("source").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df_sources",
+            F.floor(
+                F.log(F.col("n_sources").cast("double") / F.col("df_sources"))
+                * F.lit(float(_KW_SCALE))
+            )
+            .cast("long")
+            .alias("idf_fp"),
+        )
+        .where(F.col("idf_fp") > 0)
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df_sources",
+            (F.col("tf") * F.col("idf_fp")).cast("long").alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_fp").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+        .select("source", "rnk", "token", "tf", "df_sources", "score_fp")
+        .orderBy("source", "rnk")
+    )
+
+
+def q_text_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keywords_by_source(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_KEYWORDS = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_sources FROM tf GROUP BY 1
+),
+nsrc AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM toks
+),
+scored AS (
+  SELECT t.source, t.token, t.tf, d.df_sources,
+         t.tf * CAST(FLOOR(ln(CAST(n.n_sources AS DOUBLE) / d.df_sources)
+                           * {float(_KW_SCALE)!r}) AS BIGINT) AS score_fp
+  FROM tf t JOIN df d ON d.token = t.token CROSS JOIN nsrc n
+  WHERE CAST(FLOOR(ln(CAST(n.n_sources AS DOUBLE) / d.df_sources)
+                   * {float(_KW_SCALE)!r}) AS BIGINT) > 0
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY score_fp DESC, token) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT source, rnk, token, tf, df_sources, score_fp
+FROM ranked WHERE rnk <= {_KW_TOP}
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
+    "text_keywords_by_source": q_text_keywords_by_source,
     "text_language_id": q_text_language_id,
     "text_langid_confusion": q_text_langid_confusion,
     "text_profile": q_text_profile,
@@ -704,6 +807,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_keywords_by_source": ORACLE_KEYWORDS,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_profile": ORACLE_TEXT_PROFILE,

@@ -476,14 +476,135 @@ WHERE n_orders > 0 AND EXISTS (SELECT 1 FROM means)
 """
 
 
+_FC_TEST_DAYS = 7
+_FC_EPOCH = "1970-01-01"
+
+
+def seasonal_naive_backtest(events: DataFrame, test_days: int = _FC_TEST_DAYS) -> DataFrame:
+    """Seasonal-naive forecast baseline with a holdout backtest — the
+    sanity model every forecasting deployment is graded against
+    (M-competition convention: beat seasonal-naive or ship nothing).
+
+    The last ``test_days`` days are held out; each holdout day's
+    forecast is the MEAN DAILY TOTAL of its weekday over the training
+    days. Returns one row per holdout day: (``day``, ``weekday_idx``,
+    ``n_train_days``, ``actual``, ``forecast``, ``abs_err``), ordered
+    by day.
+
+    Determinism discipline: daily totals become INTEGER CENTS first
+    (floor(sum·100 + 0.5) — true totals live on the 0.01 grid, so
+    double-sum reorder noise ~1e-11 sits 9 orders below the half-cent
+    boundary); the weekday mean is then integer half-up division
+    (2s + n) div 2n — the mean of cent-grid values lands EXACTLY on
+    .005 boundaries whenever n is even, where any float spelling
+    would be one reorder-ulp from flipping the rounded answer.
+    Everything reported is cents/100.0, one exact conversion per
+    value. Weekday is days-since-epoch mod 7 — both engines' date
+    subtraction, no dayofweek() convention mismatch (Spark counts
+    1=Sunday, DuckDB 0=Sunday).
+
+    Scale shape: one scan → map-side-combined daily totals
+    (|days| keys); the weekday means aggregate THAT bounded frame;
+    the backtest join is 7 rows against 7 weekday means.
+    """
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+        )
+        .select(
+            "day",
+            F.pmod(F.datediff(F.col("day"), F.lit(_FC_EPOCH)), F.lit(7))
+            .cast("long")
+            .alias("weekday_idx"),
+            "cents",
+        )
+    )
+    mx = daily.agg(F.max("day").alias("mxd"))
+    flagged = daily.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "weekday_idx",
+        "cents",
+        (F.datediff(F.col("mxd"), F.col("day")) < test_days).alias("holdout"),
+    )
+    train = (
+        flagged.where(~F.col("holdout"))
+        .groupBy("weekday_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_days"),
+            F.sum("cents").cast("long").alias("s_cents"),
+        )
+        .select(
+            "weekday_idx",
+            "n_train_days",
+            F.expr("(2 * s_cents + n_train_days) div (2 * n_train_days)").alias(
+                "fc_cents"
+            ),
+        )
+    )
+    return (
+        flagged.where(F.col("holdout"))
+        .join(F.broadcast(train), "weekday_idx")
+        .select(
+            "day",
+            "weekday_idx",
+            "n_train_days",
+            (F.col("cents").cast("double") / 100).alias("actual"),
+            (F.col("fc_cents").cast("double") / 100).alias("forecast"),
+            (
+                F.abs(F.col("cents") - F.col("fc_cents")).cast("double") / 100
+            ).alias("abs_err"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_naive_backtest(read_table(spark, sf_dir, "events"))
+
+
+ORACLE_FORECAST_BASELINE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(ts AS DATE) - DATE '{_FC_EPOCH}' AS BIGINT) % 7 AS weekday_idx,
+         CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+mx AS (SELECT MAX(day) AS mxd FROM daily),
+flagged AS (
+  SELECT day, weekday_idx, cents,
+         (mxd - day < {_FC_TEST_DAYS}) AS holdout
+  FROM daily CROSS JOIN mx
+),
+train AS (
+  SELECT weekday_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_train_days,
+         CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS fc_cents
+  FROM flagged WHERE NOT holdout GROUP BY 1
+)
+SELECT f.day, f.weekday_idx, t.n_train_days,
+       CAST(f.cents AS DOUBLE) / 100 AS actual,
+       CAST(t.fc_cents AS DOUBLE) / 100 AS forecast,
+       CAST(ABS(f.cents - t.fc_cents) AS DOUBLE) / 100 AS abs_err
+FROM flagged f JOIN train t ON t.weekday_idx = f.weekday_idx
+WHERE f.holdout
+ORDER BY f.day
+"""
+
+
 QUERIES = {
     "events_type_correlation": q_events_type_correlation,
     "nation_revenue_trend": q_nation_revenue_trend,
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
+    "events_forecast_baseline": q_events_forecast_baseline,
 }
 
 ORACLES = {
     "events_type_correlation": ORACLE_TYPE_CORRELATION,
     "nation_revenue_trend": ORACLE_NATION_TREND,
     "orders_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+    "events_forecast_baseline": ORACLE_FORECAST_BASELINE,
 }
