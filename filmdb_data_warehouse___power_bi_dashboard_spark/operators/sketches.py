@@ -89,64 +89,19 @@ def hll_report(events: DataFrame) -> DataFrame:
     ordered by event_type — n_hll and rel_err on the 1e-4 grid.
     """
     ev = events.where(F.col("user_id").isNotNull()).select("event_type", "user_id")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(_HLL_SALT + ":"), F.col("user_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    hashed = ev.select("event_type", h.alias("h")).select(
-        "event_type",
-        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
-        # integer division, NOT h/256: a 60-bit h is not exactly
-        # representable in double, float division would corrupt w
-        F.expr(f"h div {_HLL_M}").alias("w"),
-    )
-    registers = (
-        hashed.select("event_type", "bucket", F.expr(_rho_ladder("w")).alias("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                registers.sparkSession.range(_HLL_M).select(
-                    F.col("id").cast("long").alias("bucket")
-                )
-            )
-        )
-    )
-    filled = spine.join(registers, ["event_type", "bucket"], "left").select(
-        "event_type", F.coalesce(F.col("m_j"), F.lit(0)).cast("int").alias("m_j")
-    )
-    folded = filled.groupBy("event_type").agg(
-        F.sum(F.expr(f"CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT)"))
-        .cast("long")
-        .alias("s_int"),
-        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
-    )
-    raw = F.lit(_HLL_EST_NUM) / F.col("s_int").cast("double")
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
-        F.lit(float(_HLL_M))
-        * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
-    ).otherwise(raw)
+    registers = hll_registers(ev, key="user_id", group_cols=["event_type"])
+    est = hll_estimate(registers, group_cols=["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
     return (
-        folded.join(exact, "event_type")
+        est.join(exact, "event_type")
         .select(
             "event_type",
             "n_exact",
-            round_half_up(est, 4).alias("n_hll"),
+            round_half_up(F.col("hll_raw"), 4).alias("n_hll"),
             round_half_up(
-                (est - F.col("n_exact").cast("double"))
+                (F.col("hll_raw") - F.col("n_exact").cast("double"))
                 / F.col("n_exact").cast("double"),
                 4,
             ).alias("rel_err"),
@@ -155,59 +110,128 @@ def hll_report(events: DataFrame) -> DataFrame:
     )
 
 
+def hll_registers(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., bucket, m_j) register frame — the mergeable
+    sketch state (register-wise MAX is the merge), streaming-legal
+    because MAX is a supported streaming aggregate."""
+    return hll_rho_projection(df, key, group_cols).groupBy(
+        *group_cols, "bucket"
+    ).agg(F.max("rho").alias("m_j"))
+
+
+def hll_rho_projection(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Scan projection (group_cols..., bucket, rho) — no shuffle, no
+    state; safe on a stream."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_HLL_SALT + ":"), F.col(key).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = df.select(*group_cols, h.alias("h")).select(
+        *group_cols,
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        # integer division, NOT h/256: a 60-bit h is not exactly
+        # representable in double, float division would corrupt w
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    return hashed.select(
+        *group_cols, "bucket", F.expr(_rho_ladder("w")).alias("rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., hll_raw double) from a register frame:
+    exact-BIGINT harmonic fold with the empty registers folded in
+    CLOSED FORM — an absent (group, bucket) row means M_j = 0, so the
+    missing mass is exactly (m − n_present)·2^(W+1) and the zero-
+    register count is m − n_present. No spine cross-join (which would
+    also self-join the register frame against itself — ambiguous
+    lineage when the registers come back from a streaming memory
+    sink), no m× row blowup; one aggregate on the register frame.
+    Small-range correction as in the paper."""
+    full = 1 << (_HLL_W + 1)
+    folded = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(full)
+        )
+        .cast("long")
+        .alias("s_int"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+    )
+    raw = F.lit(_HLL_EST_NUM) / F.col("s_int").cast("double")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return folded.select(*group_cols, est.alias("hll_raw"))
+
+
 def q_approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_report(read_table(spark, sf_dir, "events"))
 
 
-def _oracle_hll() -> str:
-    bucket, rho = _hash_exprs("user_id")
+def _sql_hll_est() -> str:
     raw = f"(CAST({_HLL_EST_NUM!r} AS DOUBLE) / CAST(s_int AS DOUBLE))"
-    est = (
+    return (
         f"CASE WHEN {raw} <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND v_zero > 0"
         f" THEN CAST({float(_HLL_M)!r} AS DOUBLE)"
         f" * ln(CAST({float(_HLL_M)!r} AS DOUBLE) / CAST(v_zero AS DOUBLE))"
         f" ELSE {raw} END"
     )
+
+
+def _oracle_hll_grouped(group_expr: str, g: str, with_rel_err: bool) -> str:
+    """The full sketch replay over any grouping expression — shared by
+    the batch entry (group = event_type) and the streaming entry
+    (group = calendar day, ≡ Spark's epoch-aligned 1-day window)."""
+    bucket, rho = _hash_exprs("user_id")
+    est = _sql_hll_est()
+    rel = (
+        ",\n       "
+        + sql_round_half_up(
+            f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4
+        )
+        + " AS rel_err"
+        if with_rel_err
+        else ""
+    )
     return f"""
 WITH ev AS (
-  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+  SELECT {group_expr} AS {g}, user_id FROM events WHERE user_id IS NOT NULL
 ),
 hashed AS (
-  SELECT event_type, {bucket} AS bucket, {rho} AS rho FROM ev
+  SELECT {g}, {bucket} AS bucket, {rho} AS rho FROM ev
 ),
 registers AS (
-  SELECT event_type, bucket, MAX(rho) AS m_j
+  SELECT {g}, bucket, MAX(rho) AS m_j
   FROM hashed GROUP BY 1, 2
 ),
-spine AS (
-  SELECT t.event_type, g.bucket
-  FROM (SELECT DISTINCT event_type FROM ev) t
-  CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) g
-),
-filled AS (
-  SELECT s.event_type, COALESCE(r.m_j, 0) AS m_j
-  FROM spine s LEFT JOIN registers r
-    ON r.event_type = s.event_type AND r.bucket = s.bucket
-),
 folded AS (
-  SELECT event_type,
-         CAST(SUM(CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT)) AS BIGINT)
-           AS s_int,
-         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
-  FROM filled GROUP BY 1
+  SELECT {g},
+         CAST(SUM(CAST(pow(2.0, {_HLL_W + 1} - m_j) AS BIGINT))
+              + ({_HLL_M} - COUNT(*)) * {1 << (_HLL_W + 1)} AS BIGINT) AS s_int,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero
+  FROM registers GROUP BY 1
 ),
 exact AS (
-  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  SELECT {g}, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
   FROM ev GROUP BY 1
 )
-SELECT f.event_type, e.n_exact,
-       {sql_round_half_up(est, 4)} AS n_hll,
-       {sql_round_half_up(
-           f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4
-       )} AS rel_err
-FROM folded f JOIN exact e ON e.event_type = f.event_type
-ORDER BY f.event_type
+SELECT f.{g}, e.n_exact,
+       {sql_round_half_up(est, 4)} AS n_hll{rel}
+FROM folded f JOIN exact e ON e.{g} = f.{g}
+ORDER BY f.{g}
 """
+
+
+def _oracle_hll() -> str:
+    return _oracle_hll_grouped("event_type", "event_type", with_rel_err=True)
 
 
 QUERIES = {"approx_distinct_hll_portable": q_approx_distinct_hll_portable}

@@ -37,6 +37,7 @@ from ..functions.scalar import round_half_up, sql_round_half_up
 from ..functions.spine import day_spine, sql_day_spine
 from ..runtime import track_persist
 from ..sources.catalog import read_table
+from .dedup import h60
 
 # ---------------------------------------------------------------------------
 # Pearson correlation between daily event-type volumes
@@ -476,6 +477,141 @@ WHERE n_orders > 0 AND EXISTS (SELECT 1 FROM means)
 """
 
 
+_AB_SALT = "ab-v1"
+_AB_Z_CRIT = 1.96
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """Two-sample A/B significance test on engagement (purchase events
+    per user) — the experimentation readout every product warehouse
+    serves, as one exact-integer aggregate plus a closed-form Welch z.
+
+    Users are assigned to arms by a salted md5 bucket (the repo-wide
+    deterministic-randomization pattern — in production this IS how
+    sticky experiment bucketing works, a hash of user id and
+    experiment salt, so the derivation is the real mechanism, not a
+    stand-in). Per arm the operator accumulates the exact BIGINT power
+    sums (n, Σx, Σx²) of the per-user purchase count; mean, Welch
+    variance, and z are evaluated once from those integers by the same
+    IEEE expression tree on both engines (the type_correlation
+    discipline — no streaming-variance aggregate whose accumulation
+    order differs).
+
+    Returns ONE row: (``n_users_a``, ``n_users_b``, ``purchases_a``,
+    ``purchases_b``, ``mean_a``, ``mean_b``, ``z_stat``,
+    ``significant``) — means on the 1e-6 grid, z on the 1e-4 grid,
+    significance at |z| > 1.96.
+
+    Scale shape: one scan → map-side-combined per-user counts
+    (|users| keys) → one conditional aggregate onto a single row.
+    """
+    per_user = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("x")
+        )
+        .select(
+            F.pmod(
+                h60(F.concat(F.lit(_AB_SALT + ":"), F.col("user_id").cast("string"))),
+                F.lit(2),
+            ).alias("arm"),
+            "x",
+        )
+    )
+
+    def s(arm: int, expr) -> F.Column:
+        return F.sum(F.when(F.col("arm") == arm, expr).otherwise(0)).cast("long")
+
+    sums = per_user.agg(
+        s(0, F.lit(1)).alias("n_a"),
+        s(0, F.col("x")).alias("s1_a"),
+        s(0, F.col("x") * F.col("x")).alias("s2_a"),
+        s(1, F.lit(1)).alias("n_b"),
+        s(1, F.col("x")).alias("s1_b"),
+        s(1, F.col("x") * F.col("x")).alias("s2_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("s1_a").cast("double") / na
+    mean_b = F.col("s1_b").cast("double") / nb
+    var_a = (na * F.col("s2_a").cast("double") - F.col("s1_a").cast("double") ** 2) / (
+        na * (na - 1)
+    )
+    var_b = (nb * F.col("s2_b").cast("double") - F.col("s1_b").cast("double") ** 2) / (
+        nb * (nb - 1)
+    )
+    se2 = var_a / na + var_b / nb
+    # zero-variance A/A degenerate (every user identical): z is 0/0 —
+    # define it as 0 (no evidence of effect) instead of NaN on both
+    # sides, keeping the no-NaN output contract.
+    z = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    return sums.select(
+        F.col("n_a").alias("n_users_a"),
+        F.col("n_b").alias("n_users_b"),
+        F.col("s1_a").alias("purchases_a"),
+        F.col("s1_b").alias("purchases_b"),
+        round_half_up(mean_a, 6).alias("mean_a"),
+        round_half_up(mean_b, 6).alias("mean_b"),
+        round_half_up(z, 4).alias("z_stat"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )
+
+
+def q_events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_test_report(read_table(spark, sf_dir, "events"))
+
+
+def _oracle_ab_test() -> str:
+    from ..operators.dedup import sql_h60
+
+    arm_hash = sql_h60(f"'{_AB_SALT}:' || CAST(user_id AS VARCHAR)")
+    arm = f"{arm_hash} % 2"
+    mean_a = "(CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    mean_b = "(CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    var_a = (
+        "((CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)"
+        " - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)))"
+    )
+    var_b = (
+        "((CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)"
+        " - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))"
+        " / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)))"
+    )
+    se2 = f"({var_a} / CAST(n_a AS DOUBLE) + {var_b} / CAST(n_b AS DOUBLE))"
+    z = (
+        f"(CASE WHEN {se2} > 0 THEN ({mean_a} - {mean_b}) / sqrt({se2})"
+        f" ELSE 0.0 END)"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT {arm} AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+sums AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s1_a,
+         CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS s2_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1_b,
+         CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS s2_b
+  FROM per_user
+)
+SELECT n_a AS n_users_a, n_b AS n_users_b,
+       s1_a AS purchases_a, s1_b AS purchases_b,
+       {sql_round_half_up(mean_a, 6)} AS mean_a,
+       {sql_round_half_up(mean_b, 6)} AS mean_b,
+       {sql_round_half_up(z, 4)} AS z_stat,
+       ABS({z}) > {_AB_Z_CRIT!r} AS significant
+FROM sums
+"""
+
+
 _FC_TEST_DAYS = 7
 _FC_EPOCH = "1970-01-01"
 
@@ -600,6 +736,7 @@ QUERIES = {
     "nation_revenue_trend": q_nation_revenue_trend,
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
     "events_forecast_baseline": q_events_forecast_baseline,
+    "events_ab_test_report": q_events_ab_test_report,
 }
 
 ORACLES = {
@@ -607,4 +744,5 @@ ORACLES = {
     "nation_revenue_trend": ORACLE_NATION_TREND,
     "orders_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "events_forecast_baseline": ORACLE_FORECAST_BASELINE,
+    "events_ab_test_report": _oracle_ab_test(),
 }

@@ -1186,7 +1186,79 @@ def _oracle_stream_minhash() -> str:
     return ORACLE_MINHASH_PORTABLE
 
 
+def stream_hll_daily_users(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming distinct-user cardinality per day via the portable
+    HyperLogLog (operators/sketches.py) — the operator exact streaming
+    COUNT(DISTINCT) cannot be: exact distinct state grows with the
+    key universe, while the HLL register frame is a CONSTANT
+    m-registers-per-window state, and its merge is MAX — a built-in
+    streaming aggregate, no applyInPandasWithState needed. The rho
+    projection is stateless scan arithmetic; the only stateful op is
+    groupBy(window, bucket).max(rho), watermark-bounded like every
+    other stream here. This is the standard production answer to
+    "unique users per window over an unbounded stream".
+
+    Complete-mode memory sink on bounded input yields every window;
+    the estimate tail (spine fill, exact-BIGINT harmonic fold,
+    small-range correction) runs batch-side on the final register
+    frame. ``n_exact`` comes from a batch read of the same input —
+    the quality yardstick the stream itself could not afford.
+    """
+    from ..operators.sketches import hll_estimate, hll_rho_projection
+
+    events = _read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    proj = hll_rho_projection(
+        events.withWatermark("ts", watermark), key="user_id", group_cols=["ts"]
+    )
+    reg = (
+        proj.groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .select(F.col("w.start").cast("date").alias("day"), "bucket", "m_j")
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    with _sized_state(spark):
+        q = (
+            reg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    registers = spark.table(name)
+    est = hll_estimate(registers, ["day"])
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "n_exact", round_half_up(F.col("hll_raw"), 4).alias("n_hll"))
+        .orderBy("day")
+    )
+
+
+def q_stream_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_hll_daily_users(spark, sf_dir)
+
+
+def _oracle_stream_hll() -> str:
+    from ..operators.sketches import _oracle_hll_grouped
+
+    return _oracle_hll_grouped(
+        "CAST(date_trunc('day', ts) AS DATE)", "day", with_rel_err=False
+    )
+
+
 QUERIES = {
+    "stream_hll_daily_users": q_stream_hll_daily_users,
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
@@ -1200,6 +1272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_hll_daily_users": _oracle_stream_hll(),
     "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
     "sessionize_events": ORACLE_SESSIONIZE,
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,

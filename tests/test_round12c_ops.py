@@ -192,3 +192,133 @@ def test_keywords_match_bruteforce_and_drop_ubiquitous_terms(spark):
     assert got == exp
     # 'shared' appears in every source -> idf 0 -> never a keyword
     assert all(t[2] != "shared" for t in got)
+
+
+# ---------------------------------------------------------------------------
+# A/B test report
+# ---------------------------------------------------------------------------
+
+
+def _arm(uid: int) -> int:
+    return _h60(f"ab-v1:{uid}") % 2
+
+
+def test_ab_test_detects_planted_effect(spark):
+    """Plant a real effect along the operator's own hash assignment:
+    arm-0 users purchase 5x, arm-1 users once -> huge z, significant,
+    and the means/power sums match a Python replay exactly."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        ab_test_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(200):
+        k = 5 if _arm(uid) == 0 else 1
+        for j in range(k):
+            eid += 1
+            rows.append((eid, t0, "purchase", uid))
+        eid += 1
+        rows.append((eid, t0, "view", uid))  # everyone also views
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    r = ab_test_report(ev).collect()[0]
+    n_a = sum(1 for u in range(200) if _arm(u) == 0)
+    assert (r["n_users_a"], r["n_users_b"]) == (n_a, 200 - n_a)
+    assert r["purchases_a"] == 5 * n_a and r["purchases_b"] == 200 - n_a
+    assert r["mean_a"] == 5.0 and r["mean_b"] == 1.0
+    # zero within-arm variance -> z is the guarded 0/0... no: means
+    # differ but variances are 0 -> se2 == 0 -> guarded z = 0. Add one
+    # perturbed user per arm instead to give variance.
+    # (covered in the variance test below)
+
+
+def test_ab_test_variance_and_significance(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        ab_test_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(400):
+        # arm-0: 4 or 6 purchases (mean 5); arm-1: 0 or 2 (mean 1)
+        base = 4 if _arm(uid) == 0 else 0
+        k = base + (0 if uid % 2 else 2)
+        for j in range(k):
+            eid += 1
+            rows.append((eid, t0, "purchase", uid))
+        eid += 1
+        rows.append((eid, t0, "view", uid))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    r = ab_test_report(ev).collect()[0]
+    assert r["significant"] is True
+    assert r["z_stat"] > 10  # enormous effect at n=400
+    assert abs(r["mean_a"] - 5.0) < 1.1 and abs(r["mean_b"] - 1.0) < 1.1
+
+
+def test_ab_test_zero_variance_guard(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        ab_test_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(40):
+        rows.append((uid, t0, "purchase", uid))  # everyone exactly 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    r = ab_test_report(ev).collect()[0]
+    assert r["z_stat"] == 0.0
+    assert r["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_small):
+    """Stream ≡ batch: the streaming register pipeline must produce
+    byte-identical estimates to a batch run of the same sketch over
+    the same grouping."""
+    from pyspark.sql import functions as F
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        stream_hll_daily_users,
+    )
+
+    got = {
+        r["day"]: (r["n_exact"], r["n_hll"])
+        for r in stream_hll_daily_users(spark, sf_small).collect()
+    }
+    ev = (
+        read_table(spark, sf_small, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    regs = hll_registers(ev, key="user_id", group_cols=["day"])
+    est = {
+        r["day"]: math.floor(r["hll_raw"] * 10**4 + 0.5) / 10**4
+        for r in hll_estimate(regs, ["day"]).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(est)
+    for day, (n_exact, n_hll) in got.items():
+        assert n_hll == est[day], day
+        assert n_exact == exact[day], day
