@@ -715,7 +715,13 @@ def keywords_by_source(docs: DataFrame, top_k: int = _KW_TOP) -> DataFrame:
     window over (source) partitions — parallel across sources, never
     a global sort.
     """
-    toks = docs.select("source", F.explode(_words()).alias("token"))
+    # NULL guards, applied identically on both sides: a NULL-source
+    # row would diverge the source count (Spark's distinct-frame
+    # count(1) keeps NULL where SQL COUNT(DISTINCT) ignores it) and a
+    # NULL text contributes nothing anyway.
+    toks = docs.where(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    ).select("source", F.explode(_words()).alias("token"))
     tf = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
@@ -763,6 +769,7 @@ def q_text_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_KEYWORDS = f"""
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
 ),
 tf AS (
   SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
@@ -793,8 +800,106 @@ ORDER BY source, rnk
 """
 
 
+_TPL_TOP = 5
+_TPL_SCALE = 10_000
+
+
+def template_ngrams(docs: DataFrame, top_k: int = _TPL_TOP) -> DataFrame:
+    """Per-source template/boilerplate candidates: the word trigrams
+    shared by the most documents WITHIN each source — the CCNet-style
+    boilerplate-mining pass (crawl pipelines look for the header/
+    footer/nav phrases that repeat across one site's pages and strip
+    them before training; the same statistic flags licence blurbs and
+    scraped-template residue).
+
+    One row per (source, rank): the top-``top_k`` trigrams by
+    within-source document frequency, with the share of the source's
+    documents containing them (``ratio_fp``, exact 1e-4 integer
+    units). Presence is per-document (DISTINCT before counting), so a
+    phrase repeated inside one document counts once — template-ness
+    is about breadth, not repetition.
+
+    Scale shape: trigram strings are array expressions in the scan
+    projection; the per-doc DISTINCT and the (source, gram) count are
+    map-side-combined aggregates; the per-source denominator
+    aggregates the same base frame; top-k is a window over source
+    partitions. Raw text scans once.
+    """
+    base = (
+        docs.where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", F.split("text", " ").alias("l"))
+        .where(F.expr("size(l) >= 3"))
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2), i -> "
+                "concat_ws(' ', element_at(l, i), element_at(l, i + 1),"
+                " element_at(l, i + 2)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    df = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    nd = base.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = df.join(nd, "source").select(
+        "source",
+        "gram",
+        "df_docs",
+        "n_docs",
+        F.expr(f"(df_docs * {_TPL_SCALE}) div n_docs").cast("long").alias("ratio_fp"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df_docs").desc(), "gram")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+        .select("source", "rnk", "gram", "df_docs", "n_docs", "ratio_fp")
+        .orderBy("source", "rnk")
+    )
+
+
+def q_text_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return template_ngrams(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEMPLATE_NGRAMS = f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+eligible AS (SELECT * FROM base WHERE len(l) >= 3),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] || ' '
+           || l[CAST(i AS INT) + 2] AS gram
+  FROM eligible, unnest(range(1, len(l) - 1)) AS t(i)
+),
+df AS (
+  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM grams GROUP BY 1, 2
+),
+nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM eligible GROUP BY 1
+),
+ranked AS (
+  SELECT d.source, d.gram, d.df_docs, n.n_docs,
+         CAST((d.df_docs * {_TPL_SCALE}) // n.n_docs AS BIGINT) AS ratio_fp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+               ORDER BY d.df_docs DESC, d.gram) AS BIGINT) AS rnk
+  FROM df d JOIN nd n ON n.source = d.source
+)
+SELECT source, rnk, gram, df_docs, n_docs, ratio_fp
+FROM ranked WHERE rnk <= {_TPL_TOP}
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "text_keywords_by_source": q_text_keywords_by_source,
+    "text_template_ngrams": q_text_template_ngrams,
     "text_language_id": q_text_language_id,
     "text_langid_confusion": q_text_langid_confusion,
     "text_profile": q_text_profile,
@@ -808,6 +913,7 @@ QUERIES = {
 
 ORACLES = {
     "text_keywords_by_source": ORACLE_KEYWORDS,
+    "text_template_ngrams": ORACLE_TEMPLATE_NGRAMS,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_profile": ORACLE_TEXT_PROFILE,

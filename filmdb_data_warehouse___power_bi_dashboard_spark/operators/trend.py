@@ -477,6 +477,108 @@ WHERE n_orders > 0 AND EXISTS (SELECT 1 FROM means)
 """
 
 
+def brand_discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand discount elasticity: least-squares slope and Pearson
+    correlation of line quantity against discount rate — "does a
+    deeper discount actually move volume for this brand", the pricing
+    question a retail warehouse answers monthly.
+
+    Same exactness discipline as nation_revenue_trend: x = discount in
+    integer basis points (floor(d·100 + 0.5) — exact, engine-
+    identical), y = quantity in integer units, all five power sums
+    exact BIGINTs, the closed-form slope/r evaluated once from
+    identical integers. Brands with zero variance in either variable
+    are excluded (undefined statistics — the no-NULL-numerics
+    contract).
+
+    Scale shape: one fact scan, broadcast-or-shuffle equi-join to the
+    part dim for the brand key, map-side-combined power sums onto
+    |brands| keys (25), closed-form math on the bounded frame.
+    """
+    li = lineitem.select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    sums = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        )
+    )
+    nd = F.col("n_lines").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sx * sy
+    var_x = nd * F.col("sx2").cast("double") - sx * sx
+    var_y = nd * F.col("sy2").cast("double") - sy * sy
+    return (
+        sums.filter((var_x > 0.0) & (var_y > 0.0))
+        .select(
+            "p_brand",
+            "n_lines",
+            round_half_up(cov_n / var_x, 6).alias("slope_qty_per_bp"),
+            round_half_up(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+                "pearson_r"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brand_discount_elasticity(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+_SQL_EL_COV = (
+    "(CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_SQL_EL_VX = (
+    "(CAST(n_lines AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_SQL_EL_VY = (
+    "(CAST(n_lines AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+
+ORACLE_DISCOUNT_ELASTICITY = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_lines,
+       {sql_round_half_up(f"{_SQL_EL_COV} / {_SQL_EL_VX}", 6)} AS slope_qty_per_bp,
+       {sql_round_half_up(
+           f"{_SQL_EL_COV} / (sqrt({_SQL_EL_VX}) * sqrt({_SQL_EL_VY}))", 6
+       )} AS pearson_r
+FROM sums
+WHERE {_SQL_EL_VX} > 0.0 AND {_SQL_EL_VY} > 0.0
+ORDER BY p_brand
+"""
+
+
 _AB_SALT = "ab-v1"
 _AB_Z_CRIT = 1.96
 
@@ -737,6 +839,7 @@ QUERIES = {
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_ab_test_report": q_events_ab_test_report,
+    "brand_discount_elasticity": q_brand_discount_elasticity,
 }
 
 ORACLES = {
@@ -745,4 +848,5 @@ ORACLES = {
     "orders_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "events_forecast_baseline": ORACLE_FORECAST_BASELINE,
     "events_ab_test_report": _oracle_ab_test(),
+    "brand_discount_elasticity": ORACLE_DISCOUNT_ELASTICITY,
 }

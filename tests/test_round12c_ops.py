@@ -322,3 +322,77 @@ def test_stream_hll_equals_batch_sketch(spark, sf_small):
     for day, (n_exact, n_hll) in got.items():
         assert n_hll == est[day], day
         assert n_exact == exact[day], day
+
+
+# ---------------------------------------------------------------------------
+# Brand discount elasticity
+# ---------------------------------------------------------------------------
+
+
+def test_elasticity_matches_numpy_on_planted_line(spark):
+    """Plant y = 2x + noise-free per brand and recover slope 2, r 1."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        brand_discount_elasticity,
+    )
+
+    li = spark.createDataFrame(
+        [(p, x / 100.0, float(2 * x + 1)) for p in (1, 2) for x in range(0, 11)],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    rows = {r["p_brand"]: r for r in brand_discount_elasticity(li, part).collect()}
+    for b in ("Brand#A", "Brand#B"):
+        assert rows[b]["n_lines"] == 11
+        assert rows[b]["slope_qty_per_bp"] == 2.0
+        assert rows[b]["pearson_r"] == 1.0
+
+
+def test_elasticity_excludes_zero_variance_brand(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
+        brand_discount_elasticity,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 0.05, 7.0), (1, 0.05, 9.0), (2, 0.01, 3.0), (2, 0.09, 8.0)],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#const_x"), (2, "Brand#ok")], "p_partkey long, p_brand string"
+    )
+    got = [r["p_brand"] for r in brand_discount_elasticity(li, part).collect()]
+    assert got == ["Brand#ok"]
+
+
+# ---------------------------------------------------------------------------
+# Template n-grams
+# ---------------------------------------------------------------------------
+
+
+def test_template_ngrams_breadth_not_repetition(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        template_ngrams,
+    )
+
+    data = [
+        # 'click here now' in 3 of 4 s0 docs; 'spam spam spam' repeated
+        # 3x INSIDE one doc only
+        (0, "s0", "click here now foo"),
+        (1, "s0", "bar click here now"),
+        (2, "s0", "click here now baz"),
+        (3, "s0", "spam spam spam spam spam"),
+        (4, "s1", "one two three"),
+        (5, "s1", "xx"),  # < 3 words: not eligible, excluded from n_docs
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, source string, text string")
+    rows = [r.asDict() for r in template_ngrams(docs, top_k=2).collect()]
+    s0 = [r for r in rows if r["source"] == "s0"]
+    assert s0[0]["gram"] == "click here now"
+    assert s0[0]["df_docs"] == 3 and s0[0]["n_docs"] == 4
+    assert s0[0]["ratio_fp"] == 7500
+    # the within-doc-repeated trigram counts ONE document
+    spam = [r for r in rows if r["gram"] == "spam spam spam"]
+    assert all(r["df_docs"] == 1 for r in spam)
+    s1 = [r for r in rows if r["source"] == "s1"]
+    assert s1[0]["n_docs"] == 1  # the 2-word doc is not in the denominator
