@@ -855,7 +855,119 @@ ORDER BY m.cluster_id, m.media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint: energy-difference sign hash
+# ---------------------------------------------------------------------------
+
+_AFP_WIN = 4  # samples per fingerprint window
+_AFP_BITS = 32  # fingerprint width -> needs _AFP_BITS+1 windows
+_AFP_MIN_LEN = _AFP_WIN * (_AFP_BITS + 1)  # 132 samples
+_AFP_BANDS = 4  # 8-bit bands; pigeonhole chunks for hamming <= 3
+
+
+def _afp_energy_sql(w: int, s: str) -> str:
+    """Exact integer energy of fingerprint window ``w`` over string
+    expression ``s`` — plain ascii/substring arithmetic whose SQL text
+    is VALID ON BOTH ENGINES (Spark F.expr and DuckDB parse the same
+    string), so the fingerprint construction cannot drift between the
+    query and its oracle."""
+    terms = " + ".join(
+        f"CAST(ascii(substring({s}, {w * _AFP_WIN + i}, 1)) AS BIGINT)"
+        f" * ascii(substring({s}, {w * _AFP_WIN + i}, 1))"
+        for i in range(1, _AFP_WIN + 1)
+    )
+    return f"({terms})"
+
+
+def _afp_fp_sql(s: str) -> str:
+    """The full 32-bit sign-hash expression: bit w set iff window
+    w+1's energy strictly exceeds window w's."""
+    bits = " + ".join(
+        f"(CASE WHEN {_afp_energy_sql(w + 1, s)} > {_afp_energy_sql(w, s)}"
+        f" THEN CAST({1 << w} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for w in range(_AFP_BITS)
+    )
+    return f"({bits})"
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint (Haitsma–Kalker 2002, simplified):
+    cut the clip into {bits+1} short windows, take each window's
+    ENERGY (exact integer sum of squared samples under the byte-PCM
+    decode stub), and set bit w when the energy RISES from window w to
+    w+1 — the sign of the energy derivative, robust to volume scaling
+    and mild noise, the classic broadcast-monitoring fingerprint.
+
+    Returns (``media_id``, ``fp``, ``band_0..band_3``) per audio clip
+    of at least {minlen} samples (shorter clips have no full
+    fingerprint and are dropped deterministically — the audio twin of
+    the image path's tiny-image drop). The four 8-bit bands are the
+    pigeonhole chunks a hamming ≤ 3 candidate join buckets on —
+    exactly the image dHash pair machinery (multimodal.py:630), which
+    is why this entry stops at the ARTIFACT: the band join, component
+    closure, and canonical keep are already driver-proven on the
+    image arc and consume this frame unchanged.
+
+    Exactness: the whole construction — decode, energies, sign bits,
+    band split — is integer arithmetic generated as ONE SQL text that
+    both engines parse (no dual spelling to drift); no floats
+    anywhere. Scale shape: pure scan projection (132 ascii/substring
+    reads + 32 integer compares per clip in whole-stage codegen, no
+    HOF, no UDF, no shuffle); the downstream band join shuffles only
+    (band, media_id).
+    """
+    s = "CAST(payload AS STRING)"
+    fp = _afp_fp_sql(s)
+    return (
+        media.filter(
+            (F.col("kind") == "audio") & (F.length("payload") >= _AFP_MIN_LEN)
+        )
+        .select(
+            "media_id",
+            F.expr(fp).alias("fp"),
+        )
+        .select(
+            "media_id",
+            "fp",
+            *[
+                F.expr(f"(fp div {1 << (8 * k)}) % 256").alias(f"band_{k}")
+                for k in range(_AFP_BANDS)
+            ],
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ascii_guarded(synthesize_media(read_table(spark, sf_dir, "documents")))
+    return audio_fingerprints(media)
+
+
+def _oracle_audio_fingerprint() -> str:
+    fp = _afp_fp_sql("payload")
+    bands = ",\n       ".join(
+        f"CAST((fp // {1 << (8 * k)}) % 256 AS BIGINT) AS band_{k}"
+        for k in range(_AFP_BANDS)
+    )
+    return f"""
+WITH auds AS (
+  SELECT doc_id AS media_id, text AS payload
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 1 AND text IS NOT NULL
+    AND length(text) >= {_AFP_MIN_LEN}
+),
+fps AS (
+  SELECT media_id, {fp} AS fp FROM auds
+)
+SELECT media_id, fp,
+       {bands}
+FROM fps
+ORDER BY media_id
+"""
+
+
 QUERIES = {
+    "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_byte_entropy": q_multimodal_byte_entropy,
@@ -866,6 +978,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_audio_fingerprint": _oracle_audio_fingerprint(),
     "multimodal_byte_stats": ORACLE_BYTE_STATS,
     "multimodal_byte_entropy": ORACLE_BYTE_ENTROPY,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

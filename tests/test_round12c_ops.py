@@ -396,3 +396,63 @@ def test_template_ngrams_breadth_not_repetition(spark):
     assert all(r["df_docs"] == 1 for r in spam)
     s1 = [r for r in rows if r["source"] == "s1"]
     assert s1[0]["n_docs"] == 1  # the 2-word doc is not in the denominator
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _py_afp(samples: bytes) -> int:
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        _AFP_BITS,
+        _AFP_WIN,
+    )
+
+    def e(w):
+        chunk = samples[w * _AFP_WIN : (w + 1) * _AFP_WIN]
+        return sum(b * b for b in chunk)
+
+    return sum(1 << w for w in range(_AFP_BITS) if e(w + 1) > e(w))
+
+
+def test_audio_fingerprint_matches_python_replay(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        _AFP_MIN_LEN,
+        audio_fingerprints,
+    )
+
+    clip = bytes((i * 7) % 95 + 32 for i in range(200))  # ascii range
+    short = clip[: _AFP_MIN_LEN - 1]
+    media = spark.createDataFrame(
+        [(1, "audio", clip), (2, "audio", short), (3, "image", clip)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = audio_fingerprints(media).collect()
+    assert [r["media_id"] for r in rows] == [1]  # short + non-audio dropped
+    r = rows[0]
+    exp = _py_afp(clip)
+    assert r["fp"] == exp
+    for k in range(4):
+        assert r[f"band_{k}"] == (exp >> (8 * k)) & 255
+
+
+def test_audio_fingerprint_volume_invariant(spark):
+    """Scaling every sample by a constant scales every window energy
+    by c^2, preserving every energy-difference sign -> identical
+    fingerprint. The property that makes the sign hash perceptual."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    # pure doubling of a low-amplitude clip (stays in the ascii range
+    # the guarded media frame promises):
+    low = bytes((i * 13) % 30 + 33 for i in range(160))
+    high = bytes(b * 2 for b in low)
+    media = spark.createDataFrame(
+        [(1, "audio", low), (2, "audio", high)],
+        "media_id long, kind string, payload binary",
+    )
+    fps = {r["media_id"]: r["fp"] for r in audio_fingerprints(media).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] == _py_afp(low)
