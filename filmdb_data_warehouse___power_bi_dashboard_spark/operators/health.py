@@ -802,14 +802,22 @@ def ks_drift(events: DataFrame, recent_days: int = _KS_RECENT_DAYS) -> DataFrame
         D = max over grid points g of |R(g)·n_ref − F(g)·n_recent|
             / (n_recent·n_ref)
 
-    with R/F the cumulative counts. The numerator is widened to
+    with R/F the cumulative counts. The grid coarseness is part of the
+    output contract: the statistic is named ``d_stat_grid`` because it
+    is the exact KS statistic OF THE FLOORED DISTRIBUTIONS, which lower-
+    bounds (can understate) the continuous-value KS statistic when a
+    shift happens entirely inside a unit-wide bin — the price of a
+    bounded evaluation grid. A caller needing the exact continuous
+    statistic must accept a distinct-value-sized (data-sized) cumsum
+    frame; at corpus scale that is the wrong default, so the grid form
+    is the published one. The numerator is widened to
     DECIMAL(38,0)/HUGEINT (c·n products overflow BIGINT at production
     scale — the events_value_drift lesson); the single max row is
     converted to double once for the reported statistic. The 95 %
     critical value 1.358·√((n₁+n₂)/(n₁·n₂)) is computed from the same
     integers by identical IEEE ops on both engines.
 
-    Returns ONE row: (``n_recent``, ``n_ref``, ``d_stat``,
+    Returns ONE row: (``n_recent``, ``n_ref``, ``d_stat_grid``,
     ``ks_crit_95``, ``drift``). Scale shape: one scan with a
     broadcast 1-row max-ts frame, map-side-combined groupBy onto the
     bounded grid, the cumsum window on the tiny grid frame, one max.
@@ -855,7 +863,7 @@ def ks_drift(events: DataFrame, recent_days: int = _KS_RECENT_DAYS) -> DataFrame
         .select(
             "n_recent",
             "n_ref",
-            round_half_up(d, 6).alias("d_stat"),
+            round_half_up(d, 6).alias("d_stat_grid"),
             round_half_up(crit, 6).alias("ks_crit_95"),
             (d > crit).alias("drift"),
         )
@@ -905,7 +913,7 @@ SELECT n_recent, n_ref,
        {sql_round_half_up(
            "CAST(max_num AS DOUBLE)"
            " / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE))", 6)}
-         AS d_stat,
+         AS d_stat_grid,
        {sql_round_half_up(
            f"{_KS_CRIT_95!r} * sqrt(CAST(n_recent + n_ref AS DOUBLE)"
            " / (CAST(n_recent AS DOUBLE) * CAST(n_ref AS DOUBLE)))", 6)}

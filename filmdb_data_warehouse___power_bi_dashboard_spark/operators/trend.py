@@ -638,12 +638,12 @@ def ab_test_report(events: DataFrame) -> DataFrame:
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     mean_a = F.col("s1_a").cast("double") / na
     mean_b = F.col("s1_b").cast("double") / nb
-    var_a = (na * F.col("s2_a").cast("double") - F.col("s1_a").cast("double") ** 2) / (
-        na * (na - 1)
-    )
-    var_b = (nb * F.col("s2_b").cast("double") - F.col("s1_b").cast("double") ** 2) / (
-        nb * (nb - 1)
-    )
+    # spelled as multiplication, not `** 2`: Spark compiles ** to
+    # java.lang.Math.pow (1-ulp guarantee only) while the oracle uses
+    # s1_a * s1_a — both engines must run the same IEEE multiply.
+    s1a, s1b = F.col("s1_a").cast("double"), F.col("s1_b").cast("double")
+    var_a = (na * F.col("s2_a").cast("double") - s1a * s1a) / (na * (na - 1))
+    var_b = (nb * F.col("s2_b").cast("double") - s1b * s1b) / (nb * (nb - 1))
     se2 = var_a / na + var_b / nb
     # zero-variance A/A degenerate (every user identical): z is 0/0 —
     # define it as 0 (no evidence of effect) instead of NaN on both
@@ -735,7 +735,14 @@ def seasonal_naive_backtest(events: DataFrame, test_days: int = _FC_TEST_DAYS) -
     boundary); the weekday mean is then integer half-up division
     (2s + n) div 2n — the mean of cent-grid values lands EXACTLY on
     .005 boundaries whenever n is even, where any float spelling
-    would be one reorder-ulp from flipping the rounded answer.
+    would be one reorder-ulp from flipping the rounded answer. The
+    half-up property requires s ≥ 0: Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, so a NEGATIVE weekday total would round
+    half-DOWN (still engine-identical, no oracle divergence — but the
+    invariant is half-up only on the non-negative domain). Daily
+    revenue totals are sums of non-negative event values, so the
+    assumption holds by construction of the input; a caller feeding
+    signed values accepts half-down on negative weekday totals.
     Everything reported is cents/100.0, one exact conversion per
     value. Weekday is days-since-epoch mod 7 — both engines' date
     subtraction, no dayofweek() convention mismatch (Spark counts

@@ -480,7 +480,7 @@ def test_ks_drift_detects_planted_shift(spark):
     assert r["n_recent"] > 0 and r["n_ref"] > 0
     # near-disjoint supports (the >= cutoff catches one boundary event
     # from the reference regime) -> D within one event of 1.0
-    assert r["d_stat"] > 0.99
+    assert r["d_stat_grid"] > 0.99
     assert r["drift"] is True
 
 
@@ -500,6 +500,6 @@ def test_ks_drift_identical_distributions_no_drift(spark):
     r = ks_drift(ev).collect()[0]
     # the >= cutoff leaks one boundary event across sides, so D is a
     # one-event sliver, far below the critical value
-    assert r["d_stat"] < 0.01
-    assert r["d_stat"] < r["ks_crit_95"]
+    assert r["d_stat_grid"] < 0.01
+    assert r["d_stat_grid"] < r["ks_crit_95"]
     assert r["drift"] is False
