@@ -89,6 +89,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Artifact first-touch (round-13 fix): load-or-build every
+    # corpus-versioned artifact through the production store path and
+    # read it fully ONCE before the clock starts, recording the cost.
+    # Previously the first consuming query in alphabetical order
+    # absorbed the store build + cold page-cache reads
+    # (ann_topk_ivf_shuffle: 11.79 s committed vs 2.34 s warm in the
+    # same BENCH_r12 artifact); now the per-query numbers measure
+    # plans, and the cold cost is its own diffable summary field.
+    from filmdb_data_warehouse___power_bi_dashboard_spark.artifacts import (
+        artifact_first_touch,
+    )
+
+    first_touch = artifact_first_touch(spark, sf_dir)
+    release_persisted()
+    first_touch_total = round(sum(v for v in first_touch.values() if v > 0), 3)
+
     def _cpu_ticks() -> tuple[int, int]:
         """(steal_ticks, total_ticks) from /proc/stat — hypervisor
         steal is the one host condition loadavg cannot see (round-10:
@@ -224,7 +240,9 @@ def main() -> None:
              "scale_check_vs_sf0_01": scale_check,
              "cpu_steal_pct": steal_pct,
              "artifact_build": artifact_build,
-             "artifact_build_total_sec": artifact_build_total},
+             "artifact_build_total_sec": artifact_build_total,
+             "artifact_first_touch": first_touch,
+             "artifact_first_touch_total_sec": first_touch_total},
             f, indent=1, sort_keys=True,
         )
     names = sorted(times)
@@ -261,6 +279,7 @@ def main() -> None:
                 "canary_sec": times.get("etl_agg_mensuel_magasin"),
                 "canary_end_sec": canary_end,
                 "artifact_build_total_sec": artifact_build_total,
+                "artifact_first_touch_total_sec": first_touch_total,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in load_end],
                 "cpu_steal_pct": steal_pct,

@@ -103,6 +103,104 @@ def artifact_builders(
     }
 
 
+def artifact_first_touch(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Load-or-build every corpus-versioned artifact THROUGH the store
+    (the production path ``runtime.corpus_artifact``) and fully read
+    each one once, returning {name: sec}.
+
+    Round-13 fix for the ann_topk_ivf_shuffle bench anomaly: the
+    corpus loop's numbers are warm-plan costs by design, but artifact
+    first-touch (store build on a fresh corpus version, plus cold OS
+    page-cache reads of the stored parquet) used to land inside
+    whichever consuming query ran FIRST alphabetically — BENCH_r12
+    committed 11.79 s for ann_topk_ivf_shuffle while the same
+    artifact's warm scale-check measured 2.34 s. bench.py now runs
+    this pass untimed-for-the-corpus but RECORDED (summary
+    ``artifact_first_touch_total_sec`` + per-name detail), so the cold
+    cost stays a visible, diffable number instead of contaminating one
+    arbitrary query. Parquet-backed artifacts materialize through the
+    noop sink (touches every data page, not just footers); JSON
+    artifacts (centroids, codebooks) materialize by loading."""
+    import time
+
+    from .operators import segments as G
+    from .operators import similarity as S
+    from .operators.dedup import (
+        _materialized_jaccard_pairs,
+        _materialized_minhash_sigs,
+        _materialized_postings,
+        _materialized_simhash_fps,
+        _materialized_tf_postings,
+    )
+    from .sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def _touch_df(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    accessors: dict[str, Callable[[], object]] = {
+        "postings3": lambda: _touch_df(_materialized_postings(spark, sf_dir, n=3)),
+        "tfpostings3": lambda: _touch_df(
+            _materialized_tf_postings(spark, sf_dir, n=3)
+        ),
+        "minhashsig32x3": lambda: _touch_df(
+            _materialized_minhash_sigs(spark, sf_dir)
+        ),
+        "minhashsig32x3p": lambda: _touch_df(
+            _materialized_minhash_sigs(spark, sf_dir, portable=True)
+        ),
+        "simhashfp32": lambda: _touch_df(_materialized_simhash_fps(spark, sf_dir)),
+        "simhashfp32p": lambda: _touch_df(
+            _materialized_simhash_fps(spark, sf_dir, portable=True)
+        ),
+        "jacpairs_t0.6_n3": lambda: _touch_df(
+            _materialized_jaccard_pairs(spark, sf_dir, threshold=0.6, n=3)
+        ),
+        "dupspans40m2": lambda: _touch_df(G._materialized_dup_spans(spark, sf_dir)),
+        "ivf_k16_i1": lambda: S._load_or_train_quantizer(
+            emb, sf_dir, n_clusters=16, iters=1
+        ),
+        f"ivf_k{S._LARGEK_CLUSTERS}_i1": lambda: S._load_or_train_quantizer(
+            emb, sf_dir, n_clusters=S._LARGEK_CLUSTERS, iters=1
+        ),
+        "pq_m8_k16": lambda: S._load_or_train_pq(emb, sf_dir, m=8, k_codes=16),
+        "anntruth_k10": lambda: _touch_df(
+            S._load_or_build_ann_truth(spark, emb, sf_dir)
+        ),
+        "ivfassign_k16_i1": lambda: _touch_df(
+            S._load_or_build_ivf_assignment(
+                spark,
+                emb,
+                sf_dir,
+                S._load_or_train_quantizer(emb, sf_dir, n_clusters=16, iters=1),
+                (16, 1, "hs1"),
+            )
+        ),
+        "pqcodes_m8_k16": lambda: _touch_df(
+            S._load_or_build_pq_codes(
+                spark,
+                emb,
+                sf_dir,
+                S._load_or_train_pq(emb, sf_dir, m=8, k_codes=16),
+                (8, 16, "hs1"),
+            )
+        ),
+        "lshsig_t8_b4": lambda: _touch_df(
+            S._load_or_build_lsh_sigs(spark, emb, sf_dir)
+        ),
+    }
+    out: dict[str, float] = {}
+    for name, touch in accessors.items():
+        try:
+            t0 = time.perf_counter()
+            touch()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:  # pragma: no cover - diagnostic path
+            out[name] = -1.0
+    return out
+
+
 def time_artifact_builds(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, dict[str, object]]:
