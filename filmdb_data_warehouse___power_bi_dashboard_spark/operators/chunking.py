@@ -104,18 +104,36 @@ ORDER BY doc_id, chunk_id
 """
 
 
-def pack_spans(docs: DataFrame, window_tokens: int = PACK_WINDOW) -> DataFrame:
+def pack_spans(
+    docs: DataFrame,
+    window_tokens: int = PACK_WINDOW,
+    token_counts: DataFrame | None = None,
+) -> DataFrame:
     """Concat-and-split sequence packing: per source, documents are
     concatenated in doc_id order and the token stream is cut into
     fixed windows of ``window_tokens``; each document's span is
     [tok_start, tok_start + n_tokens), covering context windows
     ``first_bin .. last_bin`` (a doc straddling a cut belongs to
     both — the standard GPT-style packing with document spillover).
+
+    ``token_counts`` (round-13): an optional (``doc_id``,
+    ``n_tokens``) frame — e.g. the EXACT per-doc counts from
+    bpe.bpe_token_counts — replacing the whitespace-token proxy; docs
+    with no positive count pack no span, mirroring the proxy path's
+    empty-text filter. The registered gate entry stays on the proxy
+    (its oracle replays whitespace counts); the exact-count
+    composition is pytest-asserted.
     """
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    base = docs.filter(F.length("text") > 0).select(
-        "source", "doc_id", n_tokens.alias("n_tokens")
-    )
+    if token_counts is not None:
+        base = docs.select("source", "doc_id").join(
+            token_counts.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")),
+            "doc_id",
+        ).filter(F.col("n_tokens") > 0)
+    else:
+        n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+        base = docs.filter(F.length("text") > 0).select(
+            "source", "doc_id", n_tokens.alias("n_tokens")
+        )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -588,7 +588,11 @@ ORACLE_DECILES = _deciles_oracle()
 _BUDGET_FRACTION = 0.5
 
 
-def token_budget_selection(docs: DataFrame, fraction: float = _BUDGET_FRACTION) -> DataFrame:
+def token_budget_selection(
+    docs: DataFrame,
+    fraction: float = _BUDGET_FRACTION,
+    token_counts: DataFrame | None = None,
+) -> DataFrame:
     """Greedy quality-first selection under a token budget — the
     "best N tokens" cut every pretraining data plan starts from: rank
     docs by quality (best first), keep taking until the running token
@@ -607,15 +611,30 @@ def token_budget_selection(docs: DataFrame, fraction: float = _BUDGET_FRACTION) 
     Scale shape: one profile scan, the running-sum machinery (sample
     + per-bucket window), a 1-row broadcast of the total, and a
     per-source agg — no driver-side data beyond bucket metadata.
+
+    ``token_counts`` (round-13): an optional (``doc_id``,
+    ``n_tokens``) frame — e.g. the EXACT counts from
+    bpe.bpe_token_counts — replacing the profile's regex-token proxy
+    for the budget arithmetic (quality ranking still comes from the
+    profile). Missing doc_ids coalesce to 0 tokens, exactly as NULL
+    proxy counts do. The registered gate entry stays on the proxy;
+    the exact-count composition is pytest-asserted.
     """
     from ..functions.ranking import global_running_sum
     from ..runtime import track_persist
     from .text import text_profile
 
+    prof = text_profile(docs).join(docs.select("doc_id", "source"), "doc_id")
+    if token_counts is not None:
+        prof = prof.drop("n_tokens_bpe").join(
+            token_counts.select(
+                "doc_id", F.col("n_tokens").cast("long").alias("n_tokens_bpe")
+            ),
+            "doc_id",
+            "left",
+        )
     prof = track_persist(
-        text_profile(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select(
+        prof.select(
             "doc_id",
             "source",
             F.coalesce("quality_score", F.lit(float("-inf"))).alias("__q"),

@@ -86,6 +86,143 @@ def test_audio_dedup_keep_prefers_larger_payload(spark):
     assert rows[3].keep and not rows[1].keep and not rows[2].keep
 
 
+# ---------------------------------------------------------------------------
+# BPE apply step (mined merges -> exact per-doc token counts)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, "src0", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_bpe_tokenize_greedy_overlap(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    # Corpus is all 'aaa': the only mined pair is 'aa'. Greedy
+    # left-to-right: 'aaa' -> ['aa', 'a'] — ONE merge, not two.
+    rows = {r.doc_id: r for r in bpe_token_counts(_docs(spark, ["aaa aaa"])).collect()}
+    r = rows[0]
+    assert r.n_symbols == 6
+    assert r.n_tokens_bpe == 4  # two words x ['aa','a']
+    assert r.n_merges_applied == 2
+
+
+def test_bpe_tokenize_merge_consumes_symbol(spark):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    # 'ab' dominates the corpus so it merges first; in 'abc' the b is
+    # then inside the merged symbol, so a later 'bc' merge cannot
+    # apply across the boundary: 'abc' -> ['ab', 'c'].
+    docs = _docs(spark, ["ab ab ab ab abc bc"])
+    rows = {r.doc_id: r for r in bpe_token_counts(docs).collect()}
+    r = rows[0]
+    # symbols: 4*2 + 3 + 2 = 13; merges: 'ab' x5 ('abc' has one) then
+    # 'bc' applies only to the standalone 'bc' word -> 6 merges.
+    assert r.n_symbols == 13
+    assert r.n_merges_applied == 6
+    assert r.n_tokens_bpe == 7
+
+
+def test_bpe_tokenize_counts_are_conserved(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    rows = bpe_token_counts(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_symbols == r.n_tokens_bpe + r.n_merges_applied
+        assert 0 < r.n_tokens_bpe <= r.n_symbols
+
+
+def test_pack_spans_consumes_exact_counts(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.chunking import (
+        pack_spans,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_small, "documents")
+    tc = bpe_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    spans = pack_spans(docs, token_counts=tc).collect()
+    exact = {r.doc_id: r.n_tokens for r in tc.collect()}
+    assert spans
+    by_source: dict = {}
+    for s in spans:
+        assert s.n_tokens == exact[s.doc_id], "span must carry the exact count"
+        by_source.setdefault(s.source, []).append(s)
+    # spans per source are contiguous: each doc starts where the
+    # previous one ended (the packing invariant, now on exact counts)
+    for members in by_source.values():
+        members.sort(key=lambda r: r.doc_id)
+        run = 0
+        for m in members:
+            assert m.tok_start == run
+            run += m.n_tokens
+
+
+def test_token_budget_consumes_exact_counts(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        token_budget_selection,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        text_profile,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_small, "documents")
+    tc = bpe_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    got = {
+        r.source: (r.n_docs_selected, r.tokens_selected)
+        for r in token_budget_selection(docs, token_counts=tc).collect()
+    }
+    # Python replay of the greedy exclusive-prefix rule on the same
+    # (quality, exact-token) inputs.
+    q = {r.doc_id: r.quality_score for r in text_profile(docs).collect()}
+    srcs = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    toks = {r.doc_id: r.n_tokens for r in tc.collect()}
+    # best quality first (the operator orders __q DESC, doc_id ASC)
+    items = sorted(
+        (((q.get(d) if q.get(d) is not None else float("-inf")), d) for d in srcs),
+        key=lambda x: (-x[0], x[1]),
+    )
+    total = sum(toks.get(d, 0) for d in srcs)
+    want: dict = {}
+    run = 0
+    for _, d in items:
+        if run < 0.5 * total:
+            n, t = want.get(srcs[d], (0, 0))
+            want[srcs[d]] = (n + 1, t + toks.get(d, 0))
+        run += toks.get(d, 0)
+    assert got == want
+
+
 def test_audio_short_clips_never_cluster(spark):
     # Below the 132-sample minimum there is no full fingerprint: the
     # clip is dropped deterministically, so it cannot appear in pairs
