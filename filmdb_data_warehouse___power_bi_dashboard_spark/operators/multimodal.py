@@ -993,6 +993,28 @@ _AFP_BAND_EXPRS = ",\n       ".join(
     for k in range(_AFP_BANDS)
 )
 
+# Banded pigeonhole candidates over the fingerprints — CTE names are
+# disjoint from _DHASH_CAND_CTES so the streaming media-dedup oracle
+# can compose both fragments in ONE statement.
+_AFP_CAND_CTES = (
+    _AFP_FP_CTES
+    + f""",
+abanded AS (
+  SELECT media_id, fp, CAST(band AS INT) AS band,
+         CASE band {" ".join(
+             f"WHEN {k} THEN CAST((fp // {1 << (8 * k)}) % 256 AS BIGINT)"
+             for k in range(_AFP_BANDS)
+         )} END AS val
+  FROM fps CROSS JOIN (SELECT unnest(range(0, {_AFP_BANDS})) AS band) abb
+),
+acand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+  FROM abanded a JOIN abanded b
+    ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+)"""
+)
+
 
 def _oracle_audio_fingerprint() -> str:
     return f"""
@@ -1002,6 +1024,53 @@ SELECT media_id, fp,
 FROM fps
 ORDER BY media_id
 """
+
+
+def media_fp_frame(media: DataFrame) -> DataFrame:
+    """Unified perceptual-fingerprint frame over BOTH fingerprinted
+    modalities: (``kind``, ``media_id``, ``c0..c3``) where the four
+    c-columns are the modality's pigeonhole band values — 16-bit dHash
+    bands for images, 8-bit energy-sign bands for audio. Because each
+    modality's bands PARTITION its fingerprint bits, the Hamming
+    distance is ``Σ bit_count(xor(c_k))`` for both, so one banded join
+    serves image and audio candidates at once (keyed by kind, bands
+    never cross modalities)."""
+    img = image_dhash(media).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(_DHASH_BANDS)],
+    )
+    aud = _audio_fp_frame(media).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        *[F.col(f"band_{k}").alias(f"c{k}") for k in range(_AFP_BANDS)],
+    )
+    return img.unionByName(aud)
+
+
+def media_banded(fps: DataFrame) -> DataFrame:
+    """Explode a :func:`media_fp_frame` into band-bucket rows
+    (kind, media_id, c0..c3, band, val) — the join key side of the
+    pigeonhole candidate generation."""
+    n_bands = _DHASH_BANDS  # == _AFP_BANDS == 4 on both arcs
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), F.col(f"c{k}").alias("val"))
+            for k in range(n_bands)
+        ]
+    )
+    return fps.select(
+        "kind",
+        "media_id",
+        *[f"c{k}" for k in range(n_bands)],
+        F.explode(band_arr).alias("x"),
+    ).select(
+        "kind",
+        "media_id",
+        *[f"c{k}" for k in range(n_bands)],
+        F.col("x.band").alias("band"),
+        F.col("x.val").alias("val"),
+    )
 
 
 def audio_fp_pairs(
@@ -1111,22 +1180,10 @@ def q_multimodal_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _oracle_audio_dedup_keep() -> str:
-    band_case = " ".join(
-        f"WHEN {k} THEN CAST((fp // {1 << (8 * k)}) % 256 AS BIGINT)"
-        for k in range(_AFP_BANDS)
-    )
     return f"""
-WITH RECURSIVE {_AFP_FP_CTES},
-banded AS (
-  SELECT media_id, fp, CAST(band AS INT) AS band,
-         CASE band {band_case} END AS val
-  FROM fps CROSS JOIN (SELECT unnest(range(0, {_AFP_BANDS})) AS band) bb
-),
+WITH RECURSIVE {_AFP_CAND_CTES},
 pairs AS (
-  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
-  WHERE bit_count(xor(a.fp, b.fp)) <= {_AFP_BANDS - 1}
+  SELECT media_a, media_b FROM acand WHERE hamming <= {_AFP_BANDS - 1}
 ),
 edges AS (
   SELECT media_a AS a, media_b AS b FROM pairs

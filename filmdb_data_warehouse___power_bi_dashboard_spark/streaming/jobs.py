@@ -1257,8 +1257,172 @@ def _oracle_stream_hll() -> str:
     )
 
 
+def stream_media_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    files_per_trigger: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Continuous multimodal ingest dedup — the media twin of
+    :func:`stream_minhash_dedup` (round-12 verdict item 7): the media
+    corpus is staged as ``n_slices`` arriving parquet files and
+    consumed with ``maxFilesPerTrigger``, so the perceptual
+    fingerprint index (image dHash bands + audio energy-sign bands,
+    one unified 4-band frame — operators/multimodal.media_fp_frame)
+    genuinely GROWS across micro-batches. Per batch (foreachBatch):
+
+    1. fingerprints for the batch's images and audio clips;
+    2. cross probe: the batch's band buckets join the INDEX band
+       source — cost bounded by the batch's bucket occupancy, never a
+       corpus self-join (the 100 TB steady-state ingest shape);
+    3. within-batch pairs via the banded self-join;
+    4. pairs append to the result table, fingerprints to the index.
+
+    Every pair is discovered exactly once — at the later member's
+    batch — so the final pair SET equals the one-shot batch
+    pipelines' (image_dhash_pairs ∪ audio_fp_pairs), and the oracle
+    is the UNION of those two batch replays: a streaming job attested
+    by the same value hash as the batch path. Idempotent under
+    at-least-once redelivery: the cross probe drops same-id
+    collisions (covering the half-committed signatures-before-
+    checkpoint case) and the final read deduplicates on
+    (kind, media_a, media_b). All staging/index/pairs/checkpoint
+    directories are temporary; the result is materialized
+    (localCheckpoint) before removal.
+    """
+    from ..operators.multimodal import (
+        ascii_guarded,
+        media_banded,
+        media_fp_frame,
+        synthesize_media,
+    )
+    from ..sources.catalog import read_table
+
+    media = ascii_guarded(synthesize_media(read_table(spark, sf_dir, "documents")))
+    staged = tempfile.mkdtemp(prefix="mediastream-")
+    work = tempfile.mkdtemp(prefix="media-dedup-stream-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    index_path = os.path.join(work, "index")
+    pairs_path = os.path.join(work, "pairs")
+
+    def _ham(left: str, right: str):
+        return (
+            sum(
+                F.bit_count(
+                    F.col(f"{left}.c{k}").bitwiseXOR(F.col(f"{right}.c{k}"))
+                )
+                for k in range(4)
+            )
+        ).cast("int")
+
+    try:
+        for b in range(n_slices):
+            media.where(F.pmod(F.col("media_id"), F.lit(n_slices)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(staged)
+
+        stream = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(staged)
+        )
+
+        def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            fps_new = media_fp_frame(batch_df).persist()
+            new_b = media_banded(fps_new)
+            out = None
+            if os.path.exists(index_path):
+                old_b = media_banded(spark.read.parquet(index_path))
+                n, o = new_b.alias("n"), old_b.alias("o")
+                out = n.join(
+                    o,
+                    (F.col("n.kind") == F.col("o.kind"))
+                    & (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.val") == F.col("o.val"))
+                    & (F.col("n.media_id") != F.col("o.media_id")),
+                ).select(
+                    F.col("n.kind").alias("kind"),
+                    F.least("n.media_id", "o.media_id").alias("media_a"),
+                    F.greatest("n.media_id", "o.media_id").alias("media_b"),
+                    _ham("n", "o").alias("hamming"),
+                )
+            x, y = new_b.alias("x"), new_b.alias("y")
+            within = x.join(
+                y,
+                (F.col("x.kind") == F.col("y.kind"))
+                & (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.val") == F.col("y.val"))
+                & (F.col("x.media_id") < F.col("y.media_id")),
+            ).select(
+                F.col("x.kind").alias("kind"),
+                F.col("x.media_id").alias("media_a"),
+                F.col("y.media_id").alias("media_b"),
+                _ham("x", "y").alias("hamming"),
+            )
+            out = within if out is None else out.unionByName(within)
+            (
+                out.filter(F.col("hamming") <= max_hamming)
+                .dropDuplicates(["kind", "media_a", "media_b"])
+                .write.mode("append")
+                .parquet(pairs_path)
+            )
+            fps_new.write.mode("append").parquet(index_path)
+            fps_new.unpersist()
+
+        name = f"stream_media_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        if not os.path.exists(pairs_path):
+            return spark.createDataFrame(
+                [], "kind string, media_a long, media_b long, hamming int"
+            )
+        return (
+            spark.read.parquet(pairs_path)
+            .dropDuplicates(["kind", "media_a", "media_b"])
+            .localCheckpoint(eager=True)
+            .orderBy("kind", "media_a", "media_b")
+        )
+    finally:
+        for d in (staged, work, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_media_dedup(spark, sf_dir)
+
+
+def _oracle_stream_media() -> str:
+    from ..operators.multimodal import (
+        _AFP_BANDS,
+        _AFP_CAND_CTES,
+        _DHASH_CAND_CTES,
+        _DHASH_MAX_HAMMING,
+    )
+
+    return f"""
+WITH {_DHASH_CAND_CTES},
+{_AFP_CAND_CTES}
+SELECT 'image' AS kind, media_a, media_b, hamming
+FROM cand WHERE hamming <= {_DHASH_MAX_HAMMING}
+UNION ALL
+SELECT 'audio' AS kind, media_a, media_b, hamming
+FROM acand WHERE hamming <= {_AFP_BANDS - 1}
+ORDER BY kind, media_a, media_b
+"""
+
+
 QUERIES = {
     "stream_hll_daily_users": q_stream_hll_daily_users,
+    "stream_media_dedup": q_stream_media_dedup,
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
@@ -1273,6 +1437,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hll_daily_users": _oracle_stream_hll(),
+    "stream_media_dedup": _oracle_stream_media(),
     "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
     "sessionize_events": ORACLE_SESSIONIZE,
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,

@@ -87,6 +87,44 @@ def test_audio_dedup_keep_prefers_larger_payload(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming media dedup (growing fingerprint index over micro-batches)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_media_dedup_equals_batch_and_crosses_batches(spark, sf_small):
+    """The streamed pair set must equal the one-shot batch pipelines'
+    union (oracle parity covers values; this guards the set), and at
+    least one pair must SPAN two micro-batch slices — i.e. the
+    accumulated fingerprint index was actually probed, not just the
+    within-batch self-joins."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        audio_fp_pairs,
+        image_dhash_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        stream_media_dedup,
+    )
+
+    streamed = stream_media_dedup(spark, sf_small, n_slices=4, files_per_trigger=1)
+    media = ascii_guarded(synthesize_media(read_table(spark, sf_small, "documents")))
+    batch = {
+        ("image", r.media_a, r.media_b, r.hamming)
+        for r in image_dhash_pairs(media).collect()
+    } | {
+        ("audio", r.media_a, r.media_b, r.hamming)
+        for r in audio_fp_pairs(media).collect()
+    }
+    s = {(r.kind, r.media_a, r.media_b, r.hamming) for r in streamed.collect()}
+    assert s == batch
+    assert s, "fixture must produce at least one media near-dup pair"
+    cross = sum(1 for _, a, b, _h in s if a % 4 != b % 4)
+    assert cross > 0, "no pair spans two slices — index probe untested"
+
+
+# ---------------------------------------------------------------------------
 # BPE apply step (mined merges -> exact per-doc token counts)
 # ---------------------------------------------------------------------------
 
