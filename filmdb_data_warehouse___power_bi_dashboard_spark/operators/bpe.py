@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round_half_up
 from ..sources.catalog import read_table
 
 _TOP_K = 40
@@ -155,6 +156,23 @@ def bpe_token_counts(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
     is not a symbol on either engine), ``n_merges_applied`` =
     n_symbols − n_tokens_bpe.
     """
+    return (
+        _bpe_counts_frame(docs, k_merges)
+        .select(
+            "doc_id",
+            "n_symbols",
+            "n_tokens_bpe",
+            (F.col("n_symbols") - F.col("n_tokens_bpe")).alias("n_merges_applied"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_counts_frame(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
+    """The unordered per-doc count frame (doc_id, n_words, n_symbols,
+    n_tokens_bpe) — the composition point for downstream consumers
+    (fertility report, exact-count packing); the public entry selects
+    its contract columns and adds the ORDER BY."""
     merges = [
         r["pair"]
         for r in bpe_merge_candidates(docs, top_k=k_merges)
@@ -189,16 +207,10 @@ def bpe_token_counts(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
         words.join(tokenized, "tok")
         .groupBy("doc_id")
         .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
             F.sum(F.col("n_occ") * F.col("sym")).cast("long").alias("n_symbols"),
             F.sum(F.col("n_occ") * F.col("ntk")).cast("long").alias("n_tokens_bpe"),
         )
-        .select(
-            "doc_id",
-            "n_symbols",
-            "n_tokens_bpe",
-            (F.col("n_symbols") - F.col("n_tokens_bpe")).alias("n_merges_applied"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -210,9 +222,10 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the segmentation after the first k merges; step k+1 joins the rank-
 # (k+1) merge and applies ONE replace. DuckDB's replace has the same
 # left-to-right non-overlapping scan as Spark's, so the greedy overlap
-# rule matches by construction.
-ORACLE_BPE_TOKENIZE = f"""
-WITH RECURSIVE toks AS (
+# rule matches by construction. Kept as a WITH-body fragment (ending
+# at the per-doc counts CTE) so the fertility oracle replays the
+# identical tokenizer.
+_BPE_COUNT_CTES = f"""toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
   FROM documents WHERE text IS NOT NULL
 ),
@@ -263,23 +276,122 @@ tokenized AS (
          CAST(length(regexp_replace(tok, '(.)', 'x', 'g')) AS BIGINT) AS ntk
   FROM (SELECT DISTINCT tok FROM words
         WHERE tok LIKE '%<%' OR tok LIKE '%>%') g
+),
+bpecounts AS (
+  SELECT w.doc_id,
+         CAST(SUM(w.n_occ) AS BIGINT) AS n_words,
+         CAST(SUM(w.n_occ * t.sym) AS BIGINT) AS n_symbols,
+         CAST(SUM(w.n_occ * t.ntk) AS BIGINT) AS n_tokens_bpe
+  FROM words w JOIN tokenized t ON t.tok = w.tok
+  GROUP BY w.doc_id
+)"""
+
+ORACLE_BPE_TOKENIZE = f"""
+WITH RECURSIVE {_BPE_COUNT_CTES}
+SELECT doc_id, n_symbols, n_tokens_bpe,
+       CAST(n_symbols - n_tokens_bpe AS BIGINT) AS n_merges_applied
+FROM bpecounts
+ORDER BY doc_id
+"""
+
+
+def tokenizer_fertility(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
+    """Tokenizer fertility by detected language — the tokenizer-equity
+    metric every multilingual pretraining plan reports (tokens per
+    word by language; a tokenizer trained on English-heavy data
+    fragments other languages into more tokens, inflating their
+    effective cost per word). Composes the langid heuristic
+    (text.language_id) with the EXACT apply-step counts
+    (:func:`bpe_token_counts`), so the fertility is measured against
+    the real mined tokenizer, not a proxy.
+
+    Returns per detected language: (``lang_detected``, ``n_docs``,
+    ``n_words``, ``n_tokens_bpe``, ``fertility``,
+    ``chars_per_token``) ordered by lang_detected — fertility =
+    tokens/words, chars_per_token = symbols/tokens, each ONE IEEE
+    division of exact BIGINTs (identical on both engines). Docs with
+    no tokenizable word drop out via the inner join, on both engines.
+
+    Scale shape: the tokenize join (vocabulary-sized, see
+    bpe_token_counts) plus one scan-side langid projection and a
+    final agg onto the ≤|langs|+1 bounded domain.
+    """
+    from .text import language_id
+
+    counts = _bpe_counts_frame(docs, k_merges)
+    langs = language_id(docs).select("doc_id", "lang_detected")
+    g = counts.join(langs, "doc_id").groupBy("lang_detected").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        F.sum("n_symbols").cast("long").alias("__sym"),
+    )
+    return g.select(
+        "lang_detected",
+        "n_docs",
+        "n_words",
+        "n_tokens_bpe",
+        round_half_up(
+            F.col("n_tokens_bpe").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        round_half_up(
+            F.col("__sym").cast("double") / F.col("n_tokens_bpe").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("lang_detected")
+
+
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_tokenizer_fertility() -> str:
+    from ..functions.scalar import sql_round_half_up
+    from .text import _LANG_ORDER, _sql_hits
+
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
+    detect = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in _LANG_ORDER)
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE {_BPE_COUNT_CTES},
+scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_sql_hits(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM documents
+),
+langs AS (SELECT doc_id, {detect} AS lang_detected FROM scored),
+g AS (
+  SELECT l.lang_detected,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+         CAST(SUM(c.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+         CAST(SUM(c.n_symbols) AS BIGINT) AS sym
+  FROM bpecounts c JOIN langs l ON l.doc_id = c.doc_id
+  GROUP BY l.lang_detected
 )
-SELECT w.doc_id,
-       CAST(SUM(w.n_occ * t.sym) AS BIGINT) AS n_symbols,
-       CAST(SUM(w.n_occ * t.ntk) AS BIGINT) AS n_tokens_bpe,
-       CAST(SUM(w.n_occ * t.sym) - SUM(w.n_occ * t.ntk) AS BIGINT)
-         AS n_merges_applied
-FROM words w JOIN tokenized t ON t.tok = w.tok
-GROUP BY w.doc_id
-ORDER BY w.doc_id
+SELECT lang_detected, n_docs, n_words, n_tokens_bpe,
+       {sql_round_half_up(
+           "CAST(n_tokens_bpe AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
+         AS fertility,
+       {sql_round_half_up(
+           "CAST(sym AS DOUBLE) / CAST(n_tokens_bpe AS DOUBLE)", 6)}
+         AS chars_per_token
+FROM g
+ORDER BY lang_detected
 """
 
 
 QUERIES = {
     "text_bpe_merge_candidates": q_text_bpe_merge_candidates,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_tokenizer_fertility": q_text_tokenizer_fertility,
 }
 ORACLES = {
     "text_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "text_bpe_tokenize": ORACLE_BPE_TOKENIZE,
+    "text_tokenizer_fertility": _oracle_tokenizer_fertility(),
 }

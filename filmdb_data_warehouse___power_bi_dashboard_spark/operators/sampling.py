@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import read_table
+from .dedup import h60
 
 # Hash-space denominator. 2^20 buckets give rate granularity ~1e-6
 # while keeping the modulo a cheap power-of-two mask.
@@ -573,7 +575,122 @@ LIMIT {_WS_K}
 """
 
 
+_HRW_SHARDS = 8  # current shard count; the report reshards to +1
+_HRW_SALT = "hrw-v1"
+
+
+def _hrw_shard_col(doc_col, n_shards: int):
+    """Rendezvous (highest-random-weight) shard for a doc: argmax over
+    shards of h60('{salt}:s{k}:' || doc_id) — ties broken toward the
+    LOWER shard id via struct comparison on (hash, -k)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                h60(
+                    F.concat(
+                        F.lit(f"{_HRW_SALT}:s{k}:"), doc_col.cast("string")
+                    )
+                ).alias("h"),
+                F.lit(-k).alias("negk"),
+            )
+            for k in range(n_shards)
+        ]
+    )
+    return (-F.array_max(pairs).getField("negk")).cast("int")
+
+
+def shard_assignment_report(
+    docs: DataFrame, n_shards: int = _HRW_SHARDS
+) -> DataFrame:
+    """Rendezvous-hash (HRW, Thaler–Ravishankar) shard assignment with
+    a resharding-movement report — the stable doc→shard mapping a
+    growing corpus store needs: adding shard N moves ONLY the docs
+    whose HRW argmax is the new shard (expected n/(N+1)), while modulo
+    sharding would reshuffle (N)/(N+1) of the corpus.
+
+    Returns per current shard: (``shard``, ``n_docs``, ``n_moved``,
+    ``moved_share``) ordered by shard — ``n_moved`` counts docs whose
+    assignment changes when shard ``n_shards`` joins the ring; every
+    moved doc lands ON the new shard (the HRW minimal-disruption
+    property, pytest-asserted), and moved_share should sit near
+    1/(N+1) per shard.
+
+    Scale shape: pure scan arithmetic — N+1 md5 hashes and two argmax
+    folds per row inside codegen (no shuffle for the assignment), one
+    map-side-combined agg onto the N-row bounded domain. The md5-based
+    h60 keeps every hash SQL-replayable; a production path would swap
+    xxhash64 for speed at the cost of the oracle.
+    """
+    assigned = docs.select(
+        _hrw_shard_col(F.col("doc_id"), n_shards).alias("shard"),
+        _hrw_shard_col(F.col("doc_id"), n_shards + 1).alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("shard") != F.col("shard_after")).cast("long"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved",
+            round_half_up(
+                F.col("n_moved").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("moved_share"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assignment_report(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_shard_assignment() -> str:
+    from .dedup import sql_h60
+
+    def hs(k: int) -> str:
+        return sql_h60(f"'{_HRW_SALT}:s{k}:' || CAST(doc_id AS VARCHAR)")
+
+    def argmax(n: int) -> str:
+        best = "greatest(" + ", ".join(f"h{k}" for k in range(n)) + ")"
+        return (
+            "CASE "
+            + " ".join(f"WHEN h{k} = {best} THEN {k}" for k in range(n))
+            + " END"
+        )
+
+    n = _HRW_SHARDS
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {", ".join(f"{hs(k)} AS h{k}" for k in range(n + 1))}
+  FROM documents
+),
+assigned AS (
+  SELECT CAST({argmax(n)} AS INT) AS shard,
+         CAST({argmax(n + 1)} AS INT) AS shard_after
+  FROM hashed
+),
+g AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN shard != shard_after THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, n_moved,
+       {sql_round_half_up(
+           "CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+         AS moved_share
+FROM g
+ORDER BY shard
+"""
+
+
 QUERIES = {
+    "corpus_shard_assignment": q_corpus_shard_assignment,
     "corpus_split_summary": q_corpus_split_summary,
     "corpus_split_portable": q_corpus_split_portable,
     "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
@@ -583,6 +700,7 @@ QUERIES = {
 }
 
 ORACLES: dict = {
+    "corpus_shard_assignment": _oracle_shard_assignment(),
     "corpus_split_portable": ORACLE_SPLIT_PORTABLE,
     "corpus_leakage_safe_split": _oracle_leakage_safe_split(),
     "corpus_eval_sample": _oracle_eval_sample(),

@@ -261,6 +261,63 @@ def test_token_budget_consumes_exact_counts(spark, sf_small):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility + rendezvous sharding
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_conserves_doc_counts(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+        tokenizer_fertility,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    fert = tokenizer_fertility(docs).collect()
+    per_doc = bpe_token_counts(docs).collect()
+    assert fert
+    assert sum(r.n_docs for r in fert) == len(per_doc)
+    assert sum(r.n_tokens_bpe for r in fert) == sum(r.n_tokens_bpe for r in per_doc)
+    for r in fert:
+        # fertility >= 1: a word is at least one token; chars/token >= 1
+        assert r.fertility >= 1.0
+        assert r.chars_per_token >= 1.0
+
+
+def test_hrw_moved_docs_land_on_new_shard(spark, sf_small):
+    """The HRW minimal-disruption property: adding shard N changes a
+    doc's assignment ONLY to shard N (no lateral movement), and the
+    movement total is far below the (N)/(N+1) a modulo reshard would
+    cost."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        _HRW_SHARDS,
+        _hrw_shard_col,
+        shard_assignment_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_small, "documents")
+    n = _HRW_SHARDS
+    assigned = docs.select(
+        _hrw_shard_col(F.col("doc_id"), n).alias("before"),
+        _hrw_shard_col(F.col("doc_id"), n + 1).alias("after"),
+    ).collect()
+    moved = [r for r in assigned if r.before != r.after]
+    assert all(r.after == n for r in moved), "lateral movement breaks HRW"
+    # expected movement 1/(N+1); allow generous sampling slack but stay
+    # far below the modulo reshard's N/(N+1)
+    assert len(moved) / len(assigned) < 0.35
+    rep = {r.shard: r for r in shard_assignment_report(docs).collect()}
+    assert set(rep) <= set(range(n))
+    assert sum(r.n_moved for r in rep.values()) == len(moved)
+
+
 def test_audio_short_clips_never_cluster(spark):
     # Below the 132-sample minimum there is no full fingerprint: the
     # clip is dropped deterministically, so it cannot appear in pairs
