@@ -445,6 +445,138 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_weights(docs)
 
 
+_WF_BUDGET_FRAC = 0.5  # waterfill budget as a fraction of corpus tokens
+
+
+def waterfill_allocation(
+    docs: DataFrame, budget_frac: float = _WF_BUDGET_FRAC
+) -> DataFrame:
+    """Max-min fair (water-filling) token allocation across sources —
+    the budget split that maximizes the minimum per-source share: the
+    temperature mix (:func:`mix_weights`) proposes proportional
+    weights, this operator answers the complementary planning
+    question "given budget B, how many tokens may each source
+    contribute so no source is starved while none exceeds what it
+    has". Small sources are taken whole; the rest share the remaining
+    budget at a common water level.
+
+    EXACT INTEGER waterfill (no float level): sources sorted by
+    (n_tokens ASC, source) — source i is FULL iff
+    prefix(i−1) + n_i·(m−i+1) ≤ B (the standard level test; fulls
+    form a prefix of the sort order because the LHS is nondecreasing
+    in i). With j fulls consuming P tokens, the m−j partial sources
+    get floor((B−P)/(m−j)) each and the first (B−P) mod (m−j) of
+    them (in the same sort order) one extra token, so
+    Σ allocated == min(B, total) EXACTLY — the remainder-distribution
+    convention every engine reproduces bit-for-bit, where any
+    float-level spelling would be one ulp from flipping a floor.
+
+    Returns (``source``, ``n_tokens``, ``allocated``, ``is_full``)
+    ordered by source. Scale shape: one scan → groupBy(source); all
+    waterfill arithmetic (windows, prefix sums, the j/P fold) runs on
+    the |sources|-row BOUNDED frame, broadcast back as one row.
+    """
+    from pyspark.sql import Window
+
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    m_w = Window.partitionBy()
+    ranked = per_source.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("i"),
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("prefix_excl"),
+        F.count(F.lit(1)).over(m_w).alias("m"),
+        F.sum("n_tokens").over(m_w).alias("total"),
+    ).select(
+        "*",
+        F.floor(F.col("total") * F.lit(budget_frac)).cast("long").alias("B"),
+    ).select(
+        "*",
+        (
+            F.coalesce("prefix_excl", F.lit(0))
+            + F.col("n_tokens") * (F.col("m") - F.col("i") + 1)
+            <= F.col("B")
+        ).alias("is_full"),
+    )
+    fold = ranked.agg(
+        F.sum(F.col("is_full").cast("long")).alias("j"),
+        F.sum(F.when(F.col("is_full"), F.col("n_tokens")).otherwise(0)).alias("P"),
+    )
+    out = ranked.crossJoin(F.broadcast(fold)).select(
+        "source",
+        "n_tokens",
+        "is_full",
+        F.when(F.col("is_full"), F.col("n_tokens"))
+        .otherwise(
+            F.least(
+                F.col("n_tokens"),
+                # integer `div`, not `/`-then-cast: the double quotient
+                # loses exactness past 2^53, which production token
+                # totals can reach
+                F.expr("(B - P) div (m - j)")
+                + (
+                    (F.col("i") - F.col("j"))
+                    <= F.pmod(F.col("B") - F.col("P"), F.col("m") - F.col("j"))
+                ).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("allocated"),
+    )
+    return out.select("source", "n_tokens", "allocated", "is_full").orderBy("source")
+
+
+def q_corpus_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return waterfill_allocation(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_waterfill() -> str:
+    return f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix_excl,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+  FROM per_source
+),
+flagged AS (
+  SELECT *,
+         CAST(FLOOR(total * {_WF_BUDGET_FRAC!r}) AS BIGINT) AS B,
+         (prefix_excl + n_tokens * (m - i + 1)
+            <= CAST(FLOOR(total * {_WF_BUDGET_FRAC!r}) AS BIGINT)) AS is_full
+  FROM ranked
+),
+fold AS (
+  SELECT CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS j,
+         CAST(SUM(CASE WHEN is_full THEN n_tokens ELSE 0 END) AS BIGINT) AS P
+  FROM flagged
+)
+SELECT source, n_tokens,
+       CAST(CASE WHEN is_full THEN n_tokens
+            ELSE least(n_tokens,
+                       (B - P) // (m - j)
+                       + CASE WHEN (i - j) <= (B - P) % (m - j)
+                              THEN 1 ELSE 0 END)
+            END AS BIGINT) AS allocated,
+       is_full
+FROM flagged CROSS JOIN fold
+ORDER BY source
+"""
+
+
 ORACLE_MIX = f"""
 WITH per_source AS (
   SELECT source,
@@ -696,6 +828,7 @@ QUERIES = {
     "text_repetition_profile": q_text_repetition_profile,
     "pii_scrub_summary": q_pii_scrub_summary,
     "corpus_mix_weights": q_corpus_mix_weights,
+    "corpus_waterfill": q_corpus_waterfill,
     "corpus_quality_deciles": q_corpus_quality_deciles,
     "corpus_token_budget": q_corpus_token_budget,
 }
@@ -705,6 +838,7 @@ ORACLES = {
     "text_repetition_profile": ORACLE_REPETITION,
     "pii_scrub_summary": ORACLE_PII,
     "corpus_mix_weights": ORACLE_MIX,
+    "corpus_waterfill": _oracle_waterfill(),
     "corpus_quality_deciles": ORACLE_DECILES,
     "corpus_token_budget": ORACLE_TOKEN_BUDGET,
 }

@@ -318,6 +318,34 @@ def test_hrw_moved_docs_land_on_new_shard(spark, sf_small):
     assert sum(r.n_moved for r in rep.values()) == len(moved)
 
 
+def test_waterfill_conserves_budget_and_is_max_min_fair(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
+        _WF_BUDGET_FRAC,
+        waterfill_allocation,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    rows = waterfill_allocation(docs).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * _WF_BUDGET_FRAC)
+    assert sum(r.allocated for r in rows) == min(budget, total)
+    partial = sorted(r.allocated for r in rows if not r.is_full)
+    full = [r for r in rows if r.is_full]
+    for r in rows:
+        assert 0 <= r.allocated <= r.n_tokens
+    if partial:
+        # common water level: partial allocations differ by at most 1
+        assert partial[-1] - partial[0] <= 1
+        # max-min fairness: a full source sits at or below the level
+        # (n_full <= floor((B-P)/(m-j)) — provable from the full test)
+        if full:
+            assert max(r.allocated for r in full) <= partial[-1]
+
+
 def test_audio_short_clips_never_cluster(spark):
     # Below the 132-sample minimum there is no full fingerprint: the
     # clip is dropped deterministically, so it cannot appear in pairs
