@@ -1420,9 +1420,179 @@ ORDER BY kind, media_a, media_b
 """
 
 
+# CDC waves for the streaming SCD2 job — (effective_date, key modulus,
+# new segment), applied in date order. Keys hit by several waves stack
+# versions (custkey % 70 == 0 accumulates all four).
+_SCD2_WAVES = [
+    ("1994-01-01", 7, "WAVE1"),
+    ("1996-01-01", 5, "WAVE2"),
+    ("1998-01-01", 10, "UPGRADED"),
+]
+
+
+def stream_scd2_maintenance(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming SCD2 dimension maintenance: CDC update waves arrive
+    as files and fold into the versioned dimension via foreachBatch —
+    the production shape where a warehouse dimension keeps full
+    history current from a change stream instead of a batch refresh
+    (the batch twin is plans/scd.scd2_apply; this entry drives the
+    SAME apply through micro-batches and lands on the same table).
+
+    Per micro-batch: read the current version table, apply the
+    batch's updates GROUPED BY effective date in ascending order (a
+    driver fold over the batch's bounded set of distinct dates — a
+    batch may carry several waves when files_per_trigger > 1), then
+    stage-and-swap the new version table (sinks.stage_and_swap_write
+    materializes the new state fully before the atomic rename, so a
+    reader never sees a half-applied wave).
+
+    Ordering contract (same as the batch apply): waves must ARRIVE in
+    effective-date order — scd2_apply's raise_error guard fires on an
+    inverted interval rather than corrupting as-of lookups, and
+    backfill is a different operation. Within that contract the job
+    is idempotent under at-least-once redelivery: re-applying a wave
+    whose segments are already in place is a no-op (the
+    changed-attribute test), covering the half-committed
+    state-before-checkpoint restart case.
+
+    State is the dimension itself (parquet, key-partitionable at
+    scale); per batch the apply is one broadcast join over the
+    current table — at 100 TB the same fold runs with the update
+    batch broadcast and the dimension scan pruned to affected
+    partitions.
+    """
+    from ..plans.scd import OPEN_END, scd2_apply
+    from ..sources.sinks import stage_and_swap_write
+
+    customer = read_table(spark, sf_dir, "customer")
+    seed = customer.select(
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("nom_client"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(OPEN_END).alias("valid_to"),
+    )
+    staged = tempfile.mkdtemp(prefix="scd2stream-")
+    work = tempfile.mkdtemp(prefix="scd2-state-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    table_path = os.path.join(work, "dim_client_versions")
+    try:
+        stage_and_swap_write(seed, table_path)
+        assigned: dict[str, int] = {}
+        for i, (eff, mod, seg) in enumerate(_SCD2_WAVES):
+            wave = customer.where(F.col("c_custkey") % mod == 0).select(
+                F.col("c_custkey").alias("client_id"),
+                F.lit(seg).alias("segment"),
+                F.lit(eff).alias("effective_date"),
+            )
+            wave.coalesce(1).write.mode("append").parquet(staged)
+            # Distinct, increasing mtimes pin the file source's oldest-
+            # first ordering (same-second writes would tie-break on
+            # path, which the uuid part scrambles). Only files new in
+            # this iteration get this wave's timestamp.
+            for f in os.listdir(staged):
+                fp = os.path.join(staged, f)
+                if fp not in assigned:
+                    assigned[fp] = 1_600_000_000 + i
+                    os.utime(fp, (assigned[fp], assigned[fp]))
+
+        stream = (
+            spark.readStream.schema(
+                "client_id long, segment string, effective_date string"
+            )
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .option("latestFirst", "false")
+            .parquet(staged)
+        )
+
+        def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df = batch_df.persist()
+            effs = sorted(
+                r["effective_date"]
+                for r in batch_df.select("effective_date").distinct().collect()
+            )
+            state = spark.read.parquet(table_path)
+            for e in effs:
+                state = scd2_apply(
+                    state,
+                    batch_df.where(F.col("effective_date") == e),
+                    key="client_id",
+                    tracked=["segment"],
+                )
+            stage_and_swap_write(state, table_path)
+            batch_df.unpersist()
+
+        name = f"stream_scd2_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(table_path)
+            .localCheckpoint(eager=True)
+            .orderBy("client_id", "valid_from")
+        )
+    finally:
+        for d in (staged, work, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def q_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_scd2_maintenance(spark, sf_dir)
+
+
+def _oracle_stream_scd2() -> str:
+    from ..plans.scd import OPEN_END
+
+    def step(src: str, mod: int, seg: str, eff: str) -> str:
+        live_changed = (
+            f"valid_to = '{OPEN_END}' AND client_id % {mod} = 0"
+            f" AND segment <> '{seg}'"
+        )
+        return f"""
+  SELECT client_id, nom_client, segment, valid_from, valid_to FROM {src}
+  WHERE NOT ({live_changed})
+  UNION ALL
+  SELECT client_id, nom_client, segment, valid_from, '{eff}' FROM {src}
+  WHERE {live_changed}
+  UNION ALL
+  SELECT client_id, nom_client, '{seg}', '{eff}', '{OPEN_END}' FROM {src}
+  WHERE {live_changed}
+"""
+
+    ctes = [
+        f"""v0 AS (
+  SELECT c_custkey AS client_id, c_name AS nom_client,
+         c_mktsegment AS segment,
+         '1992-01-01' AS valid_from, '{OPEN_END}' AS valid_to
+  FROM customer
+)"""
+    ]
+    for i, (eff, mod, seg) in enumerate(_SCD2_WAVES):
+        ctes.append(f"v{i + 1} AS ({step(f'v{i}', mod, seg, eff)})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT client_id, nom_client, segment, valid_from, valid_to
+FROM v{len(_SCD2_WAVES)}
+ORDER BY client_id, valid_from
+"""
+    )
+
+
 QUERIES = {
     "stream_hll_daily_users": q_stream_hll_daily_users,
     "stream_media_dedup": q_stream_media_dedup,
+    "stream_scd2_maintenance": q_stream_scd2_maintenance,
     "stream_tumbling_hour": q_stream_tumbling_hour,
     "sessionize_events": q_sessionize_events,
     "stream_dedup_ingest": q_stream_dedup_ingest,
@@ -1438,6 +1608,7 @@ QUERIES = {
 ORACLES = {
     "stream_hll_daily_users": _oracle_stream_hll(),
     "stream_media_dedup": _oracle_stream_media(),
+    "stream_scd2_maintenance": _oracle_stream_scd2(),
     "stream_tumbling_hour": ORACLE_STREAM_TUMBLING,
     "sessionize_events": ORACLE_SESSIONIZE,
     "stream_dedup_ingest": ORACLE_STREAM_DEDUP,

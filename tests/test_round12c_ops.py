@@ -404,13 +404,17 @@ def test_template_ngrams_breadth_not_repetition(spark):
 
 
 def _py_afp(samples: bytes) -> int:
+    # Replays the round-13 proportional-window construction: window w
+    # covers bytes [w*n//NWIN, (w+1)*n//NWIN) of the WHOLE clip.
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
         _AFP_BITS,
-        _AFP_WIN,
+        _AFP_NWIN,
     )
 
+    n = len(samples)
+
     def e(w):
-        chunk = samples[w * _AFP_WIN : (w + 1) * _AFP_WIN]
+        chunk = samples[(w * n) // _AFP_NWIN : ((w + 1) * n) // _AFP_NWIN]
         return sum(b * b for b in chunk)
 
     return sum(1 << w for w in range(_AFP_BITS) if e(w + 1) > e(w))
