@@ -262,6 +262,45 @@ def test_token_budget_consumes_exact_counts(spark, sf_small):
 
 
 # ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_scd2_stacks_versions_across_batches(spark, sf_small):
+    """A key hit by every CDC wave must accumulate the full version
+    chain (seed + one version per wave), each version closed exactly
+    where the next opens — proof the per-batch fold genuinely applied
+    each wave to the PREVIOUS batch's state, not to the seed."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.plans.scd import OPEN_END
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        _SCD2_WAVES,
+        stream_scd2_maintenance,
+    )
+
+    rows = stream_scd2_maintenance(spark, sf_small).collect()
+    assert rows
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.client_id, []).append(r)
+    # every key: exactly one live version; intervals chain
+    for cid, vs in by_key.items():
+        vs.sort(key=lambda r: r.valid_from)
+        live = [v for v in vs if v.valid_to == OPEN_END]
+        assert len(live) == 1, f"client {cid}: {len(live)} live versions"
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, f"client {cid}: interval gap"
+    # a key divisible by every wave modulus stacks all versions
+    import math
+
+    lcm = math.lcm(*[m for _, m, _ in _SCD2_WAVES])
+    stacked = [cid for cid in by_key if cid % lcm == 0 and cid != 0]
+    if stacked:
+        cid = stacked[0]
+        segs = [v.segment for v in sorted(by_key[cid], key=lambda r: r.valid_from)]
+        assert segs[1:] == [seg for _, _, seg in _SCD2_WAVES]
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer fertility + rendezvous sharding
 # ---------------------------------------------------------------------------
 
