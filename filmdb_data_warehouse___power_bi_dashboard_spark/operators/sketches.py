@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import read_table
-from .dedup import sql_h60
+from .dedup import h60, sql_h60
 
 _HLL_SALT = "hll-v1"
 _HLL_B = 8  # 2^8 = 256 buckets
@@ -234,5 +234,165 @@ def _oracle_hll() -> str:
     return _oracle_hll_grouped("event_type", "event_type", with_rel_err=True)
 
 
-QUERIES = {"approx_distinct_hll_portable": q_approx_distinct_hll_portable}
-ORACLES = {"approx_distinct_hll_portable": _oracle_hll()}
+# ---------------------------------------------------------------------------
+# Count-Min sketch: portable per-key frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_SALT = "cms-v1"
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOPK = 20
+
+
+def cms_counters(df: DataFrame, key: str) -> DataFrame:
+    """The d×w Count-Min counter table for ``key`` — the third classic
+    mergeable summary alongside the HLL registers (distinct counts)
+    and the Misra–Gries frame (heavy hitters): counters merge by
+    element-wise SUM, so per-partition partials combine map-side and
+    cross-corpus/stream merges are one groupBy. Returns (``j``,
+    ``bucket``, ``c``), a CONSTANT d·w = 4·256 = 1024 rows regardless of
+    corpus size.
+
+    Built key-first: groupBy(key) shrinks the stream map-side to
+    |keys| rows BEFORE the d-way explode, so the shuffle carries
+    d·|keys| tiny rows, never d·|events|.
+    """
+    per_key = df.groupBy(F.col(key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    rows = per_key.select(
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            h60(
+                                F.concat(
+                                    F.lit(f"{_CMS_SALT}:{j}:"),
+                                    F.col("__k").cast("string"),
+                                )
+                            ),
+                            F.lit(_CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    )
+    return rows.groupBy(F.col("x.j").alias("j"), F.col("x.bucket").alias("bucket")).agg(
+        F.sum("__n").cast("long").alias("c")
+    )
+
+
+def cms_report(events: DataFrame) -> DataFrame:
+    """Count-Min frequency report for the top-20 users by exact event
+    count: exact count vs the CMS point estimate (min over the d
+    counters a key hashes to). CMS guarantees ``n_cms >= n_exact``
+    (collisions only ADD) — the ``overestimate`` column is the
+    realized error a capacity planner reads against the ε·N bound.
+
+    Scale shape: the counter build (see :func:`cms_counters`), one
+    TakeOrdered for the top-k exact keys, then a k·d-row join against
+    the 1024-row counter table (AQE broadcasts it). Everything is
+    exact BIGINT arithmetic on md5-based portable hashes — the DuckDB
+    oracle replays the sketch bit-for-bit.
+    """
+    ev = events.where(F.col("user_id").isNotNull()).select("user_id")
+    counters = cms_counters(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            h60(
+                                F.concat(
+                                    F.lit(f"{_CMS_SALT}:{j}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            F.lit(_CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("user_id", "n_exact", F.col("x.j").alias("j"), F.col("x.bucket").alias("bucket"))
+    return (
+        probes.join(counters, ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").cast("long").alias("n_cms"))
+        .select(
+            "user_id",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+    )
+
+
+def q_approx_counts_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import read_table
+
+    return cms_report(read_table(spark, sf_dir, "events"))
+
+
+def _oracle_cms() -> str:
+    def bucket(j: int, key_sql: str) -> str:
+        h = sql_h60(f"'{_CMS_SALT}:{j}:' || CAST({key_sql} AS VARCHAR)")
+        return f"({h}) % {_CMS_W}"
+
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, n_exact, {j} AS j, {bucket(j, 'user_id')} AS bucket FROM top"
+        for j in range(_CMS_D)
+    )
+    counter_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {bucket(j, '__k')} AS bucket, __n FROM per_key"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH per_key AS (
+  SELECT user_id AS __k, CAST(COUNT(*) AS BIGINT) AS __n
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+counters AS (
+  SELECT j, bucket, CAST(SUM(__n) AS BIGINT) AS c
+  FROM ({counter_rows}) r
+  GROUP BY j, bucket
+),
+top AS (
+  SELECT __k AS user_id, __n AS n_exact
+  FROM per_key ORDER BY __n DESC, __k ASC LIMIT {_CMS_TOPK}
+),
+probes AS ({probe_rows})
+SELECT p.user_id, p.n_exact,
+       CAST(MIN(c.c) AS BIGINT) AS n_cms,
+       CAST(MIN(c.c) - p.n_exact AS BIGINT) AS overestimate
+FROM probes p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.user_id, p.n_exact
+ORDER BY p.n_exact DESC, p.user_id ASC
+"""
+
+
+QUERIES = {
+    "approx_distinct_hll_portable": q_approx_distinct_hll_portable,
+    "approx_counts_cms_portable": q_approx_counts_cms_portable,
+}
+ORACLES = {
+    "approx_distinct_hll_portable": _oracle_hll(),
+    "approx_counts_cms_portable": _oracle_cms(),
+}

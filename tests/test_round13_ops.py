@@ -357,6 +357,38 @@ def test_hrw_moved_docs_land_on_new_shard(spark, sf_small):
     assert sum(r.n_moved for r in rep.values()) == len(moved)
 
 
+def test_cms_never_underestimates_and_conserves_mass(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sketches import (
+        _CMS_D,
+        cms_counters,
+        cms_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_small, "events")
+    ev = events.where(F.col("user_id").isNotNull()).select("user_id")
+    n_total = ev.count()
+    # mass conservation: every hash row's counters sum to N exactly
+    per_row = {
+        r.j: r.total
+        for r in cms_counters(ev, "user_id")
+        .groupBy("j")
+        .agg(F.sum("c").alias("total"))
+        .collect()
+    }
+    assert set(per_row) == set(range(_CMS_D))
+    assert all(v == n_total for v in per_row.values())
+    # the CMS guarantee: min over rows never underestimates
+    rows = cms_report(events).collect()
+    assert rows
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.n_cms >= r.n_exact
+
+
 def test_waterfill_conserves_budget_and_is_max_min_fair(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.quality import (
         _WF_BUDGET_FRAC,
