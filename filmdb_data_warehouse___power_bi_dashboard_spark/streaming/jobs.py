@@ -1589,7 +1589,133 @@ ORDER BY client_id, valid_from
     )
 
 
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance — the frequency twin of
+    :func:`stream_hll_daily_users`: per-user event counts a stream
+    cannot afford to keep exactly (exact per-key state grows with the
+    key universe) maintained as the CONSTANT d×w = 1024-row CMS
+    counter table, whose merge is the built-in SUM aggregate — no
+    custom state operator, no applyInPandasWithState.
+
+    The rho-projection analog is a stateless d-way band projection in
+    the scan; the only stateful op is groupBy(j, bucket).count() in
+    complete mode. The report side (top-20 exact keys probed against
+    the final counters, min over rows) runs batch-side on the 1024-row
+    result — ``n_exact`` comes from a batch read, the quality
+    yardstick the stream itself could not afford. The final counter
+    table equals the batch build exactly (SUM is order-independent),
+    so the oracle is the SAME sketch replay as the batch entry.
+    """
+    from ..operators.dedup import h60
+    from ..operators.sketches import _CMS_D, _CMS_SALT, _CMS_TOPK, _CMS_W
+
+    events = _read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    proj = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            h60(
+                                F.concat(
+                                    F.lit(f"{_CMS_SALT}:{j}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            F.lit(_CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.j").alias("j"), F.col("x.bucket").alias("bucket"))
+    counters_stream = proj.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        with _sized_state(spark):
+            q = (
+                counters_stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        counters = spark.table(name)
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id")
+        )
+        top = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .orderBy(F.desc("n_exact"), F.asc("user_id"))
+            .limit(_CMS_TOPK)
+        )
+        probes = top.select(
+            "user_id",
+            "n_exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.pmod(
+                                h60(
+                                    F.concat(
+                                        F.lit(f"{_CMS_SALT}:{j}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                F.lit(_CMS_W),
+                            ).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("x"),
+        ).select(
+            "user_id",
+            "n_exact",
+            F.col("x.j").alias("j"),
+            F.col("x.bucket").alias("bucket"),
+        )
+        return (
+            probes.join(counters, ["j", "bucket"])
+            .groupBy("user_id", "n_exact")
+            .agg(F.min("c").cast("long").alias("n_cms"))
+            .select(
+                "user_id",
+                "n_exact",
+                "n_cms",
+                (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+            )
+            .localCheckpoint(eager=True)
+            .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        )
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def q_stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_cms_user_counts(spark, sf_dir)
+
+
+def _oracle_stream_cms() -> str:
+    from ..operators.sketches import _oracle_cms
+
+    return _oracle_cms()
+
+
 QUERIES = {
+    "stream_cms_user_counts": q_stream_cms_user_counts,
     "stream_hll_daily_users": q_stream_hll_daily_users,
     "stream_media_dedup": q_stream_media_dedup,
     "stream_scd2_maintenance": q_stream_scd2_maintenance,
@@ -1606,6 +1732,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_cms_user_counts": _oracle_stream_cms(),
     "stream_hll_daily_users": _oracle_stream_hll(),
     "stream_media_dedup": _oracle_stream_media(),
     "stream_scd2_maintenance": _oracle_stream_scd2(),
