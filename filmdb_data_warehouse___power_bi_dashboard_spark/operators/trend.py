@@ -840,133 +840,7 @@ ORDER BY f.day
 """
 
 
-_FUNNEL_STAGES = ["view", "click", "purchase"]
-
-
-def funnel_report(events: DataFrame) -> DataFrame:
-    """Ordered conversion funnel (view → click → purchase), the
-    product-analytics staple: a user converts stage k only if stage
-    k's FIRST qualifying event is at-or-after their stage-(k−1)
-    conversion time — time-ordered, not mere co-occurrence (a
-    purchase before any view does NOT count).
-
-    Returns ONE row: (``n_users``, ``n_view``, ``n_click``,
-    ``n_purchase``, ``conv_view_click``, ``conv_click_purchase``,
-    ``conv_overall``) — counts exact BIGINTs, rates one IEEE division
-    each on the 1e-6 grid.
-
-    Scale shape: k stage passes, each a map-side-combined
-    groupBy(user_id) (the sequential stage dependency is inherent —
-    stage k's cutoff is an aggregate of stage k−1); all passes
-    shuffle on the SAME key so the exchange is reused, and the final
-    fold is one row. No windows, no per-user event sorting.
-    """
-    ev = events.where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).select("user_id", "ts", "event_type")
-    s1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == _FUNNEL_STAGES[0], F.col("ts"))).alias(
-            "t1"
-        )
-    )
-    s2 = (
-        ev.join(s1, "user_id")
-        .groupBy("user_id", "t1")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == _FUNNEL_STAGES[1])
-                    & (F.col("ts") >= F.col("t1")),
-                    F.col("ts"),
-                )
-            ).alias("t2")
-        )
-    )
-    s3 = (
-        ev.join(s2, "user_id")
-        .groupBy("user_id", "t1", "t2")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == _FUNNEL_STAGES[2])
-                    & (F.col("ts") >= F.col("t2")),
-                    F.col("ts"),
-                )
-            ).alias("t3")
-        )
-    )
-    counts = s3.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum(F.col("t1").isNotNull().cast("long")).cast("long").alias("n_view"),
-        F.sum(F.col("t2").isNotNull().cast("long")).cast("long").alias("n_click"),
-        F.sum(F.col("t3").isNotNull().cast("long")).cast("long").alias("n_purchase"),
-    )
-    rate = lambda num, den: round_half_up(  # noqa: E731
-        num.cast("double") / den.cast("double"), 6
-    )
-    return counts.select(
-        "n_users",
-        "n_view",
-        "n_click",
-        "n_purchase",
-        rate(F.col("n_click"), F.col("n_view")).alias("conv_view_click"),
-        rate(F.col("n_purchase"), F.col("n_click")).alias("conv_click_purchase"),
-        rate(F.col("n_purchase"), F.col("n_view")).alias("conv_overall"),
-    )
-
-
-def q_events_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return funnel_report(read_table(spark, sf_dir, "events"))
-
-
-ORACLE_FUNNEL = f"""
-WITH ev AS (
-  SELECT user_id, ts, event_type FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-),
-s1 AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = '{_FUNNEL_STAGES[0]}' THEN ts END) AS t1
-  FROM ev GROUP BY user_id
-),
-s2 AS (
-  SELECT e.user_id, s.t1,
-         MIN(CASE WHEN e.event_type = '{_FUNNEL_STAGES[1]}' AND e.ts >= s.t1
-                  THEN e.ts END) AS t2
-  FROM ev e JOIN s1 s ON s.user_id = e.user_id
-  GROUP BY e.user_id, s.t1
-),
-s3 AS (
-  SELECT e.user_id, s.t1, s.t2,
-         MIN(CASE WHEN e.event_type = '{_FUNNEL_STAGES[2]}' AND e.ts >= s.t2
-                  THEN e.ts END) AS t3
-  FROM ev e JOIN s2 s ON s.user_id = e.user_id
-  GROUP BY e.user_id, s.t1, s.t2
-),
-c AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-         CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-         CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_purchase
-  FROM s3
-)
-SELECT n_users, n_view, n_click, n_purchase,
-       {sql_round_half_up(
-           "CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)", 6)}
-         AS conv_view_click,
-       {sql_round_half_up(
-           "CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)", 6)}
-         AS conv_click_purchase,
-       {sql_round_half_up(
-           "CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE)", 6)}
-         AS conv_overall
-FROM c
-"""
-
-
 QUERIES = {
-    "events_funnel_report": q_events_funnel_report,
     "events_type_correlation": q_events_type_correlation,
     "nation_revenue_trend": q_nation_revenue_trend,
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
@@ -976,7 +850,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "events_funnel_report": ORACLE_FUNNEL,
     "events_type_correlation": ORACLE_TYPE_CORRELATION,
     "nation_revenue_trend": ORACLE_NATION_TREND,
     "orders_bootstrap_ci": ORACLE_BOOTSTRAP_CI,

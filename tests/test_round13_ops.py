@@ -357,36 +357,6 @@ def test_hrw_moved_docs_land_on_new_shard(spark, sf_small):
     assert sum(r.n_moved for r in rep.values()) == len(moved)
 
 
-def test_funnel_requires_stage_order(spark):
-    """A purchase BEFORE the user's first view (or a click before it)
-    must not convert — the funnel is time-ordered, not co-occurrence."""
-    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.trend import (
-        funnel_report,
-    )
-
-    rows = [
-        # user 1: proper view -> click -> purchase (converts fully)
-        (1, "2024-01-01 10:00:00", 1, "view"),
-        (2, "2024-01-01 11:00:00", 1, "click"),
-        (3, "2024-01-01 12:00:00", 1, "purchase"),
-        # user 2: purchase then view (no click, no ordered purchase)
-        (4, "2024-01-01 09:00:00", 2, "purchase"),
-        (5, "2024-01-01 10:00:00", 2, "view"),
-        # user 3: view -> purchase but NO click: stalls at stage 1
-        (6, "2024-01-01 10:00:00", 3, "view"),
-        (7, "2024-01-01 11:00:00", 3, "purchase"),
-        # user 4: click only (never viewed): counts in no stage
-        (8, "2024-01-01 10:00:00", 4, "click"),
-    ]
-    events = spark.createDataFrame(
-        [(i, t, u, e) for i, t, u, e in rows],
-        "event_id long, ts string, user_id long, event_type string",
-    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type")
-    r = funnel_report(events).collect()[0]
-    assert (r.n_users, r.n_view, r.n_click, r.n_purchase) == (4, 3, 1, 1)
-    assert r.conv_overall == round(1 / 3, 6)
-
-
 def test_cms_never_underestimates_and_conserves_mass(spark, sf_small):
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sketches import (
         _CMS_D,
