@@ -184,12 +184,18 @@ def main() -> None:
         # DISTINCT-NAME frame (constant 64 names at every SF), so its
         # warm ratio should stay near 1 + scan growth — recording it
         # makes the vocabulary-bounded claim a measured trend too.
+        # multimodal_audio_dedup_keep / stream_media_dedup (round-13):
+        # the new banded-fingerprint arcs — recording their ratios every
+        # round turns the pigeonhole-bucket boundedness claim into a
+        # measured trend alongside the decontamination pair.
         check_names += [
             n
             for n in (
                 "dedup_decontamination",
                 "dedup_decontamination_bloom",
                 "part_fuzzy_matches",
+                "multimodal_audio_dedup_keep",
+                "stream_media_dedup",
             )
             if n in times and n not in check_names
         ]
