@@ -126,6 +126,42 @@ def read_jsonl(
     return good, quarantine
 
 
+def read_evolving_parquet(
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType,
+) -> DataFrame:
+    """Read a parquet directory whose batches were written under
+    EVOLVING schemas (a landing zone accumulates files for months; new
+    pipeline versions add columns) and present them under one declared
+    contract.
+
+    ``mergeSchema`` unions the per-file footers (columns absent in
+    older files come back NULL — parquet's standard evolution
+    semantics), then the frame is aligned to ``expected``: missing
+    columns materialize as typed NULLs, extra columns are DROPPED
+    (forward-compat: an older reader must not crash on a newer
+    writer's additions), and every kept column is cast to the declared
+    type. Declared-contract alignment, never inference — the
+    read_jsonl posture.
+
+    Scale note: mergeSchema reads EVERY file's footer up front (a
+    driver-side listing+footer pass — fine for thousands of files,
+    wrong for millions; at that scale the schema belongs in a table
+    format's metadata layer, which is exactly what Delta/Iceberg
+    are). The data scan itself stays one task per split, no shuffle.
+    """
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    present = {f.name: f for f in raw.schema.fields}
+    for f in expected.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return raw.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Enum/domain validation — the reference's CHECK-style column
 # constraints (filmdb.sql:140 `rating public.mpaa_rating`, a 5-value

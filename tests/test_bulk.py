@@ -136,3 +136,41 @@ def test_validate_domains_clean_on_real_orders(spark, sf_small):
     valid, quarantine = validate_domains(orders, ORDERS_RULES)
     assert quarantine.count() == 0
     assert valid.count() == orders.count()
+
+
+def test_evolving_parquet_aligns_to_contract(spark, tmp_path):
+    """Schema evolution: a landing dir whose older files lack a column
+    and whose newer files carry an extra one reads back under the
+    declared contract — missing columns as typed NULLs, extras
+    dropped, types cast."""
+    from pyspark.sql import types as T
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.bulk import (
+        read_evolving_parquet,
+    )
+
+    d = str(tmp_path / "landing")
+    # v1 batch: no `lang` column yet, doc_id written as INT
+    spark.createDataFrame(
+        [(1, "old doc")], "doc_id int, text string"
+    ).write.mode("append").parquet(d)
+    # v2 batch: adds `lang` AND an extra column the contract never had
+    spark.createDataFrame(
+        [(2, "new doc", "en", "drop-me")],
+        "doc_id int, text string, lang string, extra string",
+    ).write.mode("append").parquet(d)
+
+    contract = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    out = read_evolving_parquet(spark, d, contract)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].lang is None and rows[1].text == "old doc"
+    assert rows[2].lang == "en"
+    assert "extra" not in out.columns
