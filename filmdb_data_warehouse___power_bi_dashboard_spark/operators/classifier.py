@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import read_table
 from .dedup import h60, sql_h60
+from .text import _EN_STOP
 
 # Vocabulary cap: a token enters the model only with document
 # frequency >= _MIN_DF. 5 at the 500-doc sf0.01 fixture keeps the
@@ -163,5 +164,203 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"text_quality_classifier": q_text_quality_classifier}
-ORACLES = {"text_quality_classifier": ORACLE_QUALITY_CLASSIFIER}
+# ---------------------------------------------------------------------------
+# Decision-stump split mining: the training-side companion of the
+# inference stage above (operator-fusion ML in pure SQL: the split
+# search is conditional aggregates, the chosen stump compiles to one
+# CASE in the scan — no model runtime, no Python).
+# ---------------------------------------------------------------------------
+
+# (feature, thresholds) grid: integer features only so every split
+# count is exact; thresholds are fixed design parameters (document-
+# scale landmarks), not data-derived, so the whole search is ONE
+# conditional aggregate with |grid| sum pairs — zero row blowup.
+_STUMP_GRID: list[tuple[str, tuple[int, ...]]] = [
+    ("n_tokens", (5, 10, 20, 40)),
+    ("n_chars", (100, 200, 400, 800)),
+    ("n_stopwords", (1, 2, 4, 8)),
+    ("n_punct", (2, 5, 10, 20)),
+]
+_STUMP_TOPK = 10
+
+
+def stump_split_report(docs: DataFrame) -> DataFrame:
+    """Exact decision-stump split search over integer text features
+    for the label ``lang = 'en'`` — the feature-audit step before
+    training any tree/boosted quality model: which single
+    (feature ≤ threshold) test separates the classes best.
+
+    For every grid cell the ONE aggregate pass collects exact BIGINT
+    split counts (n_left, pos_left, n_right, pos_right); the reported
+    quality is the weighted Gini impurity
+    ``(n_L·gini_L + n_R·gini_R) / n`` with
+    ``gini = 1 − (pos² + neg²)/n²`` — computed from identical
+    integers by identical IEEE ops on both engines, rounded on the
+    1e-6 grid, ranked ascending (lower = purer split) with
+    (feature, threshold) as the deterministic tie-break. Degenerate
+    splits (an empty side) are excluded — their Gini term is 0/0.
+
+    Scale shape: one scan projecting the integer features, one
+    map-side-combined aggregate producing 2·|grid| BIGINTs on a
+    SINGLE row, an inline-table unpivot of that row (|grid| rows),
+    and arithmetic on the bounded frame. Nothing shuffles but the
+    one-row aggregate.
+    """
+    words = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(m) for m in _EN_STOP])
+    feats = docs.where(F.col("text").isNotNull()).select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos"),
+    ]
+    for feat, ths in _STUMP_GRID:
+        for t in ths:
+            cond = F.col(feat) <= F.lit(t)
+            aggs.append(
+                F.sum(cond.cast("long")).cast("long").alias(f"nl_{feat}_{t}")
+            )
+            aggs.append(
+                F.sum((cond & (F.col("pos") == 1)).cast("long"))
+                .cast("long")
+                .alias(f"pl_{feat}_{t}")
+            )
+    one = feats.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{feat}', {t}L, nl_{feat}_{t}, pl_{feat}_{t}"
+        for feat, ths in _STUMP_GRID
+        for t in ths
+    )
+    n_cells = sum(len(ths) for _, ths in _STUMP_GRID)
+    cells = one.select(
+        "n",
+        "pos",
+        F.expr(
+            f"stack({n_cells}, {stack_items})"
+            " AS (feature, threshold, n_left, pos_left)"
+        ),
+    ).select(
+        "feature",
+        "threshold",
+        "n_left",
+        "pos_left",
+        (F.col("n") - F.col("n_left")).alias("n_right"),
+        (F.col("pos") - F.col("pos_left")).alias("pos_right"),
+        "n",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = (
+        (
+            d("n_left")
+            - (d("pos_left") * d("pos_left")
+               + (d("n_left") - d("pos_left")) * (d("n_left") - d("pos_left")))
+            / d("n_left")
+        )
+        + (
+            d("n_right")
+            - (d("pos_right") * d("pos_right")
+               + (d("n_right") - d("pos_right")) * (d("n_right") - d("pos_right")))
+            / d("n_right")
+        )
+    ) / d("n")
+    return (
+        cells.where((F.col("n_left") > 0) & (F.col("n_right") > 0))
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            round_half_up(gini, 6).alias("gini_split"),
+        )
+        .orderBy("gini_split", "feature", "threshold")
+        .limit(_STUMP_TOPK)
+    )
+
+
+def q_text_stump_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stump_split_report(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_stump_splits() -> str:
+    stop_arr = ", ".join(f"'{m}'" for m in _EN_STOP)
+    cell_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {feat} <= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nl_{feat}_{t},\n         "
+        f"CAST(SUM(CASE WHEN {feat} <= {t} AND pos = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS pl_{feat}_{t}"
+        for feat, ths in _STUMP_GRID
+        for t in ths
+    )
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT '{feat}' AS feature, CAST({t} AS BIGINT) AS threshold,"
+        f" nl_{feat}_{t} AS n_left, pl_{feat}_{t} AS pos_left, n, pos FROM one"
+        for feat, ths in _STUMP_GRID
+        for t in ths
+    )
+    g = (
+        "((CAST(n_left AS DOUBLE)"
+        " - (CAST(pos_left AS DOUBLE) * CAST(pos_left AS DOUBLE)"
+        " + (CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE))"
+        " * (CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE)))"
+        " / CAST(n_left AS DOUBLE))"
+        " + (CAST(n_right AS DOUBLE)"
+        " - (CAST(pos_right AS DOUBLE) * CAST(pos_right AS DOUBLE)"
+        " + (CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE))"
+        " * (CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE)))"
+        " / CAST(n_right AS DOUBLE)))"
+        " / CAST(n AS DOUBLE)"
+    )
+    return f"""
+WITH feats AS (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains([{stop_arr}], w))) AS BIGINT)
+           AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS n_punct
+  FROM documents WHERE text IS NOT NULL
+),
+one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS pos,
+         {cell_sums}
+  FROM feats
+),
+cells AS ({unpivot}),
+sided AS (
+  SELECT feature, threshold, n_left, pos_left,
+         CAST(n - n_left AS BIGINT) AS n_right,
+         CAST(pos - pos_left AS BIGINT) AS pos_right,
+         n
+  FROM cells
+)
+SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+       {sql_round_half_up(g, 6)} AS gini_split
+FROM sided
+WHERE n_left > 0 AND n_right > 0
+ORDER BY gini_split, feature, threshold
+LIMIT {_STUMP_TOPK}
+"""
+
+
+QUERIES = {
+    "text_quality_classifier": q_text_quality_classifier,
+    "text_stump_splits": q_text_stump_splits,
+}
+ORACLES = {
+    "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "text_stump_splits": _oracle_stump_splits(),
+}

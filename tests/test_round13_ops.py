@@ -432,3 +432,48 @@ def test_audio_short_clips_never_cluster(spark):
     )
     kept = audio_dedup_keep(media).collect()
     assert {r.media_id for r in kept} == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split mining
+# ---------------------------------------------------------------------------
+
+
+def test_stump_splits_are_exact_and_ranked(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.classifier import (
+        stump_split_report,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    rows = stump_split_report(docs).collect()
+    assert rows
+    n_total = rows[0].n_left + rows[0].n_right
+    ginis = [r.gini_split for r in rows]
+    assert ginis == sorted(ginis), "ranked ascending (purest first)"
+    for r in rows:
+        # counts conserve and nest
+        assert r.n_left + r.n_right == n_total
+        assert 0 <= r.pos_left <= r.n_left
+        assert 0 <= r.pos_right <= r.n_right
+        # weighted Gini of a binary label lives in [0, 0.5]
+        assert 0.0 <= r.gini_split <= 0.5
+
+
+def test_stump_splits_find_a_perfect_separator(spark):
+    # Construct a corpus where n_tokens <= 5 EXACTLY separates 'en':
+    # the top split must be that cell with gini 0.
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 4 else "de", "src0",
+          "w " * (3 if i < 4 else 50)) for i in range(8)],
+        "doc_id long, lang string, source string, text string",
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.classifier import (
+        stump_split_report,
+    )
+
+    top = stump_split_report(docs).collect()[0]
+    assert top.gini_split == 0.0
+    assert top.feature == "n_tokens"
