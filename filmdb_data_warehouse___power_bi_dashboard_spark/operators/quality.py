@@ -823,7 +823,52 @@ GROUP BY source ORDER BY source
 ORACLE_TOKEN_BUDGET = _token_budget_oracle()
 
 
+def q_corpus_token_budget_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budget selection driven by the EXACT apply-step token
+    counts (bpe.bpe_token_counts) instead of the profile's regex-token
+    proxy — the driver-attested completion of the BPE integration
+    (quality ranking still comes from the profile; only the budget
+    arithmetic changes). The oracle composes the full BPE recursive
+    CTE chain with the budget window, so one value hash attests
+    tokenizer AND selection together."""
+    from .bpe import _bpe_counts_frame
+
+    docs = read_table(spark, sf_dir, "documents")
+    tc = _bpe_counts_frame(docs).select(
+        "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    return token_budget_selection(docs, token_counts=tc)
+
+
+def _token_budget_exact_oracle() -> str:
+    from .bpe import _BPE_COUNT_CTES
+    from .text import _P_QUALITY
+
+    return f"""
+WITH RECURSIVE {_BPE_COUNT_CTES},
+prof AS (
+  SELECT d.doc_id, d.source,
+         COALESCE({_P_QUALITY}, CAST('-infinity' AS DOUBLE)) AS q,
+         CAST(COALESCE(c.n_tokens_bpe, 0) AS BIGINT) AS tok
+  FROM documents d LEFT JOIN bpecounts c ON c.doc_id = d.doc_id
+),
+tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total FROM prof),
+cum AS (
+  SELECT doc_id, source, tok,
+         CAST(COALESCE(SUM(tok) OVER (
+           ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM prof
+)
+SELECT source, COUNT(*) AS n_docs_selected, CAST(SUM(tok) AS BIGINT) AS tokens_selected
+FROM cum CROSS JOIN tot
+WHERE c < total * {_BUDGET_FRACTION}
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_token_budget_exact": q_corpus_token_budget_exact,
     "text_bm25": q_text_bm25,
     "text_repetition_profile": q_text_repetition_profile,
     "pii_scrub_summary": q_pii_scrub_summary,
@@ -834,6 +879,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_token_budget_exact": _token_budget_exact_oracle(),
     "text_bm25": ORACLE_BM25,
     "text_repetition_profile": ORACLE_REPETITION,
     "pii_scrub_summary": ORACLE_PII,
