@@ -218,6 +218,125 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(read_table(spark, sf_dir, "documents"))
 
 
+_APPLY_K2 = 8  # level-2 merges (over level-1 SYMBOL sequences)
+
+
+def bpe_token_counts_hier(
+    docs: DataFrame, k1: int = _APPLY_K, k2: int = _APPLY_K2
+) -> DataFrame:
+    """Two-LEVEL BPE: after the ``k1`` flat character merges
+    (:func:`bpe_token_counts`), re-mine the most frequent ADJACENT
+    SYMBOL pairs over the level-1 segmentations — where a symbol is
+    now possibly multi-character — and apply the top ``k2`` of them.
+    This is the genuinely hierarchical Sennrich step the flat table
+    cannot express: a level-2 merge like ``<th><e>`` → ``<the>``
+    consumes a level-1 product, so counts converge toward a real
+    subword vocabulary.
+
+    Mechanics: level-1 states are ``<sym>``-delimited strings, so
+    level-2 mining is ``regexp_extract_all(state, '<([^>]*)>')`` →
+    adjacent pairs (zip of the shifted symbol arrays), weighted by
+    corpus word frequency; a level-2 merge's pattern is the literal
+    ``'<x><y>'`` and its replacement drops the single inner ``'><'``
+    (symbols are delimiter-free by the guard, so the pattern can
+    never match across a symbol boundary, and both engines' replace
+    keeps the greedy left-to-right overlap rule). Priority order is
+    (pair_count DESC, pair-string ASC) — a unique total order on
+    ASCII states, identical bytewise on both engines.
+
+    Scale shape: everything after the corpus scan rides the
+    DISTINCT-WORD dictionary (states, symbol arrays, pair explosion
+    bounded by vocabulary × word length); both merge lists are
+    bounded driver-side model shapes; per-doc counts come from the
+    same (doc_id, word) aggregate join as the flat path.
+
+    Returns (``doc_id``, ``n_symbols``, ``n_tokens_l1``,
+    ``n_tokens_l2``, ``n_merges_l2``) ordered by doc_id, with
+    ``n_merges_l2`` = n_tokens_l1 − n_tokens_l2 ≥ 0.
+    """
+    merges1 = [
+        r["pair"]
+        for r in bpe_merge_candidates(docs, top_k=k1).select("pair").collect()
+    ]
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    dict_df = words.select("tok").distinct()
+    guard = F.col("tok").contains("<") | F.col("tok").contains(">")
+    s1 = F.regexp_replace("tok", "(.)", "<$1>")
+    for pair in merges1:
+        s1 = F.replace(s1, F.lit(f"<{pair[0]}><{pair[1]}>"), F.lit(f"<{pair}>"))
+    n_sym = F.length(F.regexp_replace("tok", "(.)", "x")).cast("long")
+    st = dict_df.select("tok", guard.alias("g"), n_sym.alias("sym"), s1.alias("s1"))
+
+    tokfreq = words.groupBy("tok").agg(F.sum("n_occ").cast("long").alias("f"))
+    sy = F.regexp_extract_all(F.col("s1"), F.lit("<([^>]*)>"), 1)
+    syms = (
+        st.where(~F.col("g"))
+        .join(tokfreq, "tok")
+        .select("f", sy.alias("sy"))
+        .where(F.size("sy") >= 2)
+    )
+    npair = F.size("sy") - 1
+    pairs2 = syms.select(
+        "f",
+        F.explode(
+            F.zip_with(
+                F.slice("sy", 1, F.greatest(npair, F.lit(0))),
+                F.slice("sy", 2, F.greatest(npair, F.lit(0))),
+                lambda a, b: F.concat(F.lit("<"), a, F.lit("><"), b, F.lit(">")),
+            )
+        ).alias("pair"),
+    )
+    merges2 = [
+        r["pair"]
+        for r in pairs2.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(k2)
+        .collect()
+    ]
+    s2 = F.col("s1")
+    for pair in merges2:
+        s2 = F.replace(s2, F.lit(pair), F.lit(pair.replace("><", "")))
+    count_tok = lambda c: (  # noqa: E731
+        F.length(c) - F.length(F.replace(c, F.lit("<"), F.lit("")))
+    ).cast("long")
+    tokenized = st.select(
+        "tok",
+        "sym",
+        F.when(F.col("g"), F.col("sym")).otherwise(count_tok(F.col("s1"))).alias(
+            "ntk1"
+        ),
+        F.when(F.col("g"), F.col("sym")).otherwise(count_tok(s2)).alias("ntk2"),
+    )
+    return (
+        words.join(tokenized, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n_occ") * F.col("sym")).cast("long").alias("n_symbols"),
+            F.sum(F.col("n_occ") * F.col("ntk1")).cast("long").alias("n_tokens_l1"),
+            F.sum(F.col("n_occ") * F.col("ntk2")).cast("long").alias("n_tokens_l2"),
+        )
+        .select(
+            "doc_id",
+            "n_symbols",
+            "n_tokens_l1",
+            "n_tokens_l2",
+            (F.col("n_tokens_l1") - F.col("n_tokens_l2")).alias("n_merges_l2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_bpe_tokenize_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_counts_hier(read_table(spark, sf_dir, "documents"))
+
+
 # Sequential merge application as a recursive CTE: state at step k is
 # the segmentation after the first k merges; step k+1 joins the rank-
 # (k+1) merge and applies ONE replace. DuckDB's replace has the same
@@ -269,7 +388,13 @@ tokenized AS (
   SELECT d.tok,
          CAST(length(regexp_replace(d.tok, '(.)', 'x', 'g')) AS BIGINT) AS sym,
          CAST(length(s.s) - length(replace(s.s, '<', '')) AS BIGINT) AS ntk
-  FROM dict d JOIN state s ON s.tok = d.tok AND s.k = {_APPLY_K}
+  -- final state is at k = |merges|, NOT the cap: a degenerate corpus
+  -- with fewer than {_APPLY_K} distinct pairs stops the recursion
+  -- early, and selecting the cap would drop every non-guard token
+  -- while the Spark side (which applies however many merges exist)
+  -- keeps them
+  FROM dict d JOIN state s
+    ON s.tok = d.tok AND s.k = (SELECT COUNT(*) FROM merges)
   UNION ALL
   SELECT tok,
          CAST(length(regexp_replace(tok, '(.)', 'x', 'g')) AS BIGINT) AS sym,
@@ -292,6 +417,56 @@ SELECT doc_id, n_symbols, n_tokens_bpe,
        CAST(n_symbols - n_tokens_bpe AS BIGINT) AS n_merges_applied
 FROM bpecounts
 ORDER BY doc_id
+"""
+
+
+# Level-2 mining + application over the level-1 states, composed onto
+# the shared fragment (same early-stop discipline: both final states
+# select at k = |merge list|, not the cap).
+ORACLE_BPE_TOKENIZE_HIER = f"""
+WITH RECURSIVE {_BPE_COUNT_CTES},
+tokfreq AS (SELECT tok, CAST(SUM(n_occ) AS BIGINT) AS f FROM words GROUP BY tok),
+syms AS (
+  SELECT s.tok, tf.f, regexp_extract_all(s.s, '<([^>]*)>', 1) AS sy
+  FROM state s JOIN tokfreq tf ON tf.tok = s.tok
+  WHERE s.k = (SELECT COUNT(*) FROM merges)
+),
+p2 AS (
+  SELECT '<' || sy[CAST(i AS INT)] || '><' || sy[CAST(i AS INT) + 1] || '>'
+           AS pair,
+         f
+  FROM syms, unnest(range(1, len(sy))) AS t(i)
+  WHERE len(sy) >= 2
+),
+cand2 AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS c FROM p2 GROUP BY pair),
+merges2 AS (
+  SELECT pair, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS INT) AS rk
+  FROM cand2 QUALIFY rk <= {_APPLY_K2}
+),
+state2 AS (
+  SELECT tok, 0 AS k, s FROM state WHERE k = (SELECT COUNT(*) FROM merges)
+  UNION ALL
+  SELECT st.tok, st.k + 1, replace(st.s, m.pair, replace(m.pair, '><', ''))
+  FROM state2 st JOIN merges2 m ON m.rk = st.k + 1
+),
+tok2 AS (
+  SELECT t.tok, t.sym, t.ntk AS ntk1,
+         COALESCE(CAST(length(s2.s) - length(replace(s2.s, '<', ''))
+                       AS BIGINT), t.ntk) AS ntk2
+  FROM tokenized t
+  LEFT JOIN (SELECT tok, s FROM state2
+             WHERE k = (SELECT COUNT(*) FROM merges2)) s2
+    ON s2.tok = t.tok
+)
+SELECT w.doc_id,
+       CAST(SUM(w.n_occ * t.sym) AS BIGINT) AS n_symbols,
+       CAST(SUM(w.n_occ * t.ntk1) AS BIGINT) AS n_tokens_l1,
+       CAST(SUM(w.n_occ * t.ntk2) AS BIGINT) AS n_tokens_l2,
+       CAST(SUM(w.n_occ * t.ntk1) - SUM(w.n_occ * t.ntk2) AS BIGINT)
+         AS n_merges_l2
+FROM words w JOIN tok2 t ON t.tok = w.tok
+GROUP BY w.doc_id
+ORDER BY w.doc_id
 """
 
 
@@ -388,10 +563,12 @@ ORDER BY lang_detected
 QUERIES = {
     "text_bpe_merge_candidates": q_text_bpe_merge_candidates,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_tokenize_hier": q_text_bpe_tokenize_hier,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
 }
 ORACLES = {
     "text_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "text_bpe_tokenize": ORACLE_BPE_TOKENIZE,
+    "text_bpe_tokenize_hier": ORACLE_BPE_TOKENIZE_HIER,
     "text_tokenizer_fertility": _oracle_tokenizer_fertility(),
 }

@@ -477,3 +477,45 @@ def test_stump_splits_find_a_perfect_separator(spark):
     top = stump_split_report(docs).collect()[0]
     assert top.gini_split == 0.0
     assert top.feature == "n_tokens"
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical BPE (level-2 merges over level-1 symbols)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_hier_merges_level1_products(spark):
+    """Corpus 'abab abab': level 1 mines 'ab' and segments each word
+    as <ab><ab>; level 2 must mine the SYMBOL pair <ab><ab> — a merge
+    the flat character-pair table cannot express — and collapse each
+    word to one token."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts_hier,
+    )
+
+    r = bpe_token_counts_hier(_docs(spark, ["abab abab"])).collect()[0]
+    assert r.n_symbols == 8
+    assert r.n_tokens_l1 == 4  # two words x <ab><ab>
+    assert r.n_tokens_l2 == 2  # two words x <abab>
+    assert r.n_merges_l2 == 2
+
+
+def test_bpe_hier_is_monotone_on_fixture(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_token_counts_hier,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    hier = {r.doc_id: r for r in bpe_token_counts_hier(docs).collect()}
+    flat = {r.doc_id: r for r in bpe_token_counts(docs).collect()}
+    assert set(hier) == set(flat)
+    assert any(h.n_merges_l2 > 0 for h in hier.values()), (
+        "level 2 must apply at least one merge on the fixture"
+    )
+    for d, h in hier.items():
+        assert h.n_tokens_l1 == flat[d].n_tokens_bpe  # level 1 identical
+        assert 0 < h.n_tokens_l2 <= h.n_tokens_l1 <= h.n_symbols
