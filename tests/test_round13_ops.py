@@ -519,3 +519,45 @@ def test_bpe_hier_is_monotone_on_fixture(spark, sf_small):
     for d, h in hier.items():
         assert h.n_tokens_l1 == flat[d].n_tokens_bpe  # level 1 identical
         assert 0 < h.n_tokens_l2 <= h.n_tokens_l1 <= h.n_symbols
+
+
+def test_bpe_oracle_survives_degenerate_pair_count(spark):
+    """Regression for the round-13 early-stop fix: a corpus with FEWER
+    than _APPLY_K distinct pairs stops the oracle's recursive apply
+    early — selecting the final state at the CAP (k=16) instead of at
+    |merges| dropped every non-guard token and silently emptied the
+    oracle while Spark returned rows."""
+    import duckdb
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        ORACLE_BPE_TOKENIZE,
+        ORACLE_BPE_TOKENIZE_HIER,
+        bpe_token_counts,
+        bpe_token_counts_hier,
+    )
+
+    from .oracle_harness import compare
+
+    texts = ["aaa aaa ab", "ab b aaa"]  # 3 distinct pairs: aa, ab (no others)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, 'src0', '{t}', 'en', {len(t)})" for i, t in enumerate(texts)
+        )
+        + ") t(doc_id, source, text, lang, n_chars)"
+    )
+    docs = spark.createDataFrame(
+        [(i, "src0", t, "en", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.functions.scalar import (
+        decimals_to_double,
+    )
+
+    ok, msg = compare(decimals_to_double(bpe_token_counts(docs)), con, ORACLE_BPE_TOKENIZE)
+    assert ok, msg
+    ok, msg = compare(
+        decimals_to_double(bpe_token_counts_hier(docs)), con, ORACLE_BPE_TOKENIZE_HIER
+    )
+    assert ok, msg
