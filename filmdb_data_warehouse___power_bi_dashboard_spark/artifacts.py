@@ -103,10 +103,17 @@ def artifact_builders(
     }
 
 
-def artifact_first_touch(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def artifact_first_touch(
+    spark: SparkSession, sf_dir: str, errors: dict[str, str] | None = None
+) -> dict[str, float]:
     """Load-or-build every corpus-versioned artifact THROUGH the store
     (the production path ``runtime.corpus_artifact``) and fully read
-    each one once, returning {name: sec}.
+    each one once, returning {name: sec}. A failed accessor records the
+    sentinel -1.0 AND, when the caller passes an ``errors`` dict, the
+    exception type+message under the same name — a broken store path
+    must be visible in the bench artifact, not silently folded back
+    into the first consuming timed query (the exact contamination this
+    pass exists to remove).
 
     Round-13 fix for the ann_topk_ivf_shuffle bench anomaly: the
     corpus loop's numbers are warm-plan costs by design, but artifact
@@ -196,8 +203,10 @@ def artifact_first_touch(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             t0 = time.perf_counter()
             touch()
             out[name] = round(time.perf_counter() - t0, 3)
-        except Exception:  # pragma: no cover - diagnostic path
+        except Exception as exc:  # pragma: no cover - diagnostic path
             out[name] = -1.0
+            if errors is not None:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     return out
 
 

@@ -138,7 +138,13 @@ def bpe_token_counts(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
     Words containing literal ``<`` or ``>`` are counted per-char and
     skip merging (deterministic guard on both engines; a mined pair
     containing a delimiter is a no-op on guarded-out words by the
-    same argument).
+    same argument). The symbol wrap uses ``([\\s\\S])`` — a TOTAL
+    character class in both Java and RE2 dialects — not ``(.)``:
+    Java's ``.`` excludes \\r/\\u0085/\\u2028/\\u2029 while RE2's
+    excludes only \\n, so a ``.``-based wrap left line terminators
+    inside a word unwrapped on Spark but wrapped on the DuckDB
+    oracle (latent cross-engine divergence, round-13 advisor
+    finding), and made n_symbols' stated contract inaccurate.
 
     Scale shape (the Zipf trick twice): the ``k_merges`` nested
     replaces run over the DISTINCT-WORD dictionary (vocabulary-sized,
@@ -151,10 +157,10 @@ def bpe_token_counts(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
 
     Returns (``doc_id``, ``n_symbols``, ``n_tokens_bpe``,
     ``n_merges_applied``) ordered by doc_id: ``n_symbols`` is the
-    pre-merge symbol count (characters of whitespace-split words; a
-    regex-''.''-invisible character, e.g. a newline inside a word,
-    is not a symbol on either engine), ``n_merges_applied`` =
-    n_symbols − n_tokens_bpe.
+    pre-merge symbol count — EVERY character of a whitespace-split
+    word is a symbol, so n_symbols is exactly the summed code-point
+    length of the words — and ``n_merges_applied`` =
+    n_symbols − n_tokens_bpe counts true merges.
     """
     return (
         _bpe_counts_frame(docs, k_merges)
@@ -188,13 +194,13 @@ def _bpe_counts_frame(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
     )
     dict_df = words.select("tok").distinct()
     guard = F.col("tok").contains("<") | F.col("tok").contains(">")
-    state = F.regexp_replace("tok", "(.)", "<$1>")
+    state = F.regexp_replace("tok", r"([\s\S])", "<$1>")
     for pair in merges:
         x, y = pair[0], pair[1]
         state = F.replace(state, F.lit(f"<{x}><{y}>"), F.lit(f"<{pair}>"))
-    n_sym = (
-        F.length(F.regexp_replace("tok", "(.)", "x")).cast("long")
-    )
+    # Every character is a symbol (total wrap above), so the pre-merge
+    # symbol count is just the code-point length.
+    n_sym = F.length("tok").cast("long")
     n_tok = (
         F.length(state) - F.length(F.replace(state, F.lit("<"), F.lit("")))
     ).cast("long")
@@ -267,10 +273,10 @@ def bpe_token_counts_hier(
     )
     dict_df = words.select("tok").distinct()
     guard = F.col("tok").contains("<") | F.col("tok").contains(">")
-    s1 = F.regexp_replace("tok", "(.)", "<$1>")
+    s1 = F.regexp_replace("tok", r"([\s\S])", "<$1>")
     for pair in merges1:
         s1 = F.replace(s1, F.lit(f"<{pair[0]}><{pair[1]}>"), F.lit(f"<{pair}>"))
-    n_sym = F.length(F.regexp_replace("tok", "(.)", "x")).cast("long")
+    n_sym = F.length("tok").cast("long")
     st = dict_df.select("tok", guard.alias("g"), n_sym.alias("sym"), s1.alias("s1"))
 
     tokfreq = words.groupBy("tok").agg(F.sum("n_occ").cast("long").alias("f"))
@@ -375,7 +381,10 @@ dict AS (
   WHERE NOT (tok LIKE '%<%' OR tok LIKE '%>%')
 ),
 state AS (
-  SELECT tok, 0 AS k, regexp_replace(tok, '(.)', '<\\1>', 'g') AS s
+  -- ([\\s\\S]) not (.): total char class in BOTH Java and RE2, so the
+  -- Spark wrap and this oracle wrap the same characters (Java '.'
+  -- excludes \\r and U+2028/29; RE2 '.' excludes only \\n)
+  SELECT tok, 0 AS k, regexp_replace(tok, '([\\s\\S])', '<\\1>', 'g') AS s
   FROM dict
   UNION ALL
   SELECT st.tok, st.k + 1,
@@ -386,7 +395,7 @@ state AS (
 ),
 tokenized AS (
   SELECT d.tok,
-         CAST(length(regexp_replace(d.tok, '(.)', 'x', 'g')) AS BIGINT) AS sym,
+         CAST(length(d.tok) AS BIGINT) AS sym,
          CAST(length(s.s) - length(replace(s.s, '<', '')) AS BIGINT) AS ntk
   -- final state is at k = |merges|, NOT the cap: a degenerate corpus
   -- with fewer than {_APPLY_K} distinct pairs stops the recursion
@@ -397,8 +406,8 @@ tokenized AS (
     ON s.tok = d.tok AND s.k = (SELECT COUNT(*) FROM merges)
   UNION ALL
   SELECT tok,
-         CAST(length(regexp_replace(tok, '(.)', 'x', 'g')) AS BIGINT) AS sym,
-         CAST(length(regexp_replace(tok, '(.)', 'x', 'g')) AS BIGINT) AS ntk
+         CAST(length(tok) AS BIGINT) AS sym,
+         CAST(length(tok) AS BIGINT) AS ntk
   FROM (SELECT DISTINCT tok FROM words
         WHERE tok LIKE '%<%' OR tok LIKE '%>%') g
 ),

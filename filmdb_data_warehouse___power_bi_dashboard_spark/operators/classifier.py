@@ -215,7 +215,15 @@ def stump_split_report(docs: DataFrame) -> DataFrame:
         F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
         .cast("long")
         .alias("n_stopwords"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+        # Explicit whitespace class, NOT \s: Java's \s includes \x0B
+        # (vertical tab) while DuckDB's RE2 \s does not — spelling the
+        # same five chars on both engines removes the latent divergence
+        # (round-13 advisor finding).
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"), 0
+            )
+        )
         .cast("long")
         .alias("n_punct"),
     )
@@ -329,8 +337,10 @@ WITH feats AS (
          CAST(len(list_filter(string_split(text, ' '),
                               w -> list_contains([{stop_arr}], w))) AS BIGINT)
            AS n_stopwords,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)
-           AS n_punct
+         -- explicit whitespace class, matching the Spark side (Java \\s
+         -- includes \\x0B, RE2 \\s does not)
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))
+              AS BIGINT) AS n_punct
   FROM documents WHERE text IS NOT NULL
 ),
 one AS (
