@@ -412,6 +412,145 @@ ORDER BY train_doc, test_doc
 
 
 # ---------------------------------------------------------------------------
+# Containment decontamination — embedded-snippet detection
+# ---------------------------------------------------------------------------
+
+_CONTAIN_W = 40  # window width in chars (same as duplicated_spans)
+_CONTAIN_T = 0.7  # containment threshold
+
+
+def containment_decontamination_pairs(
+    docs: DataFrame,
+    test_pred,
+    width: int = _CONTAIN_W,
+    threshold: float = _CONTAIN_T,
+) -> DataFrame:
+    """Train docs that CONTAIN a holdout snippet — the leak Jaccard
+    decontamination structurally misses: a short eval string embedded
+    verbatim inside a long train document has tiny symmetric Jaccard
+    (|∩| / |∪| is diluted by the train doc's size) but containment
+    ``|H_test ∩ H_train| / |H_test|`` = 1.0. This is the exact-
+    substring decontamination of Lee et al. 2022 (Deduplicating
+    Training Data Makes Language Models Better) re-expressed
+    Spark-first: instead of a suffix array, both sides get stride-1
+    ``width``-char window hashes in the scan projection
+    (segments.window_hashes — the duplicated-span primitive), and a
+    matched window IS a shared ``width``-char substring.
+
+    Execution shape (the decontamination posting-split discipline):
+    the DISTINCT (doc_id, h) window sets group by ``h`` and split into
+    (train, test) sublists in one aggregation pass; only hashes
+    present on BOTH sides expand, and only the train×test cross
+    product — train×train never materializes, so cost is
+    Σ df_train·df_test per shared window with df_test bounded by the
+    holdout (always small). At 100 TB the holdout-side distinct hash
+    set is broadcastable / bloom-filterable scan-side exactly like
+    dedup_decontamination_bloom's prefilter; AQE picks the broadcast
+    here since the test side is tiny.
+
+    Returns one row per contaminated (train_doc, test_doc) pair with
+    ``containment`` = matched distinct test windows / total distinct
+    test windows, ≥ ``threshold``. Test docs shorter than ``width``
+    have no windows and cannot be flagged — at the production width
+    of 40 chars such a snippet carries too little signal to act on
+    (the same floor as duplicated_spans).
+    """
+    from .segments import window_hashes
+
+    sets = (
+        window_hashes(
+            docs.withColumn("__is_test", test_pred), width, ("__is_test",)
+        )
+        .select("doc_id", "__is_test", "h")
+        .distinct()
+    )
+    te_sz = (
+        sets.where(F.col("__is_test"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz_te"))
+    )
+    grouped = (
+        sets.groupBy("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(~F.col("__is_test"), F.col("doc_id")))
+            ).alias("tr"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__is_test"), F.col("doc_id")))
+            ).alias("te"),
+        )
+        .filter((F.size("tr") >= 1) & (F.size("te") >= 1))
+    )
+    inter = (
+        grouped.select(F.explode("te").alias("test_doc"), "tr")
+        .select("test_doc", F.explode("tr").alias("train_doc"))
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    cont = round_half_up(
+        F.col("inter").cast("double") / F.col("sz_te").cast("double"), 6
+    )
+    return (
+        inter.join(te_sz.withColumnRenamed("doc_id", "test_doc"), "test_doc")
+        .select("train_doc", "test_doc", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("train_doc", "test_doc")
+    )
+
+
+def q_dedup_decontamination_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment decontamination against the same src0/src1 holdout
+    as dedup_decontamination — the pair completes the decon family:
+    symmetric Jaccard for whole-doc leaks, asymmetric containment for
+    embedded snippets (tests plant an injected snippet the Jaccard
+    path provably misses and this path finds)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_decontamination_pairs(
+        docs, F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+
+
+def _oracle_decon_containment() -> str:
+    # Lazy: sql_h60 is defined further down the module; the ORACLES
+    # dict at the bottom calls this after everything is bound.
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_CONTAIN_W}
+    AND source IS NOT NULL
+),
+win AS (
+  SELECT doc_id, source, unnest(generate_series(0, n - {_CONTAIN_W})) AS pos,
+         text
+  FROM d
+),
+hashed AS (
+  SELECT DISTINCT doc_id, source,
+         {sql_h60(f"substring(text, CAST(pos AS INT) + 1, {_CONTAIN_W})")} AS h
+  FROM win
+),
+te AS (SELECT doc_id, h FROM hashed WHERE source IN ({_SQL_TEST_SOURCES})),
+tr AS (SELECT doc_id, h FROM hashed WHERE source NOT IN ({_SQL_TEST_SOURCES})),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz_te FROM te GROUP BY doc_id),
+inter AS (
+  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM tr JOIN te USING (h)
+  GROUP BY 1, 2
+)
+SELECT train_doc, test_doc,
+       {sql_round_half_up("CAST(i AS DOUBLE) / CAST(sz_te AS DOUBLE)", 6)}
+         AS containment
+FROM inter JOIN sz ON sz.doc_id = inter.test_doc
+WHERE {sql_round_half_up("CAST(i AS DOUBLE) / CAST(sz_te AS DOUBLE)", 6)}
+        >= {_CONTAIN_T}
+ORDER BY train_doc, test_doc
+"""  # noqa: E501
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination — the same answer, with the train
 # side pruned BEFORE the shuffle. At 100 TB the decontamination
 # bottleneck is shuffling every train shingle to its (block, shingle)
@@ -2278,6 +2417,7 @@ QUERIES = {
     "dedup_tfidf_pairs": q_dedup_tfidf_pairs,
     "dedup_decontamination": q_dedup_decontamination,
     "dedup_decontamination_bloom": q_dedup_decontamination_bloom,
+    "dedup_decontamination_containment": q_dedup_decontamination_containment,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_minhash_quality": q_dedup_minhash_quality,
@@ -2310,6 +2450,7 @@ ORACLES = {
     "dedup_tfidf_pairs": ORACLE_TFIDF_PAIRS,
     "dedup_decontamination": ORACLE_DECONTAMINATION,
     "dedup_decontamination_bloom": ORACLE_DECONTAMINATION,
+    "dedup_decontamination_containment": _oracle_decon_containment(),
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

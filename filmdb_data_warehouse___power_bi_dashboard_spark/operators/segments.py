@@ -163,6 +163,28 @@ ORDER BY doc_id
 _SPAN_W = 40  # window width in characters
 
 
+def window_hashes(docs: DataFrame, width: int, extra_cols: tuple = ()) -> DataFrame:
+    """Stride-1 ``width``-char window hashes computed IN THE SCAN
+    PROJECTION — (doc_id, *extra_cols, pos, h): the shared
+    substring-level primitive of duplicated-span detection and
+    containment decontamination (round-14). Text never leaves the
+    scan; only (doc_id, pos, 60-bit hash) triples flow downstream,
+    so every consumer inherits the no-text-shuffle property."""
+    d = _spread(docs).where(
+        F.col("text").isNotNull() & (F.length("text") >= width)
+    )
+    win_arr = F.transform(
+        F.sequence(F.lit(0), F.length("text") - width),
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),
+            h60(F.col("text").substr(p + F.lit(1), F.lit(width))).alias("h"),
+        ),
+    )
+    return d.select("doc_id", *extra_cols, F.explode(win_arr).alias("w")).select(
+        "doc_id", *extra_cols, F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+
+
 def duplicated_spans(
     docs: DataFrame, width: int = _SPAN_W, min_docs: int = 2
 ) -> DataFrame:
@@ -188,19 +210,7 @@ def duplicated_spans(
     class as shingling; a 60-bit collision conflates windows
     identically on both engines (defined semantics, ~2^-60/pair).
     """
-    d = _spread(docs).where(
-        F.col("text").isNotNull() & (F.length("text") >= width)
-    )
-    win_arr = F.transform(
-        F.sequence(F.lit(0), F.length("text") - width),
-        lambda p: F.struct(
-            p.cast("int").alias("pos"),
-            h60(F.col("text").substr(p + F.lit(1), F.lit(width))).alias("h"),
-        ),
-    )
-    hashed = d.select("doc_id", F.explode(win_arr).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
-    )
+    hashed = window_hashes(docs, width)
     dup = (
         hashed.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__df"))
