@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import round_half_up
+from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.catalog import read_table
 
 _TOP_K = 40
@@ -479,6 +479,214 @@ ORDER BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# K-level BPE: the hierarchical miner generalized to a fixed-depth
+# trainer (round-14, generalizing the round-13 level-2 step)
+# ---------------------------------------------------------------------------
+
+# Merge-list sizes per level: level 1 mines character pairs (the flat
+# table), levels 2..K re-mine adjacent SYMBOL pairs over the previous
+# level's segmentations. Each list is a bounded driver-side model
+# shape, exactly like the IVF centroids.
+_KLEVEL_KS = (_APPLY_K, _APPLY_K2, _APPLY_K2)
+
+
+def bpe_level_convergence(docs: DataFrame, ks: tuple = _KLEVEL_KS) -> DataFrame:
+    """K-LEVEL BPE trainer convergence: apply ``ks[0]`` flat character
+    merges, then for each further level re-mine the most frequent
+    adjacent SYMBOL pairs over the current segmentations and apply the
+    top ``ks[l]`` of them — the loop the round-13 level-2 miner
+    (:func:`bpe_token_counts_hier`) was one iteration of. Reported per
+    level: the corpus-total token count and tokens-per-word, so the
+    output IS the convergence curve (monotone non-increasing by
+    construction: every merge strictly removes one ``><`` boundary
+    per application and nothing else changes the token count).
+
+    Level 0 is the pre-merge symbol count (= summed word lengths).
+
+    Scale shape: everything after the one corpus scan rides the
+    DISTINCT-WORD dictionary (Zipf-bounded); each level costs one
+    vocabulary-sized mining aggregate whose top-k collects to the
+    driver as a bounded merge list, and the application is nested
+    literal ``replace`` — whole-stage codegen, no UDF. K-1 driver
+    round-trips of k rows each, independent of corpus size.
+
+    Returns (``level``, ``n_tokens``, ``tokens_per_word``) ordered by
+    level — K+1 rows total.
+    """
+    merges1 = [
+        r["pair"]
+        for r in bpe_merge_candidates(docs, top_k=ks[0]).select("pair").collect()
+    ]
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+    )
+    tokfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    guard = F.col("tok").contains("<") | F.col("tok").contains(">")
+    s1 = F.regexp_replace("tok", r"([\s\S])", "<$1>")
+    for pair in merges1:
+        s1 = F.replace(s1, F.lit(f"<{pair[0]}><{pair[1]}>"), F.lit(f"<{pair}>"))
+    # Materialized per-word frame the level loop mines and extends:
+    # one state column per level, all vocabulary-sized.
+    stf = tokfreq.select(
+        "tok", "f", guard.alias("g"), F.length("tok").cast("long").alias("sym"),
+        s1.alias("s1"),
+    )
+    cur = "s1"
+    for li, k in enumerate(ks[1:], start=2):
+        sy = F.regexp_extract_all(F.col(cur), F.lit("<([^>]*)>"), 1)
+        npair = F.size("sy") - 1
+        pairs = (
+            stf.where(~F.col("g"))
+            .select("f", sy.alias("sy"))
+            .where(F.size("sy") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.zip_with(
+                        F.slice("sy", 1, F.greatest(npair, F.lit(0))),
+                        F.slice("sy", 2, F.greatest(npair, F.lit(0))),
+                        lambda a, b: F.concat(
+                            F.lit("<"), a, F.lit("><"), b, F.lit(">")
+                        ),
+                    )
+                ).alias("pair"),
+            )
+        )
+        merges_l = [
+            r["pair"]
+            for r in pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(k)
+            .collect()
+        ]
+        s_next = F.col(cur)
+        for pair in merges_l:
+            s_next = F.replace(s_next, F.lit(pair), F.lit(pair.replace("><", "")))
+        stf = stf.withColumn(f"s{li}", s_next)
+        cur = f"s{li}"
+
+    count_tok = lambda c: (  # noqa: E731
+        F.length(c) - F.length(F.replace(c, F.lit("<"), F.lit("")))
+    ).cast("long")
+    aggs = [
+        F.sum("f").cast("long").alias("nw"),
+        F.sum(F.col("f") * F.col("sym")).cast("long").alias("t0"),
+    ]
+    for li in range(1, len(ks) + 1):
+        ntk = F.when(F.col("g"), F.col("sym")).otherwise(count_tok(F.col(f"s{li}")))
+        aggs.append(F.sum(F.col("f") * ntk).cast("long").alias(f"t{li}"))
+    one = stf.agg(*aggs)
+    stack_items = ", ".join(
+        f"CAST({li} AS BIGINT), t{li}" for li in range(0, len(ks) + 1)
+    )
+    return (
+        one.select(
+            "nw",
+            F.expr(
+                f"stack({len(ks) + 1}, {stack_items}) AS (level, n_tokens)"
+            ),
+        )
+        .select(
+            "level",
+            "n_tokens",
+            round_half_up(
+                F.col("n_tokens").cast("double") / F.col("nw").cast("double"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("level")
+    )
+
+
+def q_text_bpe_klevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_level_convergence(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe_klevel(ks: tuple = _KLEVEL_KS) -> str:
+    """K-level oracle generated by the same loop the Spark side runs:
+    for each level past 1 emit (syms, pairs, cand, merges, state)
+    CTEs mirroring the hier oracle's level-2 block, then unpivot the
+    per-level corpus totals. Level 1 rides the shared fragment
+    (`state`/`merges`/`tokenized`)."""
+    parts = [f"WITH RECURSIVE {_BPE_COUNT_CTES},"]
+    parts.append(
+        "tokfreq AS (SELECT tok, CAST(SUM(n_occ) AS BIGINT) AS f"
+        " FROM words GROUP BY tok)"
+    )
+    prev_state, prev_merges = "state", "merges"
+    for li, k in enumerate(ks[1:], start=2):
+        parts.append(f""",
+syms{li} AS (
+  SELECT s.tok, tf.f, regexp_extract_all(s.s, '<([^>]*)>', 1) AS sy
+  FROM {prev_state} s JOIN tokfreq tf ON tf.tok = s.tok
+  WHERE s.k = (SELECT COUNT(*) FROM {prev_merges})
+),
+p{li} AS (
+  SELECT '<' || sy[CAST(i AS INT)] || '><' || sy[CAST(i AS INT) + 1] || '>'
+           AS pair,
+         f
+  FROM syms{li}, unnest(range(1, len(sy))) AS t(i)
+  WHERE len(sy) >= 2
+),
+cand{li} AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS c FROM p{li} GROUP BY pair),
+merges{li} AS (
+  SELECT pair, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS INT) AS rk
+  FROM cand{li} QUALIFY rk <= {k}
+),
+state{li} AS (
+  SELECT tok, 0 AS k, s FROM {prev_state}
+  WHERE k = (SELECT COUNT(*) FROM {prev_merges})
+  UNION ALL
+  SELECT st.tok, st.k + 1, replace(st.s, m.pair, replace(m.pair, '><', ''))
+  FROM state{li} st JOIN merges{li} m ON m.rk = st.k + 1
+)""")
+        prev_state, prev_merges = f"state{li}", f"merges{li}"
+    # Per-word count at each level: guarded words (absent from every
+    # state) fall back level-by-level to the previous level's count,
+    # bottoming out at tokenized.ntk (= sym for the guarded branch).
+    ntk_selects = ["t.ntk AS ntk1"]
+    joins = []
+    prev_col = "t.ntk"
+    for li in range(2, len(ks) + 1):
+        joins.append(
+            f"LEFT JOIN (SELECT tok, CAST(length(s) - length(replace(s, '<', ''))"
+            f" AS BIGINT) AS ntk FROM state{li}"
+            f" WHERE k = (SELECT COUNT(*) FROM merges{li})) c{li}"
+            f" ON c{li}.tok = t.tok"
+        )
+        ntk_selects.append(f"COALESCE(c{li}.ntk, {prev_col}) AS ntk{li}")
+        prev_col = f"COALESCE(c{li}.ntk, {prev_col})"
+    tot_cols = ", ".join(
+        [
+            "CAST(SUM(tf.f) AS BIGINT) AS nw",
+            "CAST(SUM(tf.f * k.sym) AS BIGINT) AS t0",
+        ]
+        + [
+            f"CAST(SUM(tf.f * k.ntk{li}) AS BIGINT) AS t{li}"
+            for li in range(1, len(ks) + 1)
+        ]
+    )
+    parts.append(f""",
+klevels AS (
+  SELECT t.tok, t.sym, {", ".join(ntk_selects)}
+  FROM tokenized t
+  {" ".join(joins)}
+),
+tot AS (SELECT {tot_cols} FROM klevels k JOIN tokfreq tf ON tf.tok = k.tok)
+""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({li} AS BIGINT) AS level, t{li} AS n_tokens,"
+        f" {sql_round_half_up(f'CAST(t{li} AS DOUBLE) / CAST(nw AS DOUBLE)', 6)}"
+        f" AS tokens_per_word FROM tot"
+        for li in range(0, len(ks) + 1)
+    )
+    parts.append(unions + "\nORDER BY level")
+    return "\n".join(parts)
+
+
 def tokenizer_fertility(docs: DataFrame, k_merges: int = _APPLY_K) -> DataFrame:
     """Tokenizer fertility by detected language — the tokenizer-equity
     metric every multilingual pretraining plan reports (tokens per
@@ -573,11 +781,13 @@ QUERIES = {
     "text_bpe_merge_candidates": q_text_bpe_merge_candidates,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "text_bpe_tokenize_hier": q_text_bpe_tokenize_hier,
+    "text_bpe_klevel": q_text_bpe_klevel,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
 }
 ORACLES = {
     "text_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "text_bpe_tokenize": ORACLE_BPE_TOKENIZE,
     "text_bpe_tokenize_hier": ORACLE_BPE_TOKENIZE_HIER,
+    "text_bpe_klevel": _oracle_bpe_klevel(),
     "text_tokenizer_fertility": _oracle_tokenizer_fertility(),
 }

@@ -168,6 +168,49 @@ def test_containment_decon_finds_embedded_snippet(injected_docs):
     assert not any(tr in (2, 3, 4) for tr, _ in pairs)
 
 
+# ---------------------------------------------------------------------------
+# 3. K-level BPE: per-level convergence is monotone non-increasing and
+#    consistent with the flat / two-level entries it generalizes.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_klevel_monotone_and_consistent(spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        bpe_level_convergence,
+        bpe_token_counts,
+        bpe_token_counts_hier,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    curve = {r["level"]: r["n_tokens"] for r in bpe_level_convergence(docs).collect()}
+    assert sorted(curve) == [0, 1, 2, 3]
+    for lv in (1, 2, 3):
+        assert curve[lv] <= curve[lv - 1], curve
+    # level 0/1 must equal the flat apply entry's corpus totals, and
+    # level 2 the two-level entry's — the K-level trainer IS those
+    # operators at depth 1 and 2.
+    flat = bpe_token_counts(docs).agg(
+        F.sum("n_symbols").alias("s"), F.sum("n_tokens_bpe").alias("t")
+    ).collect()[0]
+    assert curve[0] == flat["s"] and curve[1] == flat["t"]
+    hier = bpe_token_counts_hier(docs).agg(F.sum("n_tokens_l2").alias("t")).collect()[0]
+    assert curve[2] == hier["t"]
+
+
+def test_bpe_klevel_parity_on_divergence_corpus(divergence_docs):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.bpe import (
+        _oracle_bpe_klevel,
+        bpe_level_convergence,
+    )
+
+    sdf, con = divergence_docs
+    ok, msg = compare(bpe_level_convergence(sdf), con, _oracle_bpe_klevel())
+    assert ok, msg
+
+
 def test_containment_decon_oracle_parity_on_planted_corpus(injected_docs):
     sdf, con = injected_docs
     ok, msg = compare(
