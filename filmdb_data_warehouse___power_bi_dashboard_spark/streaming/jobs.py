@@ -1714,7 +1714,133 @@ def _oracle_stream_cms() -> str:
     return _oracle_cms()
 
 
+def stream_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """Continuous crawl decontamination — the streaming twin of
+    dedup_decontamination_containment (round-14): train documents
+    arrive as micro-batches and are probed against a STATIC holdout
+    window-hash index, the production shape where incoming crawl data
+    is screened against evaluation benchmarks BEFORE it enters the
+    corpus, instead of decontaminating after the fact.
+
+    The holdout index — DISTINCT (test_doc, 60-bit window hash) plus
+    per-doc window counts — is built once; benchmarks are small, so at
+    any real scale it is broadcast-sized and the per-batch probe is a
+    broadcast join against each batch's own window hashes: cost is
+    bounded by the batch, the index never grows, and there is no
+    corpus self-join anywhere.
+
+    Every train document's windows land wholly inside its own batch
+    and the holdout is static, so the flagged pair SET equals the
+    batch operator's exactly — the streaming job is attested by the
+    SAME value hash / oracle as dedup_decontamination_containment.
+    Idempotent under at-least-once redelivery: re-processing a batch
+    re-derives the identical pairs and the final read deduplicates on
+    (train_doc, test_doc).
+    """
+    from ..functions.scalar import round_half_up
+    from ..operators.dedup import _CONTAIN_T, _CONTAIN_W, _DECON_TEST_SOURCES
+    from ..operators.segments import window_hashes
+    from ..sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_test = F.col("source").isin(*_DECON_TEST_SOURCES)
+    te = (
+        window_hashes(docs.where(is_test), _CONTAIN_W)
+        .select(F.col("doc_id").alias("test_doc"), "h")
+        .distinct()
+        .persist()
+    )
+    te_sz = te.groupBy("test_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("sz_te")
+    )
+    # NULL-source docs sit on neither side (matching the batch twin,
+    # where a NULL is_test drops out of both posting sublists).
+    train = docs.where(~is_test)
+    staged = tempfile.mkdtemp(prefix="deconstream-")
+    work = tempfile.mkdtemp(prefix="decon-stream-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    pairs_path = os.path.join(work, "pairs")
+    try:
+        for b in range(n_slices):
+            train.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(staged)
+
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(staged)
+        )
+
+        def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            b = (
+                window_hashes(batch_df, _CONTAIN_W)
+                .select(F.col("doc_id").alias("train_doc"), "h")
+                .distinct()
+            )
+            inter = (
+                b.join(te, "h")
+                .groupBy("train_doc", "test_doc")
+                .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+            )
+            cont = round_half_up(
+                F.col("inter").cast("double") / F.col("sz_te").cast("double"), 6
+            )
+            (
+                inter.join(te_sz, "test_doc")
+                .select("train_doc", "test_doc", cont.alias("containment"))
+                .filter(F.col("containment") >= _CONTAIN_T)
+                .write.mode("append")
+                .parquet(pairs_path)
+            )
+
+        name = f"stream_decon_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        if not os.path.exists(pairs_path):
+            return spark.createDataFrame(
+                [], "train_doc long, test_doc long, containment double"
+            )
+        return (
+            spark.read.parquet(pairs_path)
+            .dropDuplicates(["train_doc", "test_doc"])
+            .localCheckpoint(eager=True)
+            .orderBy("train_doc", "test_doc")
+        )
+    finally:
+        te.unpersist()
+        for d in (staged, work, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def q_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_decontamination(spark, sf_dir)
+
+
+def _oracle_stream_decon() -> str:
+    # The streaming pair set equals the batch operator's by
+    # construction (static holdout, per-batch-complete train windows),
+    # so the oracle IS the batch containment oracle.
+    from ..operators.dedup import _oracle_decon_containment
+
+    return _oracle_decon_containment()
+
+
 QUERIES = {
+    "stream_decontamination": q_stream_decontamination,
     "stream_cms_user_counts": q_stream_cms_user_counts,
     "stream_hll_daily_users": q_stream_hll_daily_users,
     "stream_media_dedup": q_stream_media_dedup,
@@ -1732,6 +1858,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_decontamination": _oracle_stream_decon(),
     "stream_cms_user_counts": _oracle_stream_cms(),
     "stream_hll_daily_users": _oracle_stream_hll(),
     "stream_media_dedup": _oracle_stream_media(),

@@ -221,3 +221,25 @@ def test_containment_decon_oracle_parity_on_planted_corpus(injected_docs):
         _oracle_decon_containment(),
     )
     assert ok, msg
+
+
+def test_stream_decontamination_equals_batch(spark, sf_small):
+    """The streaming job's flagged pair set equals the batch
+    operator's bit-for-bit (static holdout + per-batch-complete train
+    windows make this exact, not approximate)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import registry
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        stream_decontamination,
+    )
+
+    streamed = {
+        (r["train_doc"], r["test_doc"]): r["containment"]
+        for r in stream_decontamination(spark, sf_small).collect()
+    }
+    batch = {
+        (r["train_doc"], r["test_doc"]): r["containment"]
+        for r in registry()["dedup_decontamination_containment"](
+            spark, sf_small
+        ).collect()
+    }
+    assert streamed == batch
