@@ -550,6 +550,121 @@ ORDER BY train_doc, test_doc
 """  # noqa: E501
 
 
+def decontamination_scrub(
+    docs: DataFrame, test_pred, width: int = _CONTAIN_W
+) -> DataFrame:
+    """The ACT step of containment decontamination (detect→act, like
+    the image/audio dedup keep arcs): every maximal train-side span in
+    which each character is covered by some ``width``-char window that
+    matches a holdout window is cut out and the document reassembled —
+    Lee et al.'s exact-substring
+    removal applied cross-set, so benchmark text is excised from
+    training documents instead of dropping whole docs (the
+    containment PAIR entry is the audit view; this is the rewrite).
+
+    No containment threshold here, deliberately: ANY verbatim
+    ``width``-char overlap with a benchmark is leakage worth cutting,
+    independent of how much of the benchmark leaked. Composition:
+    holdout-side DISTINCT window hashes (bounded, broadcastable) →
+    train windows semi-join → gaps-and-islands span merge
+    (segments.windows_to_spans) → the shared span-removal rewrite
+    (segments.remove_duplicated_spans). Only (doc_id, pos, hash)
+    triples shuffle before the final piece-reassembly join, the same
+    cost class as any rewrite pass.
+
+    Returns (doc_id, n_spans, removed_chars, cleaned_text) for every
+    TRAIN document (untouched docs pass through with n_spans = 0).
+    """
+    from .segments import remove_duplicated_spans, window_hashes, windows_to_spans
+
+    d = docs.withColumn("__is_test", test_pred)
+    te_h = (
+        window_hashes(d.where(F.col("__is_test")), width).select("h").distinct()
+    )
+    train = d.where(~F.col("__is_test")).drop("__is_test")
+    hits = (
+        window_hashes(train, width).join(te_h, "h").select("doc_id", "pos")
+    )
+    return remove_duplicated_spans(train, spans=windows_to_spans(hits, width))
+
+
+def q_dedup_decontamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decontamination_scrub(
+        docs, F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+
+
+def _oracle_decon_scrub() -> str:
+    w = _CONTAIN_W
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {w}
+),
+win AS (
+  SELECT doc_id, source, unnest(generate_series(0, n - {w})) AS pos, text
+  FROM d
+),
+hashed AS (
+  SELECT doc_id, source, CAST(pos AS INT) AS pos,
+         {sql_h60(f"substring(text, CAST(pos AS INT) + 1, {w})")} AS h
+  FROM win
+),
+teh AS (SELECT DISTINCT h FROM hashed WHERE source IN ({_SQL_TEST_SOURCES})),
+hits AS (
+  SELECT doc_id, pos FROM hashed
+  WHERE source NOT IN ({_SQL_TEST_SOURCES}) AND h IN (SELECT h FROM teh)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {w} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INT) AS span_start,
+         CAST(MAX(pos) + {w} AS INT) AS span_end,
+         CAST(MAX(pos) + {w} - MIN(pos) AS INT) AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT doc_id,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+           AS seg_start,
+         span_start AS seg_end,
+         span_len AS cut
+  FROM spans
+  UNION ALL
+  SELECT s.doc_id, MAX(s.span_end) AS seg_start, MAX(dd.n) AS seg_end, 0 AS cut
+  FROM spans s JOIN d dd USING (doc_id)
+  GROUP BY s.doc_id
+),
+rebuilt AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) FILTER (WHERE p.cut > 0) AS BIGINT) AS n_spans,
+         CAST(SUM(p.cut) AS BIGINT) AS removed_chars,
+         COALESCE(STRING_AGG(substring(dd.text, p.seg_start + 1,
+                                       p.seg_end - p.seg_start),
+                             '' ORDER BY p.seg_start), '') AS cleaned_text
+  FROM pieces p JOIN d dd USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(r.removed_chars, 0) AS BIGINT) AS removed_chars,
+       COALESCE(r.cleaned_text, t.text) AS cleaned_text
+FROM (SELECT doc_id, text FROM documents
+      WHERE source NOT IN ({_SQL_TEST_SOURCES})) t
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination — the same answer, with the train
 # side pruned BEFORE the shuffle. At 100 TB the decontamination
@@ -2418,6 +2533,7 @@ QUERIES = {
     "dedup_decontamination": q_dedup_decontamination,
     "dedup_decontamination_bloom": q_dedup_decontamination_bloom,
     "dedup_decontamination_containment": q_dedup_decontamination_containment,
+    "dedup_decontamination_scrub": q_dedup_decontamination_scrub,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_minhash_quality": q_dedup_minhash_quality,
@@ -2451,6 +2567,7 @@ ORACLES = {
     "dedup_decontamination": ORACLE_DECONTAMINATION,
     "dedup_decontamination_bloom": ORACLE_DECONTAMINATION,
     "dedup_decontamination_containment": _oracle_decon_containment(),
+    "dedup_decontamination_scrub": _oracle_decon_scrub(),
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

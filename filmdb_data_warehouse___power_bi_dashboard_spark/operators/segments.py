@@ -218,14 +218,23 @@ def duplicated_spans(
         .select("h")
     )
     dp = hashed.join(dup, "h").select("doc_id", "pos")
+    return windows_to_spans(dp, width).orderBy("doc_id", "span_start")
+
+
+def windows_to_spans(positions: DataFrame, width: int) -> DataFrame:
+    """Merge matched (doc_id, pos) windows into maximal spans
+    ``[span_start, span_end)`` via per-document gaps-and-islands —
+    the shared ACT-side primitive of duplicated-span dedup and
+    containment scrubbing. Unordered output (doc_id, span_start,
+    span_end, span_len, n_dup_windows)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    # New island when the previous duplicated window can't merge:
+    # New island when the previous matched window can't merge:
     # windows at p1 < p2 cover [p1, p2+width) contiguously iff
     # p2 - p1 <= width. NULL lag (first row) falls to otherwise(1).
     gap = F.when(F.col("pos") - F.lag("pos").over(w) <= width, F.lit(0)).otherwise(
         F.lit(1)
     )
-    isl = dp.withColumn(
+    isl = positions.withColumn(
         "island",
         F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
@@ -245,7 +254,6 @@ def duplicated_spans(
             .alias("span_len"),
             "n_dup_windows",
         )
-        .orderBy("doc_id", "span_start")
     )
 
 

@@ -223,6 +223,44 @@ def test_containment_decon_oracle_parity_on_planted_corpus(injected_docs):
     assert ok, msg
 
 
+def test_decontamination_scrub_excises_exactly_the_snippet(injected_docs):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        decontamination_scrub,
+    )
+
+    sdf, _ = injected_docs
+    rows = {
+        r["doc_id"]: r
+        for r in decontamination_scrub(
+            sdf, F.col("source").isin("src0", "src1")
+        ).collect()
+    }
+    # Train docs only in the output — the holdout doc is not rewritten.
+    assert sorted(rows) == [1, 2, 3, 4]
+    hit = rows[1]
+    assert _SNIPPET not in hit["cleaned_text"]
+    assert hit["n_spans"] == 1 and hit["removed_chars"] == len(_SNIPPET)
+    # Everything around the snippet survives verbatim.
+    assert hit["cleaned_text"] == _FILLER + " " + _FILLER
+    for i in (2, 3, 4):
+        assert rows[i]["n_spans"] == 0 and rows[i]["removed_chars"] == 0
+
+
+def test_decontamination_scrub_oracle_parity_on_planted_corpus(injected_docs):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _oracle_decon_scrub,
+        decontamination_scrub,
+    )
+
+    sdf, con = injected_docs
+    ok, msg = compare(
+        decontamination_scrub(sdf, F.col("source").isin("src0", "src1")),
+        con,
+        _oracle_decon_scrub(),
+    )
+    assert ok, msg
+
+
 def test_stream_decontamination_equals_batch(spark, sf_small):
     """The streaming job's flagged pair set equals the batch
     operator's bit-for-bit (static holdout + per-batch-complete train
