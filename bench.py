@@ -229,11 +229,18 @@ def main() -> None:
         # the new banded-fingerprint arcs — recording their ratios every
         # round turns the pigeonhole-bucket boundedness claim into a
         # measured trend alongside the decontamination pair.
+        # containment / scrub / stream_decontamination (round-14): the
+        # stride-1 window-hash family — their cost should track the
+        # text volume linearly (hashes, never text, shuffle); a ratio
+        # drifting past the scan growth flags posting skew.
         check_names += [
             n
             for n in (
                 "dedup_decontamination",
                 "dedup_decontamination_bloom",
+                "dedup_decontamination_containment",
+                "dedup_decontamination_scrub",
+                "stream_decontamination",
                 "part_fuzzy_matches",
                 "multimodal_audio_dedup_keep",
                 "stream_media_dedup",

@@ -165,6 +165,139 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Calibration report: the model-ops companion of the inference stage
+# (round-14) — every production quality filter ships with a
+# reliability diagram before its threshold is trusted.
+# ---------------------------------------------------------------------------
+
+_CAL_SLOPE = 5  # bins per score unit; score ∈ [-1, 1] → 10 bins
+
+
+def classifier_calibration(docs: DataFrame, min_df: int = _MIN_DF) -> DataFrame:
+    """Reliability diagram for the linear quality classifier: documents
+    bucket by score bin (``floor(score·5)`` clamped to [-5, 4] — fixed
+    bins, no global sort) against the ``lang = 'en'`` reference label
+    (the same label the stump miner audits), reporting per bin the doc
+    count, label count, observed label rate and the POOLED score
+    (Σ logit / Σ tokens / 1000 — both sums exact BIGINTs, so the only
+    floats are one division per bin from identical integers; a
+    per-doc-mean would sum doubles in partition order and diverge
+    across engines in the last ulp).
+
+    The bin key derives from the rounded-on-1e-6 score, which is
+    bit-identical across engines by the classifier's integer-exactness
+    contract, so bucketing is deterministic. Scale shape: one join of
+    the classifier output with a scan-level label projection, then a
+    map-side-combined aggregate onto ≤10 bin keys.
+    """
+    scores = quality_classifier_scores(docs, min_df=min_df)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_en"),
+    )
+    bin_ = (
+        F.least(
+            F.greatest(F.floor(F.col("score") * _CAL_SLOPE), F.lit(-_CAL_SLOPE)),
+            F.lit(_CAL_SLOPE - 1),
+        )
+    ).cast("long")
+    return (
+        scores.join(labels, "doc_id")
+        .groupBy(bin_.alias("score_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+            F.sum("logit_fp").cast("long").alias("__sl"),
+            F.sum("n_tokens").cast("long").alias("__st"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            "n_en",
+            round_half_up(
+                F.col("n_en").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("en_rate"),
+            round_half_up(
+                F.col("__sl").cast("double")
+                / F.col("__st").cast("double")
+                / float(_W_OFF),
+                6,
+            ).alias("pooled_score"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+def q_text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_calibration(read_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CLASSIFIER_CALIBRATION = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+weights AS (
+  SELECT tok, CAST({sql_h60('tok')} % {{span}} - {{off}} AS BIGINT) AS w
+  FROM (SELECT tok FROM counts GROUP BY tok HAVING COUNT(*) >= {_MIN_DF}) v
+),
+scored AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(c.cnt * COALESCE(w.w, 0)) AS BIGINT) AS logit_fp
+  FROM counts c LEFT JOIN weights w ON c.tok = w.tok
+  GROUP BY c.doc_id
+),
+withscore AS (
+  SELECT doc_id, n_tokens, logit_fp,
+         {{score_expr}} AS score
+  FROM scored
+),
+joined AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s.score * {_CAL_SLOPE}) AS BIGINT),
+                        -{_CAL_SLOPE}), {_CAL_SLOPE - 1}) AS score_bin,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         s.logit_fp, s.n_tokens
+  FROM withscore s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_en) AS BIGINT) AS n_en,
+       {{rate_expr}} AS en_rate,
+       {{pooled_expr}} AS pooled_score
+FROM joined
+GROUP BY score_bin
+ORDER BY score_bin
+"""
+
+
+def _oracle_classifier_calibration() -> str:
+    return ORACLE_CLASSIFIER_CALIBRATION.format(
+        span=_W_SPAN,
+        off=_W_OFF,
+        score_expr=sql_round_half_up(
+            "CAST(logit_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            f" / {float(_W_OFF)!r}",
+            6,
+        ),
+        rate_expr=sql_round_half_up(
+            "CAST(SUM(is_en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6
+        ),
+        pooled_expr=sql_round_half_up(
+            "CAST(SUM(logit_fp) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)"
+            f" / {float(_W_OFF)!r}",
+            6,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decision-stump split mining: the training-side companion of the
 # inference stage above (operator-fusion ML in pure SQL: the split
 # search is conditional aggregates, the chosen stump compiles to one
@@ -369,8 +502,10 @@ LIMIT {_STUMP_TOPK}
 QUERIES = {
     "text_quality_classifier": q_text_quality_classifier,
     "text_stump_splits": q_text_stump_splits,
+    "text_classifier_calibration": q_text_classifier_calibration,
 }
 ORACLES = {
     "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_stump_splits": _oracle_stump_splits(),
+    "text_classifier_calibration": _oracle_classifier_calibration(),
 }

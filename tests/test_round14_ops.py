@@ -261,6 +261,33 @@ def test_decontamination_scrub_oracle_parity_on_planted_corpus(injected_docs):
     assert ok, msg
 
 
+def test_classifier_calibration_parity_and_invariants(divergence_docs, spark, sf_small):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.classifier import (
+        _oracle_classifier_calibration,
+        classifier_calibration,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    sdf, con = divergence_docs
+    ok, msg = compare(
+        classifier_calibration(sdf, min_df=1), con,
+        _oracle_classifier_calibration().replace("COUNT(*) >= 5", "COUNT(*) >= 1"),
+    )
+    assert ok, msg
+    # invariants on the fixture: bins partition the scored docs, rates
+    # are probabilities, bins stay inside the clamp
+    docs = read_table(spark, sf_small, "documents")
+    rows = classifier_calibration(docs).collect()
+    n_text = docs.where(F.col("text").isNotNull()).count()
+    assert sum(r["n_docs"] for r in rows) == n_text
+    for r in rows:
+        assert 0.0 <= r["en_rate"] <= 1.0
+        assert -5 <= r["score_bin"] <= 4
+        assert 0 <= r["n_en"] <= r["n_docs"]
+
+
 def test_stream_decontamination_equals_batch(spark, sf_small):
     """The streaming job's flagged pair set equals the batch
     operator's bit-for-bit (static holdout + per-batch-complete train
