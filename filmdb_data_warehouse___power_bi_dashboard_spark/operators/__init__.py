@@ -40,6 +40,7 @@ from . import (  # noqa: E402
     multimodal,
     privacy,
     quality,
+    release,
     retention,
     retrieval,
     sampling,
@@ -82,6 +83,7 @@ for _mod in (
     dq,
     collocation,
     sketches,
+    release,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -30,7 +30,12 @@ only (a rows-only entry in a hash-checkable slot is a wasted slot):
 1. definition changed since its last driver row (stale evidence —
    the gate must attest the CURRENT code);
 2. never driver-recorded;
-3. oldest driver evidence first;
+3. (round-15) rows-only entries that have NEVER appeared in any
+   driver window — each gets a one-time rows/err attestation so no
+   registry entry lives its whole life outside the driver's eyes
+   (the r14 verdict's evidence-asymmetry item); once recorded they
+   drop back behind every oracle-bearing entry forever;
+4. oldest driver evidence first;
 ties broken by name. Everything past the cap — previously
 driver-green entries and the rows-only operators whose guarantees
 are recall/equivalence pytest-asserted — runs under the calibrated
@@ -69,11 +74,12 @@ def _gate_history() -> dict:
 
 def _gate_order(names, oracle_names) -> list[str]:
     """Deterministic gate ordering from recorded history (module
-    docstring): stale-evidence first, then never-recorded, then oldest
-    evidence; rows-only entries always after every oracle-bearing one.
-    A query missing from gate_history.json is treated as brand-new
-    (never recorded, just changed) so it auto-prioritizes — pytest
-    separately insists the file be brought up to date."""
+    docstring): stale/never oracle-bearing first, then never-recorded
+    rows-only entries (one-time rows/err attestation), then
+    oracle-bearing by oldest evidence, then previously-recorded
+    rows-only last. A query missing from gate_history.json is treated
+    as brand-new (never recorded, just changed) so it auto-prioritizes
+    — pytest separately insists the file be brought up to date."""
     hist = _gate_history()
 
     def key(name):
@@ -82,10 +88,18 @@ def _gate_order(names, oracle_names) -> list[str]:
         changed = rec.get("changed_round") or 0
         stale = last is not None and changed > last
         never = last is None
+        oracle = name in oracle_names
+        if oracle and (stale or never):
+            tier = 0
+        elif not oracle and never:
+            tier = 1
+        elif oracle:
+            tier = 2
+        else:
+            tier = 3
         return (
-            name not in oracle_names,          # rows-only last
-            not (stale or never),              # needs-evidence first
-            not stale,                         # stale outranks never
+            tier,
+            not stale,                         # stale outranks never in tier 0
             last if last is not None else -1,  # oldest evidence first
             name,
         )
