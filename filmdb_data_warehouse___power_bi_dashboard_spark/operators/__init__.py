@@ -30,6 +30,7 @@ from . import (  # noqa: E402
     classifier,
     collocation,
     dq,
+    dsir,
     frequent,
     funnel,
     graph,
@@ -84,6 +85,7 @@ for _mod in (
     collocation,
     sketches,
     release,
+    dsir,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,194 @@
+"""DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling"): per-document
+importance weight = target-vs-raw log-likelihood ratio under two
+bag-of-hashed-n-gram models — the principled upgrade from the
+temperature mixing of ``corpus_mix_weights`` (which reweights whole
+SOURCES; this weights every DOCUMENT by how target-like its content
+is, so resampling can shift the corpus toward a target domain without
+hand-labeling).
+
+Model (the paper's §2.2, hashed n-gram variant):
+
+- features = unigrams ∪ bigrams, hashed into ``n_buckets`` buckets
+  (h60 → pmod — the same cross-engine 60-bit hash family as the
+  dedup postings);
+- target distribution p and raw distribution q are add-α smoothed
+  bucket frequencies: p_f = (c_p[f]+α)/(N_p+αB), likewise q;
+- log w(x) = Σ_{occurrences f∈x} (ln p_f − ln q_f).
+
+Scale design (100 TB story): the feature stream ships (doc_id, bucket)
+pairs — text never shuffles; BOTH models come from ONE aggregation
+pass (a conditional sum splits target from raw per bucket, and raw
+includes target exactly as in the paper); the per-feature log-ratio
+table is bounded by ``n_buckets`` (4096 rows) so the scoring join is a
+broadcast; and each ratio is rounded onto a 1e-6 integer grid BEFORE
+the per-document sum, so the reduction is exact BIGINT arithmetic —
+partition-order independent and oracle-checkable (the ln-at-source
+discipline of operators/lm.py bigram_lm_score).
+
+Reference anchor: SURVEY §2.11 extension surface; the reference's
+closest relative is the per-store weighting of its BI measures —
+nothing in PostgreSQL/Power BI computes importance ratios, which is
+exactly why the extension inventory carries it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.catalog import read_table
+
+_DSIR_BUCKETS = 4096
+_DSIR_ALPHA = 0.5
+_DSIR_TARGET_LANG = "en"
+
+
+def _scaled_long(x):
+    """double -> exact integer-scaled BIGINT on a 1e-6 grid (lm.py
+    twin, kept local to avoid a cross-module private import)."""
+    return F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+
+
+def _feature_stream(docs: DataFrame, target_pred) -> DataFrame:
+    """(doc_id, is_target, f): one row per unigram+bigram occurrence,
+    bucketed. The bigram list rides the same slice+zip spelling as
+    lm.py (stays in codegen; no posexplode self-join); single-token
+    docs contribute their unigram only."""
+    from .dedup import h60
+
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        target_pred.alias("is_target"),
+        F.split("text", " ").alias("t"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat("t", bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.pmod(h60(F.col("feat")), F.lit(_DSIR_BUCKETS)).alias("f"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = _DSIR_ALPHA,
+) -> DataFrame:
+    """Per-document DSIR importance weight against the ``target_pred``
+    subset. Returns (doc_id, n_features, log_weight, avg_log_weight)
+    for every non-NULL-text document, ordered by doc_id — log_weight
+    > 0 means the document looks more like the target than like the
+    raw corpus; resampling/filtering on it is the pipeline action."""
+    a, b = float(alpha), int(n_buckets)
+    occ = _feature_stream(docs, target_pred)
+    counts = occ.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("c_q"),
+        F.sum(F.col("is_target").cast("long")).alias("c_p"),
+    )
+    tot = counts.agg(
+        F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        _scaled_long(
+            F.log(
+                (F.col("c_p").cast("double") + F.lit(a))
+                / (F.col("n_p").cast("double") + F.lit(a * b))
+            )
+            - F.log(
+                (F.col("c_q").cast("double") + F.lit(a))
+                / (F.col("n_q").cast("double") + F.lit(a * b))
+            )
+        ).alias("lf"),
+    )
+    s = F.sum("lf")
+    n = F.count(F.lit(1))
+    return (
+        occ.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_features"),
+            round_half_up(s.cast("double") / F.lit(1e6), 6).alias("log_weight"),
+            round_half_up(
+                (s.cast("double") / F.lit(1e6)) / n.cast("double"), 6
+            ).alias("avg_log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: target = declared-English documents (the same
+    target domain as the release pipeline's language filter), raw =
+    the whole corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == _DSIR_TARGET_LANG)
+
+
+def _oracle_importance_weights() -> str:
+    from .dedup import sql_h60
+
+    a, b = _DSIR_ALPHA, _DSIR_BUCKETS
+    lam = (
+        f"CAST(FLOOR((ln((CAST(c_p AS DOUBLE) + {a!r})"
+        f" / (CAST(n_p AS DOUBLE) + {a * b!r}))"
+        f" - ln((CAST(c_q AS DOUBLE) + {a!r})"
+        f" / (CAST(n_q AS DOUBLE) + {a * b!r})))"
+        f" * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_target,
+         string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, is_target,
+         {sql_h60("feat")} % {b} AS f
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_concat(
+             t,
+             CASE WHEN len(t) >= 2
+                  THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t) - 1 + 1)]
+                  ELSE [] END)) AS feat
+    FROM toks
+  )
+),
+counts AS (
+  SELECT f,
+         CAST(COUNT(*) AS BIGINT) AS c_q,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_p
+  FROM occ GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(c_q) AS BIGINT) AS n_q, CAST(SUM(c_p) AS BIGINT) AS n_p
+  FROM counts
+),
+lam AS (SELECT f, {lam} AS lf FROM counts CROSS JOIN tot)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       {sql_round_half_up("CAST(SUM(l.lf) AS DOUBLE) / 1000000.0", 6)}
+         AS log_weight,
+       {sql_round_half_up(
+           "(CAST(SUM(l.lf) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE)",
+           6)} AS avg_log_weight
+FROM occ o JOIN lam l ON o.f = l.f
+GROUP BY o.doc_id
+ORDER BY o.doc_id
+"""
+
+
+QUERIES: dict = {"corpus_importance_weights": q_corpus_importance_weights}
+ORACLES: dict = {"corpus_importance_weights": _oracle_importance_weights()}

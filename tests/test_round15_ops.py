@@ -121,6 +121,59 @@ def test_corpus_release_stage_conservation(spark, sf_med):
     assert not srcs & set(_DECON_TEST_SOURCES)
 
 
+def test_dsir_planted_shift_upweights_target_like_docs(spark):
+    """DSIR sanity on a planted distribution shift: the target docs
+    speak 'quantum physics'; among the RAW (non-target) docs, the one
+    that also speaks quantum physics must out-weight every off-domain
+    raw doc — the paper's core claim, checkable without randomness
+    because the weights are deterministic."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dsir import (
+        importance_weights,
+    )
+
+    tgt = "quantum field theory entangles photon states across the lattice"
+    rows = [
+        (0, tgt, "tgt", "s", len(tgt)),
+        (1, "quantum lattice photon entangles field states in theory", "tgt", "s", 55),
+        # raw docs: 2 is target-like, 3-4 are off-domain
+        (2, "photon states across the quantum lattice field", "raw", "s", 47),
+        (3, "grandma baked sourdough bread with rosemary and honey", "raw", "s", 53),
+        (4, "the football match ended in a penalty shootout loss", "raw", "s", 52),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    w = {
+        r["doc_id"]: r["avg_log_weight"]
+        for r in importance_weights(docs, F.col("lang") == "tgt").collect()
+    }
+    assert len(w) == 5
+    assert w[2] > w[3] and w[2] > w[4], w
+    # target docs themselves score at least as target-like as doc 2
+    assert min(w[0], w[1]) > max(w[3], w[4]), w
+
+
+def test_dsir_model_is_bucket_bounded(spark, sf_small):
+    """The scoring join's model side must be bounded by n_buckets —
+    the broadcast guarantee of the 100 TB story."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dsir import (
+        _DSIR_BUCKETS,
+        _feature_stream,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    n = (
+        _feature_stream(docs, F.col("lang") == "en")
+        .select("f")
+        .distinct()
+        .count()
+    )
+    assert n <= _DSIR_BUCKETS
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
