@@ -20,8 +20,13 @@ artifact), and a plain best-of-two still passed a burst straddling
 both runs. For the scale-checked entries the scale check's timed
 big-SF pass is folded into the same min (it is another attempt of the
 identical query), so a committed reading can never exceed its own
-in-artifact warm evidence. All raw readings are kept in BENCH_DETAIL
-"runs". Results
+in-artifact warm evidence; fold-sourced readings live under their own
+BENCH_DETAIL key ("warm_fold", with fold-committed entries named in
+"committed_from_fold") so they are never confusable with corpus-loop
+attempts, which stay alone in "runs". The summary metric is named
+corpus_committed_floor_sec (r15 rename) because the value is a sum of
+per-query floors, not the wall time of any single pass — loop_wall_sec
+carries that. Results
 are fully materialized via a noop sink so the whole plan runs but
 driver memory stays flat. The summary "value" is the sum of committed
 per-query readings; "loop_wall_sec" is the true wall clock including
@@ -233,6 +238,10 @@ def main() -> None:
         # stride-1 window-hash family — their cost should track the
         # text volume linearly (hashes, never text, shuffle); a ratio
         # drifting past the scan growth flags posting skew.
+        # corpus_release / corpus_importance_weights (round-15): the
+        # composed release chains the heaviest detect→act stages and
+        # DSIR adds a full unigram+bigram explode — pinning both makes
+        # their linear-in-text claims measured trends from day one.
         check_names += [
             n
             for n in (
@@ -244,6 +253,8 @@ def main() -> None:
                 "part_fuzzy_matches",
                 "multimodal_audio_dedup_keep",
                 "stream_media_dedup",
+                "corpus_release",
+                "corpus_importance_weights",
             )
             if n in times and n not in check_names
         ]
@@ -275,12 +286,23 @@ def main() -> None:
     # ann_recall_report [12.1, 13.2] mid-loop vs 3.4 s warm minutes
     # later in the same artifact). With the fold, no committed reading
     # can exceed its own in-artifact warm evidence by construction.
+    # Round-15 (advisor): fold-sourced readings are recorded under
+    # their own key (warm_fold) instead of being appended to "runs",
+    # and every fold-committed entry is named in committed_from_fold —
+    # so the artifact itself shows which committed times came from the
+    # scale check's warm pass rather than the corpus loop, and the
+    # per-entry asymmetry (only scale-checked entries get the extra
+    # reading) is visible instead of silent.
+    warm_fold: dict[str, float] = {}
+    committed_from_fold: list[str] = []
     for name, rec in scale_check.items():
         warm = rec.get("big_warm_sec")
         if warm is not None and name in times:
-            runs[name].append(warm)
+            warm_fold[name] = warm
             if warm < times[name]:
                 times[name] = warm
+                committed_from_fold.append(name)
+    committed_from_fold.sort()
     total = round(sum(times.values()), 3)
 
     # Cold artifact-build costs (round-9): the signature/quantizer/
@@ -306,6 +328,8 @@ def main() -> None:
         json.dump(
             {"detail": "per_query_wall", "unit": "sec", "total": total,
              "policy": "converged_best_of_n_max4", "runs": runs,
+             "warm_fold": warm_fold,
+             "committed_from_fold": committed_from_fold,
              "loop_wall_sec": loop_wall,
              "sf": sf_num, "queries": times, "load1_after_query": load1,
              "scale_check_vs_sf0_01": scale_check,
@@ -340,11 +364,20 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "corpus_total_wall",
+                # Round-15 rename (advisor): the value is the sum of
+                # per-query committed FLOORS (min over converged
+                # attempts + warm fold), not the wall time of any one
+                # pass — the old name 'corpus_total_wall' let readers
+                # trend the r14 policy change as a 3x perf change.
+                # Series note: BENCH_r01-r13 values are single-reading
+                # wall sums; BENCH_r14 is the same floor policy under
+                # the old name.
+                "metric": "corpus_committed_floor_sec",
                 "value": total,
                 "unit": "sec",
                 "policy": "converged_best_of_n_max4",
                 "loop_wall_sec": loop_wall,
+                "n_committed_from_fold": len(committed_from_fold),
                 "queries": {k: times[k] for k in headline if k in times},
                 "sf": sf_num,
                 "n_queries": len(times),
