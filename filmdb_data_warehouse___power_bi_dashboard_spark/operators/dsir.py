@@ -136,7 +136,82 @@ def q_corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs, F.col("lang") == _DSIR_TARGET_LANG)
 
 
-def _oracle_importance_weights() -> str:
+_DSIR_FRACTION = 0.25
+
+
+def dsir_budget_selection(
+    docs: DataFrame,
+    target_pred,
+    fraction: float = _DSIR_FRACTION,
+) -> DataFrame:
+    """The ACT step of DSIR (detect→act, like the dedup keep arcs):
+    rank the corpus by importance weight (most target-like first) and
+    keep documents until the EXCLUSIVE running token total reaches
+    ``fraction`` of the corpus — the paper's resampling step spelled
+    deterministically (top-weight-first under a token budget instead
+    of Gumbel noise, so the selection is recompute-stable and
+    oracle-checkable). Returns the per-source composition of the kept
+    set plus each source's minimum selected weight — the effective
+    per-source cut line the global ranking induced.
+
+    Scale shape: importance scoring as above (one pass + broadcast
+    model), token proxy from the same profile expr as
+    corpus_token_budget, and the ranking rides
+    functions/ranking.global_running_sum (range-bucketed exact BIGINT
+    prefix sums) — never a single-partition ORDER BY window.
+    """
+    from ..functions.ranking import global_running_sum
+    from ..runtime import track_persist
+    from .text import text_profile
+
+    wts = importance_weights(docs, target_pred).select(
+        "doc_id", "avg_log_weight"
+    )
+    prof = (
+        text_profile(docs.where(F.col("text").isNotNull()))
+        .select("doc_id", "n_tokens_bpe")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(wts, "doc_id")
+    )
+    prof = track_persist(
+        prof.select(
+            "doc_id",
+            "source",
+            "avg_log_weight",
+            F.coalesce("n_tokens_bpe", F.lit(0)).cast("long").alias("__tok"),
+        ).persist()
+    )
+    total = prof.agg(F.sum("__tok").alias("__total"))
+    cum = global_running_sum(
+        prof,
+        [("avg_log_weight", False), "doc_id"],
+        "__tok",
+        alias="__cum",
+        exclusive=True,
+    )
+    kept = cum.crossJoin(F.broadcast(total)).where(
+        F.col("__cum") < F.col("__total") * F.lit(fraction)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("__tok").alias("tokens_selected"),
+            round_half_up(F.min("avg_log_weight"), 6).alias("min_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_budget_selection(docs, F.col("lang") == _DSIR_TARGET_LANG)
+
+
+def _dsir_cte_body() -> str:
+    """Shared WITH-body (toks→occ→counts→tot→lam→weights): the exact
+    per-doc weight computation, composed by both oracles so the two
+    entries can never drift apart."""
     from .dedup import sql_h60
 
     a, b = _DSIR_ALPHA, _DSIR_BUCKETS
@@ -147,8 +222,7 @@ def _oracle_importance_weights() -> str:
         f" / (CAST(n_q AS DOUBLE) + {a * b!r})))"
         f" * 1000000.0 + 0.5) AS BIGINT)"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_target,
          string_split(text, ' ') AS t
   FROM documents WHERE text IS NOT NULL
@@ -176,19 +250,66 @@ tot AS (
   SELECT CAST(SUM(c_q) AS BIGINT) AS n_q, CAST(SUM(c_p) AS BIGINT) AS n_p
   FROM counts
 ),
-lam AS (SELECT f, {lam} AS lf FROM counts CROSS JOIN tot)
-SELECT o.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       {sql_round_half_up("CAST(SUM(l.lf) AS DOUBLE) / 1000000.0", 6)}
-         AS log_weight,
-       {sql_round_half_up(
-           "(CAST(SUM(l.lf) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE)",
-           6)} AS avg_log_weight
-FROM occ o JOIN lam l ON o.f = l.f
-GROUP BY o.doc_id
-ORDER BY o.doc_id
+lam AS (SELECT f, {lam} AS lf FROM counts CROSS JOIN tot),
+weights AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         {sql_round_half_up("CAST(SUM(l.lf) AS DOUBLE) / 1000000.0", 6)}
+           AS log_weight,
+         {sql_round_half_up(
+             "(CAST(SUM(l.lf) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE)",
+             6)} AS avg_log_weight
+  FROM occ o JOIN lam l ON o.f = l.f
+  GROUP BY o.doc_id
+)"""
+
+
+def _oracle_importance_weights() -> str:
+    return f"""
+WITH {_dsir_cte_body()}
+SELECT doc_id, n_features, log_weight, avg_log_weight
+FROM weights
+ORDER BY doc_id
 """
 
 
-QUERIES: dict = {"corpus_importance_weights": q_corpus_importance_weights}
-ORACLES: dict = {"corpus_importance_weights": _oracle_importance_weights()}
+def _oracle_dsir_select() -> str:
+    from .text import _TOKEN_RE
+
+    return f"""
+WITH {_dsir_cte_body()},
+prof AS (
+  SELECT d.doc_id, d.source, w.avg_log_weight,
+         CAST(COALESCE(len(regexp_extract_all(d.text, '{_TOKEN_RE}')), 0)
+              AS BIGINT) AS tok
+  FROM documents d JOIN weights w ON w.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+),
+tt AS (SELECT CAST(SUM(tok) AS BIGINT) AS total FROM prof),
+cum AS (
+  SELECT doc_id, source, avg_log_weight, tok,
+         CAST(COALESCE(SUM(tok) OVER (
+           ORDER BY avg_log_weight DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c
+  FROM prof
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+       CAST(SUM(tok) AS BIGINT) AS tokens_selected,
+       {sql_round_half_up("MIN(avg_log_weight)", 6)} AS min_weight
+FROM cum CROSS JOIN tt
+WHERE c < total * {_DSIR_FRACTION}
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES: dict = {
+    "corpus_importance_weights": q_corpus_importance_weights,
+    "corpus_dsir_select": q_corpus_dsir_select,
+}
+ORACLES: dict = {
+    "corpus_importance_weights": _oracle_importance_weights(),
+    "corpus_dsir_select": _oracle_dsir_select(),
+}

@@ -174,6 +174,46 @@ def test_dsir_model_is_bucket_bounded(spark, sf_small):
     assert n <= _DSIR_BUCKETS
 
 
+def test_dsir_select_budget_and_ranking(spark, sf_med):
+    """The ACT step: kept token mass must respect the greedy budget
+    bound (≤ fraction·total + one doc, the knapsack relaxation), and
+    the selection must be weight-ranked — every kept doc's weight ≥
+    the global cut line (min over kept), every dropped doc's ≤ it."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dsir import (
+        _DSIR_FRACTION,
+        dsir_budget_selection,
+        importance_weights,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_med, "documents")
+    pred = F.col("lang") == "en"
+    sel = dsir_budget_selection(docs, pred)
+    agg = sel.agg(
+        F.sum("tokens_selected").alias("tok"),
+        F.min("min_weight").alias("cut"),
+    ).collect()[0]
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.text import (
+        text_profile,
+    )
+
+    prof = text_profile(docs.where(F.col("text").isNotNull()))
+    tots = prof.agg(
+        F.sum("n_tokens_bpe").alias("total"), F.max("n_tokens_bpe").alias("mx")
+    ).collect()[0]
+    assert agg["tok"] <= _DSIR_FRACTION * tots["total"] + tots["mx"]
+    assert agg["tok"] > 0
+    # ranking property: no document BELOW the global cut line has a
+    # weight strictly greater than one above it — i.e. the kept set is
+    # a prefix of the weight order (up to the doc_id tiebreak).
+    w = importance_weights(docs, pred)
+    n_above = w.where(F.col("avg_log_weight") > agg["cut"]).count()
+    n_kept = sel.agg(F.sum("n_docs_selected")).collect()[0][0]
+    assert n_above <= n_kept
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
