@@ -248,6 +248,7 @@ def main() -> None:
                 "dedup_decontamination",
                 "dedup_decontamination_bloom",
                 "dedup_decontamination_containment",
+                "dedup_decontamination_containment_bloom",
                 "dedup_decontamination_scrub",
                 "stream_decontamination",
                 "part_fuzzy_matches",

@@ -425,6 +425,7 @@ def containment_decontamination_pairs(
     width: int = _CONTAIN_W,
     threshold: float = _CONTAIN_T,
     max_df: int | None = None,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Train docs that CONTAIN a holdout snippet — the leak Jaccard
     decontamination structurally misses: a short eval string embedded
@@ -470,22 +471,33 @@ def containment_decontamination_pairs(
     have no windows and cannot be flagged — at the production width
     of 40 chars such a snippet carries too little signal to act on
     (the same floor as duplicated_spans).
+
+    ``bloom_prefilter``: drop train windows whose hash shares no Bloom
+    bucket with the holdout BEFORE the train-side DISTINCT — without
+    it, every train (doc_id, h) pair shuffles into the distinct just
+    to be discarded by the join; with it, only bloom-candidate windows
+    (the holdout's true matches plus a bounded false-positive trickle)
+    ever shuffle. Answer-preserving by the same argument as
+    dedup_decontamination_bloom: a false positive only ships a window
+    the join discards, false negatives are impossible — so the bloomed
+    plan carries the EXACT containment oracle.
     """
+    from ..runtime import track_persist
     from .segments import window_hashes
 
-    sets = (
-        window_hashes(
-            docs.withColumn("__is_test", test_pred), width, ("__is_test",)
+    sets = window_hashes(
+        docs.withColumn("__is_test", test_pred), width, ("__is_test",)
+    ).select("doc_id", "__is_test", "h")
+    te_raw = sets.where(F.col("__is_test"))
+    tr_raw = sets.where(~F.col("__is_test"))
+    if bloom_prefilter:
+        bl = bloom_table(
+            te_raw.select(F.col("h").alias("k")).distinct(), "k"
         )
-        .select("doc_id", "__is_test", "h")
-        .distinct()
-    )
-    te = sets.where(F.col("__is_test")).select(
-        F.col("doc_id").alias("test_doc"), "h"
-    )
-    tr = sets.where(~F.col("__is_test")).select(
-        F.col("doc_id").alias("train_doc"), "h"
-    )
+        bl = track_persist(bl.persist())
+        tr_raw = bloom_filter_join(tr_raw, F.col("h"), bl)
+    te = te_raw.select(F.col("doc_id").alias("test_doc"), "h").distinct()
+    tr = tr_raw.select(F.col("doc_id").alias("train_doc"), "h").distinct()
     te_sz = te.groupBy("test_doc").agg(
         F.count(F.lit(1)).cast("long").alias("sz_te")
     )
@@ -525,6 +537,25 @@ def q_dedup_decontamination_containment(
     docs = read_table(spark, sf_dir, "documents")
     return containment_decontamination_pairs(
         docs, F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+
+
+def q_dedup_decontamination_containment_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment decontamination with the holdout-window Bloom
+    prefilter: identical pairs to the plain entry (same oracle — the
+    prefilter is provably answer-preserving), but train windows that
+    share no Bloom bucket with the holdout are dropped at scan time
+    instead of shuffling into the train-side DISTINCT. The plain/bloom
+    pair is pinned in the bench scale check like the shingle-family
+    pair, so the crossover (the prefilter only pays at scale) stays a
+    measured trend; equality and actual pruning are pytest-asserted."""
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_decontamination_pairs(
+        docs,
+        F.col("source").isin(*_DECON_TEST_SOURCES),
+        bloom_prefilter=True,
     )
 
 
@@ -2549,6 +2580,7 @@ QUERIES = {
     "dedup_decontamination": q_dedup_decontamination,
     "dedup_decontamination_bloom": q_dedup_decontamination_bloom,
     "dedup_decontamination_containment": q_dedup_decontamination_containment,
+    "dedup_decontamination_containment_bloom": q_dedup_decontamination_containment_bloom,
     "dedup_decontamination_scrub": q_dedup_decontamination_scrub,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -2583,6 +2615,7 @@ ORACLES = {
     "dedup_decontamination": ORACLE_DECONTAMINATION,
     "dedup_decontamination_bloom": ORACLE_DECONTAMINATION,
     "dedup_decontamination_containment": _oracle_decon_containment(),
+    "dedup_decontamination_containment_bloom": _oracle_decon_containment(),
     "dedup_decontamination_scrub": _oracle_decon_scrub(),
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -214,6 +214,46 @@ def test_dsir_select_budget_and_ranking(spark, sf_med):
     assert n_above <= n_kept
 
 
+def test_containment_bloom_equals_plain_and_prunes(spark, sf_med):
+    """The Bloom-prefiltered containment plan must (a) return exactly
+    the plain plan's pairs on the real corpus (answer preservation)
+    and (b) actually prune: the candidate train-window stream after
+    the prefilter must be a small fraction of the raw train windows —
+    otherwise the prefilter is dead weight, not a scale path."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _CONTAIN_W,
+        _DECON_TEST_SOURCES,
+        bloom_filter_join,
+        bloom_table,
+        containment_decontamination_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.segments import (
+        window_hashes,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_med, "documents")
+    pred = F.col("source").isin(*_DECON_TEST_SOURCES)
+    plain = _pairs(containment_decontamination_pairs(docs, pred))
+    bloomed = _pairs(
+        containment_decontamination_pairs(docs, pred, bloom_prefilter=True)
+    )
+    assert plain == bloomed
+    sets = window_hashes(
+        docs.withColumn("__is_test", pred), _CONTAIN_W, ("__is_test",)
+    ).select("doc_id", "__is_test", "h")
+    tr = sets.where(~F.col("__is_test"))
+    n_raw = tr.count()
+    bl = bloom_table(
+        sets.where(F.col("__is_test")).select(F.col("h").alias("k")).distinct(),
+        "k",
+    )
+    n_kept = bloom_filter_join(tr, F.col("h"), bl).count()
+    assert n_kept < 0.2 * n_raw, (n_kept, n_raw)
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
