@@ -540,6 +540,85 @@ def q_dedup_decontamination_containment(
     )
 
 
+def q_dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination REPORT a release actually publishes: the
+    containment pairs rolled up per (test_source, train_source) cell —
+    which benchmark leaked into which crawl, how many documents on
+    each side, and how badly (max + mean containment). The per-pair
+    entry is the audit trail; this is the summary a data card cites
+    (the detect→act→report completion of the decon family, same
+    shape as dedup_source_overlap's duplication matrix).
+
+    Exactness: containment is pre-rounded to 6 decimals, so
+    ``floor(c*1e6+0.5)`` is an integer and the mean rides an exact
+    BIGINT micro-sum — a float AVG would be partial-sum-order
+    dependent. Scale shape: the pair list is tiny next to the corpus;
+    two broadcastable joins onto (doc_id, source) and one hash agg on
+    a |test sources|×|train sources| key domain."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = containment_decontamination_pairs(
+        docs, F.col("source").isin(*_DECON_TEST_SOURCES)
+    )
+    src = docs.select("doc_id", "source")
+    tagged = pairs.join(
+        src.select(F.col("doc_id").alias("train_doc"), F.col("source").alias("train_source")),
+        "train_doc",
+    ).join(
+        src.select(F.col("doc_id").alias("test_doc"), F.col("source").alias("test_source")),
+        "test_doc",
+    )
+    micro = F.floor(F.col("containment") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        tagged.groupBy("test_source", "train_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("train_doc").cast("long").alias("n_train_docs"),
+            F.countDistinct("test_doc").cast("long").alias("n_test_docs"),
+            F.max("containment").alias("max_containment"),
+            F.sum(micro).alias("__ms"),
+        )
+        .select(
+            "test_source",
+            "train_source",
+            "n_pairs",
+            "n_train_docs",
+            "n_test_docs",
+            "max_containment",
+            round_half_up(
+                F.col("__ms").cast("double")
+                / (F.lit(1e6) * F.col("n_pairs").cast("double")),
+                6,
+            ).alias("mean_containment"),
+        )
+        .orderBy("test_source", "train_source")
+    )
+
+
+def _oracle_contamination_report() -> str:
+    return f"""
+WITH cpairs AS ({_oracle_decon_containment()}),
+tagged AS (
+  SELECT c.train_doc, c.test_doc, c.containment,
+         dtr.source AS train_source, dte.source AS test_source
+  FROM cpairs c
+  JOIN documents dtr ON dtr.doc_id = c.train_doc
+  JOIN documents dte ON dte.doc_id = c.test_doc
+)
+SELECT test_source, train_source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT train_doc) AS BIGINT) AS n_train_docs,
+       CAST(COUNT(DISTINCT test_doc) AS BIGINT) AS n_test_docs,
+       MAX(containment) AS max_containment,
+       {sql_round_half_up(
+           "CAST(SUM(CAST(FLOOR(containment * 1000000.0 + 0.5) AS BIGINT))"
+           " AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE))", 6)}
+         AS mean_containment
+FROM tagged
+GROUP BY 1, 2
+ORDER BY test_source, train_source
+"""
+
+
 def q_dedup_decontamination_containment_bloom(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2581,6 +2660,7 @@ QUERIES = {
     "dedup_decontamination_bloom": q_dedup_decontamination_bloom,
     "dedup_decontamination_containment": q_dedup_decontamination_containment,
     "dedup_decontamination_containment_bloom": q_dedup_decontamination_containment_bloom,
+    "dedup_contamination_report": q_dedup_contamination_report,
     "dedup_decontamination_scrub": q_dedup_decontamination_scrub,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -2616,6 +2696,7 @@ ORACLES = {
     "dedup_decontamination_bloom": ORACLE_DECONTAMINATION,
     "dedup_decontamination_containment": _oracle_decon_containment(),
     "dedup_decontamination_containment_bloom": _oracle_decon_containment(),
+    "dedup_contamination_report": _oracle_contamination_report(),
     "dedup_decontamination_scrub": _oracle_decon_scrub(),
     "dedup_embedding_pairs": ORACLE_EMBEDDING_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -254,6 +254,47 @@ def test_containment_bloom_equals_plain_and_prunes(spark, sf_med):
     assert n_kept < 0.2 * n_raw, (n_kept, n_raw)
 
 
+def test_contamination_report_rolls_up_planted_pair(injected_docs):  # noqa: F811
+    """The report must aggregate the planted (train=src2, test=src0)
+    containment pair into its (test_source, train_source) cell with
+    the right counts and the exact max."""
+    import duckdb as _d  # noqa: F401
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        containment_decontamination_pairs,
+    )
+
+    sdf, _ = injected_docs
+    # reuse the same rollup logic the registered entry applies, against
+    # the fixture's src0/src1 holdout
+    pairs = containment_decontamination_pairs(
+        sdf, F.col("source").isin("src0", "src1")
+    )
+    src = sdf.select("doc_id", "source")
+    cells = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("train_doc"),
+                F.col("source").alias("train_source"),
+            ),
+            "train_doc",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("test_doc"),
+                F.col("source").alias("test_source"),
+            ),
+            "test_doc",
+        )
+        .groupBy("test_source", "train_source")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("containment").alias("mx"))
+        .collect()
+    )
+    by_cell = {(r["test_source"], r["train_source"]): r for r in cells}
+    assert ("src0", "src2") in by_cell
+    assert by_cell[("src0", "src2")]["mx"] == 1.0
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
