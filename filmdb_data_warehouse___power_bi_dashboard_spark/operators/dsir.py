@@ -90,16 +90,28 @@ def importance_weights(
     for every non-NULL-text document, ordered by doc_id — log_weight
     > 0 means the document looks more like the target than like the
     raw corpus; resampling/filtering on it is the pipeline action."""
-    a, b = float(alpha), int(n_buckets)
     occ = _feature_stream(docs, target_pred)
+    lam = log_ratio_table(occ, n_buckets=n_buckets, alpha=alpha)
+    return score_against_model(occ, lam).orderBy("doc_id")
+
+
+def log_ratio_table(
+    occ: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = _DSIR_ALPHA,
+) -> DataFrame:
+    """The DSIR model as data: (f, lf) — per-bucket integer-scaled
+    log-likelihood ratio, ≤ ``n_buckets`` rows. Split from the scoring
+    step so a STATIC model can be built once and broadcast to every
+    scoring call (the streaming twin scores arriving batches against
+    exactly this table)."""
+    a, b = float(alpha), int(n_buckets)
     counts = occ.groupBy("f").agg(
         F.count(F.lit(1)).cast("long").alias("c_q"),
         F.sum(F.col("is_target").cast("long")).alias("c_p"),
     )
-    tot = counts.agg(
-        F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p")
-    )
-    lam = counts.crossJoin(F.broadcast(tot)).select(
+    tot = counts.agg(F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p"))
+    return counts.crossJoin(F.broadcast(tot)).select(
         "f",
         _scaled_long(
             F.log(
@@ -112,6 +124,13 @@ def importance_weights(
             )
         ).alias("lf"),
     )
+
+
+def score_against_model(occ: DataFrame, lam: DataFrame) -> DataFrame:
+    """Per-document reduction of a feature stream against a (f, lf)
+    model table: exact BIGINT sum of grid-scaled ratios, then the two
+    rounded doubles. Unordered — callers order (batch) or append
+    (streaming)."""
     s = F.sum("lf")
     n = F.count(F.lit(1))
     return (
@@ -124,7 +143,6 @@ def importance_weights(
                 (s.cast("double") / F.lit(1e6)) / n.cast("double"), 6
             ).alias("avg_log_weight"),
         )
-        .orderBy("doc_id")
     )
 
 

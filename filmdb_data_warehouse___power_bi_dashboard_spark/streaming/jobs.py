@@ -1830,6 +1830,101 @@ def q_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_decontamination(spark, sf_dir)
 
 
+def stream_importance_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """Ingest-time DSIR scoring — the streaming twin of
+    corpus_importance_weights: documents arrive as micro-batches and
+    are scored against a STATIC log-ratio model, the production shape
+    where importance weights are stamped as data flows in (so
+    selection can act at ingest) instead of re-scanning the corpus
+    after the fact — the same static-index discipline as
+    stream_decontamination.
+
+    The model — the ≤4096-row (bucket, integer-scaled log-ratio)
+    table from operators/dsir.log_ratio_table — is built once and
+    broadcast into every batch's scoring join; per-batch cost is one
+    feature explode + one broadcast join + one hash agg, bounded by
+    the batch. Each document's features land wholly inside its own
+    batch and the model is static, so the per-doc weights equal the
+    batch operator's exactly — the streaming job is attested by the
+    SAME oracle as corpus_importance_weights. Idempotent under
+    at-least-once redelivery: re-processing a batch re-derives
+    identical rows and the final read deduplicates on doc_id.
+    """
+    from ..operators.dsir import (
+        _DSIR_TARGET_LANG,
+        _feature_stream,
+        log_ratio_table,
+        score_against_model,
+    )
+    from ..sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = F.col("lang") == _DSIR_TARGET_LANG
+    lam = log_ratio_table(_feature_stream(docs, pred)).persist()
+    lam.count()  # materialize the static model once, before the stream
+    staged = tempfile.mkdtemp(prefix="dsirstream-")
+    work = tempfile.mkdtemp(prefix="dsir-stream-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    scored_path = os.path.join(work, "scored")
+    try:
+        for b in range(n_slices):
+            docs.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(staged)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(staged)
+        )
+
+        def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+            occ = _feature_stream(batch_df, F.col("lang") == _DSIR_TARGET_LANG)
+            score_against_model(occ, lam).write.mode("append").parquet(
+                scored_path
+            )
+
+        name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(ingest)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(scored_path)
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+            .orderBy("doc_id")
+        )
+    finally:
+        lam.unpersist()
+        for d in (staged, work, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def q_stream_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_importance_weights(spark, sf_dir)
+
+
+def _oracle_stream_dsir() -> str:
+    # Static model + batch-complete documents ⇒ per-doc weights equal
+    # the batch operator's by construction; the oracle IS the batch
+    # DSIR oracle.
+    from ..operators.dsir import _oracle_importance_weights
+
+    return _oracle_importance_weights()
+
+
 def _oracle_stream_decon() -> str:
     # The streaming pair set equals the batch operator's by
     # construction (static holdout, per-batch-complete train windows),
@@ -1841,6 +1936,7 @@ def _oracle_stream_decon() -> str:
 
 QUERIES = {
     "stream_decontamination": q_stream_decontamination,
+    "stream_importance_weights": q_stream_importance_weights,
     "stream_cms_user_counts": q_stream_cms_user_counts,
     "stream_hll_daily_users": q_stream_hll_daily_users,
     "stream_media_dedup": q_stream_media_dedup,
@@ -1859,6 +1955,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_decontamination": _oracle_stream_decon(),
+    "stream_importance_weights": _oracle_stream_dsir(),
     "stream_cms_user_counts": _oracle_stream_cms(),
     "stream_hll_daily_users": _oracle_stream_hll(),
     "stream_media_dedup": _oracle_stream_media(),

@@ -295,6 +295,24 @@ def test_contamination_report_rolls_up_planted_pair(injected_docs):  # noqa: F81
     assert by_cell[("src0", "src2")]["mx"] == 1.0
 
 
+def test_stream_importance_weights_equals_batch(spark, sf_med):
+    """The streaming DSIR job must produce EXACTLY the batch
+    operator's per-doc weights (static model + batch-complete docs ⇒
+    bit-equal by construction) — the same twin discipline as
+    stream_decontamination == dedup_decontamination_containment."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dsir import (
+        q_corpus_importance_weights,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        q_stream_importance_weights,
+    )
+
+    batch = sorted(map(tuple, q_corpus_importance_weights(spark, sf_med).collect()))
+    stream = sorted(map(tuple, q_stream_importance_weights(spark, sf_med).collect()))
+    assert batch == stream
+    assert len(batch) > 0
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
