@@ -689,7 +689,149 @@ ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Split-divergence audit — is val/test token-representative of train?
+# ---------------------------------------------------------------------------
+
+_DIV_BUCKETS = 4096
+_DIV_ALPHA = 0.5
+
+
+def split_divergence(
+    docs: DataFrame,
+    n_buckets: int = _DIV_BUCKETS,
+    alpha: float = _DIV_ALPHA,
+) -> DataFrame:
+    """Per-split KL divergence of the hashed-unigram token
+    distribution against the TRAIN split — the release audit that
+    catches an unrepresentative val/test cut (a split whose token
+    distribution drifts from train measures the wrong model): KL(split
+    ‖ train) over ``n_buckets`` hashed buckets with add-``alpha``
+    smoothing, so zero-count buckets on either side stay defined.
+
+    Exactness discipline: the per-bucket terms p·ln(p/q) live on the
+    BOUNDED splits×buckets domain (≤ 3×4096 rows after aggregation),
+    each term is rounded onto a 1e-9 integer grid BEFORE the final
+    sum, so the reduction is exact BIGINT arithmetic — identical
+    grids on both engines make the result bit-stable even though KL
+    itself is transcendental. Scale shape: one token explode with
+    map-side partial agg onto (split, bucket) keys; everything after
+    the first aggregation is bounded-domain work; the spine cross
+    join is 3×4096 literal rows.
+
+    Output: (split, n_docs, n_tokens, kl_from_train), train's own row
+    reading 0 by construction — a built-in sanity anchor for the
+    value hash."""
+    a, b = float(alpha), int(n_buckets)
+    d = deterministic_split(
+        docs.where(F.col("text").isNotNull()), ["doc_id"], _SPLIT_WEIGHTS,
+        portable=True,
+    )
+    occ = d.select(
+        "split", F.explode(F.split("text", " ")).alias("w")
+    ).select("split", F.pmod(h60(F.col("w")), F.lit(b)).alias("f"))
+    counts = occ.groupBy("split", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("split").agg(F.sum("c").alias("n_tok"))
+    ndocs = d.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    spark = docs.sparkSession
+    spine = totals.select("split").crossJoin(
+        spark.range(b).select(F.col("id").cast("long").alias("f"))
+    )
+    full = (
+        spine.join(counts, ["split", "f"], "left")
+        .join(totals, "split")
+        .select(
+            "split",
+            "f",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            "n_tok",
+        )
+    )
+    tr = full.where(F.col("split") == "train").select(
+        "f",
+        F.col("c").alias("c_tr"),
+        F.col("n_tok").alias("n_tr"),
+    )
+    p = (F.col("c").cast("double") + F.lit(a)) / (
+        F.col("n_tok").cast("double") + F.lit(a * b)
+    )
+    q = (F.col("c_tr").cast("double") + F.lit(a)) / (
+        F.col("n_tr").cast("double") + F.lit(a * b)
+    )
+    term = F.floor(p * (F.log(p) - F.log(q)) * 1e9 + F.lit(0.5)).cast("long")
+    kl = full.join(F.broadcast(tr), "f").groupBy("split").agg(
+        F.sum(term).alias("__s")
+    )
+    return (
+        kl.join(ndocs, "split")
+        .join(totals, "split")
+        .select(
+            "split",
+            "n_docs",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            round_half_up(F.col("__s").cast("double") / F.lit(1e9), 6).alias(
+                "kl_from_train"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def q_corpus_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_divergence(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_split_divergence() -> str:
+    from .dedup import sql_h60
+
+    a, b = _DIV_ALPHA, _DIV_BUCKETS
+    split_case = _sql_split_case()
+    p = f"(CAST(c AS DOUBLE) + {a!r}) / (CAST(n_tok AS DOUBLE) + {a * b!r})"
+    q = f"(CAST(c_tr AS DOUBLE) + {a!r}) / (CAST(n_tr AS DOUBLE) + {a * b!r})"
+    term = f"CAST(FLOOR({p} * (ln({p}) - ln({q})) * 1000000000.0 + 0.5) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {split_case} AS split, text FROM documents
+  WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT split, {sql_h60("w")} % {b} AS f
+  FROM (SELECT split, unnest(string_split(text, ' ')) AS w FROM d)
+),
+counts AS (
+  SELECT split, f, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2
+),
+totals AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n_tok FROM counts GROUP BY 1),
+ndocs AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+spine AS (
+  SELECT t.split, r.range AS f FROM totals t CROSS JOIN range({b}) r
+),
+com AS (
+  SELECT s.split, s.f, CAST(COALESCE(c.c, 0) AS BIGINT) AS c, t.n_tok
+  FROM spine s
+  LEFT JOIN counts c ON c.split = s.split AND c.f = s.f
+  JOIN totals t ON t.split = s.split
+),
+tr AS (SELECT f, c AS c_tr, n_tok AS n_tr FROM com WHERE split = 'train'),
+kl AS (
+  SELECT com.split, CAST(SUM({term}) AS BIGINT) AS s
+  FROM com JOIN tr ON tr.f = com.f
+  GROUP BY com.split
+)
+SELECT kl.split, ndocs.n_docs, totals.n_tok AS n_tokens,
+       {sql_round_half_up("CAST(s AS DOUBLE) / 1000000000.0", 6)}
+         AS kl_from_train
+FROM kl
+JOIN ndocs ON ndocs.split = kl.split
+JOIN totals ON totals.split = kl.split
+ORDER BY kl.split
+"""
+
+
 QUERIES = {
+    "corpus_split_divergence": q_corpus_split_divergence,
     "corpus_shard_assignment": q_corpus_shard_assignment,
     "corpus_split_summary": q_corpus_split_summary,
     "corpus_split_portable": q_corpus_split_portable,
@@ -700,6 +842,7 @@ QUERIES = {
 }
 
 ORACLES: dict = {
+    "corpus_split_divergence": _oracle_split_divergence(),
     "corpus_shard_assignment": _oracle_shard_assignment(),
     "corpus_split_portable": ORACLE_SPLIT_PORTABLE,
     "corpus_leakage_safe_split": _oracle_leakage_safe_split(),

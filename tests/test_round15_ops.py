@@ -313,6 +313,28 @@ def test_stream_importance_weights_equals_batch(spark, sf_med):
     assert len(batch) > 0
 
 
+def test_split_divergence_anchor_and_nonnegativity(spark, sf_med):
+    """KL(train ‖ train) must be exactly 0 (the built-in anchor the
+    value hash rides on) and every divergence must be ≥ 0 (Gibbs) —
+    with smoothing over the full bucket spine, a negative reading
+    means the spine or smoothing broke."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        split_divergence,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+
+    rows = {
+        r["split"]: r
+        for r in split_divergence(read_table(spark, sf_med, "documents")).collect()
+    }
+    assert rows["train"]["kl_from_train"] == 0.0
+    assert all(r["kl_from_train"] >= 0.0 for r in rows.values())
+    # val/test genuinely diverge on a finite sample (not degenerate 0)
+    assert rows["val"]["kl_from_train"] > 0.0
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
