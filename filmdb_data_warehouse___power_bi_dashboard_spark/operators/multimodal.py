@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -384,6 +384,130 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     media = ascii_guarded(synthesize_media(docs))
     return extract_frame_features(media, k=8).orderBy("media_id", "frame_idx")
+
+
+_SCENE_SCALE = 10_000
+_SCENE_CUT_BP = 500_000  # 50 mean-byte units on the 1e4 grid
+
+
+FRAME_MEANS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_bp", T.LongType(), False),
+    ]
+)
+
+
+def scene_cuts(
+    media: DataFrame, k: int = 8, threshold_bp: int = _SCENE_CUT_BP
+) -> DataFrame:
+    """Scene-cut detection over the sampled frames: a cut is a jump in
+    the per-frame mean byte value (the decode stub's luminance proxy —
+    a real deployment swaps the byte mean for a frame embedding /
+    histogram distance with the identical plan) between CONSECUTIVE
+    sampled frames exceeding ``threshold_bp`` on the exact 1e4 integer
+    grid. The standard pre-processing pass a video training pipeline
+    runs to segment footage before captioning/sampling.
+
+    Exactness: mean_bp = byte_sum·10⁴ // max(len,1) is pure integer
+    arithmetic in the Arrow kernel and replayed bit-for-bit by the
+    oracle's character-sum spelling (ASCII invariant, runtime-guarded).
+    Scale shape: frame features are the same zero-shuffle mapInPandas
+    pass as extract_frame_features; the LAG window partitions by
+    media_id (≤ k rows per group — bounded, never global).
+    """
+    frames = sample_frame_indices(
+        media.filter(F.col("payload").isNotNull()), k
+    ).select(
+        "media_id",
+        "payload",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode("frame_indices").alias("frame_idx"),
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload, n_frames, fi in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"], pdf["frame_idx"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                n = int(n_frames)
+                start = (int(fi) * len(b)) // n
+                end = ((int(fi) + 1) * len(b)) // n
+                fb = b[start:end]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "frame_idx": int(fi),
+                        "mean_bp": (sum(fb) * _SCENE_SCALE) // max(len(fb), 1),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_MEANS.fields])
+
+    feats = frames.mapInPandas(_batches, schema=FRAME_MEANS)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = feats.withColumn("prev", F.lag("mean_bp").over(w))
+    delta = F.abs(F.col("mean_bp") - F.col("prev"))
+    return (
+        lagged.where(F.col("prev").isNotNull() & (delta > threshold_bp))
+        .select("media_id", "frame_idx", delta.cast("long").alias("delta_bp"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = ascii_guarded(synthesize_media(docs))
+    return scene_cuts(media, k=8)
+
+
+ORACLE_SCENE_CUTS = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         text AS payload,
+         CAST(doc_id % 300 + 1 AS INT) AS n_frames
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2 AND text IS NOT NULL
+),
+idx AS (
+  SELECT media_id, payload, n_frames,
+         unnest(list_distinct([CAST(FLOOR(i * n_frames / 8) AS INT)
+                               for i in range(0, 8)])) AS frame_idx
+  FROM vids
+),
+sliced AS (
+  SELECT media_id, frame_idx,
+         substring(payload,
+                   CAST(frame_idx * length(payload) // n_frames AS INT) + 1,
+                   CAST((frame_idx + 1) * length(payload) // n_frames AS INT)
+                   - CAST(frame_idx * length(payload) // n_frames AS INT))
+           AS fb
+  FROM idx
+),
+sums AS (
+  SELECT media_id, frame_idx, length(fb) AS fl,
+         COALESCE(list_sum([ascii(substring(fb, i, 1))
+                            for i in range(1, length(fb) + 1)]), 0) AS bs
+  FROM sliced
+),
+m AS (
+  SELECT media_id, frame_idx,
+         CAST(bs * {_SCENE_SCALE} // GREATEST(fl, 1) AS BIGINT) AS mean_bp
+  FROM sums
+),
+lagged AS (
+  SELECT media_id, frame_idx, mean_bp,
+         LAG(mean_bp) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+  FROM m
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(ABS(mean_bp - prev) AS BIGINT) AS delta_bp
+FROM lagged
+WHERE prev IS NOT NULL AND ABS(mean_bp - prev) > {_SCENE_CUT_BP}
+ORDER BY media_id, frame_idx
+"""
 
 
 # DuckDB has no BLOB substring; the corpus text is pure ASCII
@@ -1226,6 +1350,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_byte_entropy": q_multimodal_byte_entropy,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_scene_cuts": q_multimodal_scene_cuts,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_image_dhash_pairs": q_multimodal_image_dhash_pairs,
     "multimodal_image_dedup_keep": q_multimodal_image_dedup_keep,
@@ -1237,6 +1362,7 @@ ORACLES = {
     "multimodal_byte_stats": ORACLE_BYTE_STATS,
     "multimodal_byte_entropy": ORACLE_BYTE_ENTROPY,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_scene_cuts": ORACLE_SCENE_CUTS,
     "multimodal_audio_windows": ORACLE_AUDIO_WINDOWS,
     "multimodal_image_dhash_pairs": ORACLE_IMAGE_DHASH_PAIRS,
     "multimodal_image_dedup_keep": ORACLE_IMAGE_DEDUP_KEEP,

@@ -335,6 +335,32 @@ def test_split_divergence_anchor_and_nonnegativity(spark, sf_med):
     assert rows["val"]["kl_from_train"] > 0.0
 
 
+def test_scene_cuts_planted_boundary(spark):
+    """A payload whose two halves have drastically different byte
+    means must produce exactly one cut at the half boundary; a uniform
+    payload must produce none."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.multimodal import (
+        scene_cuts,
+    )
+
+    two_tone = b" " * 400 + b"~" * 400  # means 32 vs 126
+    uniform = b"a" * 800
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(two_tone), "video", (8,)),
+            (2, bytearray(uniform), "video", (8,)),
+        ],
+        "media_id long, payload binary, kind string, meta struct<n_frames:int>",
+    )
+    cuts = scene_cuts(media, k=8).collect()
+    assert len(cuts) == 1
+    assert cuts[0]["media_id"] == 1
+    # frames 0-3 cover the space half, 4-7 the tilde half: the jump is
+    # at sampled frame 4 and is (126-32)*1e4 on the grid
+    assert cuts[0]["frame_idx"] == 4
+    assert cuts[0]["delta_bp"] == (126 - 32) * 10_000
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
