@@ -214,6 +214,27 @@ def test_dsir_select_budget_and_ranking(spark, sf_med):
     assert n_above <= n_kept
 
 
+def test_containment_cap_and_bloom_commute(hot_window_docs):
+    """The two production dials must compose: bloom prefilter (answer
+    preserving) with the max_df cap must equal the capped plain plan —
+    on the hot-window fixture where the cap actually bites."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        containment_decontamination_pairs,
+    )
+
+    pred = F.col("source") == "src0"
+    for cap in (None, 5, 10):
+        plain = _pairs(
+            containment_decontamination_pairs(hot_window_docs, pred, max_df=cap)
+        )
+        both = _pairs(
+            containment_decontamination_pairs(
+                hot_window_docs, pred, max_df=cap, bloom_prefilter=True
+            )
+        )
+        assert plain == both, cap
+
+
 def test_containment_bloom_equals_plain_and_prunes(spark, sf_med):
     """The Bloom-prefiltered containment plan must (a) return exactly
     the plain plan's pairs on the real corpus (answer preservation)
@@ -359,6 +380,49 @@ def test_scene_cuts_planted_boundary(spark):
     # at sampled frame 4 and is (126-32)*1e4 on the grid
     assert cuts[0]["frame_idx"] == 4
     assert cuts[0]["delta_bp"] == (126 - 32) * 10_000
+
+
+def test_corpus_release_giant_cluster_skew(spark):
+    """Degenerate skew regime: one near-dup cluster holding ~97% of
+    the corpus (200 identical docs) must collapse to ONE survivor
+    carrying weight 200, with conservation intact and the whole
+    cluster landing in a single split — the all-aggregate argmax path
+    the release design claims survives boilerplate-dominated corpora
+    (no within-cluster window, no per-cluster sort)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        corpus_release,
+    )
+
+    boiler = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning before sunrise begins again"
+    )
+    rows = [(i, boiler, "en", f"src{2 + i % 3}", len(boiler)) for i in range(200)]
+    rows += [
+        (200 + j,
+         f"distinct document number {j} about entirely unrelated topic "
+         f"{'alpha beta gamma delta epsilon zeta'.split()[j]} studies",
+         "en", "src5", 90)
+        for j in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = jaccard_pairs(docs, threshold=0.6)
+    stages = corpus_release(docs, pairs, F.col("source").isin("src0", "src1"))
+    surv = stages["survivors"].collect()
+    weights = {r["doc_id"]: r["weight"] for r in surv}
+    assert weights[0] == 200, weights.get(0)  # keeper of the giant cluster
+    assert sum(weights.values()) == 205  # conservation at extreme skew
+    assert len(surv) == 6  # 1 giant-cluster keeper + 5 singletons
+    # the giant cluster is one split-assignment unit: exactly one
+    # manifest row can carry its weight
+    man = stages["manifest"].collect()
+    big = [r for r in man if r["sum_weight"] >= 200]
+    assert len(big) == 1 and big[0]["n_docs"] == 1
 
 
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
