@@ -24,7 +24,13 @@ table is bounded by ``n_buckets`` (4096 rows) so the scoring join is a
 broadcast; and each ratio is rounded onto a 1e-6 integer grid BEFORE
 the per-document sum, so the reduction is exact BIGINT arithmetic —
 partition-order independent and oracle-checkable (the ln-at-source
-discipline of operators/lm.py bigram_lm_score).
+discipline of operators/lm.py bigram_lm_score). The feature explode
+runs twice overall — once under the model aggregation, once under
+scoring — DELIBERATELY: persisting the corpus-scale token-occurrence
+stream to save a scan is exactly the thing that doesn't survive
+100 TB, while the thing worth keeping (the 4096-row model) is what
+the split log_ratio_table/score_against_model seam lets a caller
+persist and broadcast (the streaming twin does precisely that).
 
 Reference anchor: SURVEY §2.11 extension surface; the reference's
 closest relative is the per-store weighting of its BI measures —
