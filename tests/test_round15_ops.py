@@ -425,6 +425,63 @@ def test_corpus_release_giant_cluster_skew(spark):
     assert len(big) == 1 and big[0]["n_docs"] == 1
 
 
+def test_corpus_release_write_read_back_matches_manifest(spark, sf_med, tmp_path):
+    """End-to-end act: write the released corpus through the
+    stage-and-swap sink (partitioned by split, the layout a trainer
+    reads) and verify the read-back reproduces the manifest EXACTLY —
+    per-(split, source) doc counts, weights, and token totals. This is
+    the last hand-off the composed entry's oracle cannot see: the
+    manifest must describe the bytes on disk, not just the plan."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _DECON_TEST_SOURCES,
+        _materialized_jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        corpus_release,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.sinks import (
+        stage_and_swap_write,
+    )
+
+    docs = read_table(spark, sf_med, "documents")
+    pairs = _materialized_jaccard_pairs(spark, sf_med, threshold=0.6, n=3)
+    stages = corpus_release(docs, pairs, F.col("source").isin(*_DECON_TEST_SOURCES))
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.sampling import (
+        _LEAK_SALT,
+        _LEAK_WEIGHTS,
+        deterministic_split,
+    )
+
+    labeled = deterministic_split(
+        stages["kept"], ["group_id"], _LEAK_WEIGHTS, salt=_LEAK_SALT, portable=True
+    ).select("doc_id", "split", "source", "weight", "cleaned_text")
+    out = str(tmp_path / "release")
+    stage_and_swap_write(labeled, out, partition_by=["split"])
+    back = spark.read.parquet(out)
+    got = {
+        (r["split"], r["source"]): (r["n"], r["w"], r["t"])
+        for r in back.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").alias("w"),
+            F.sum(F.size(F.split(F.col("cleaned_text"), " "))).alias("t"),
+        )
+        .collect()
+    }
+    want = {
+        (r["split"], r["source"]): (
+            r["n_docs"],
+            r["sum_weight"],
+            r["total_tokens"],
+        )
+        for r in stages["manifest"].collect()
+    }
+    assert got == want
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
