@@ -482,6 +482,35 @@ def test_corpus_release_write_read_back_matches_manifest(spark, sf_med, tmp_path
     assert got == want
 
 
+def test_gate_order_tiers_on_synthetic_history(monkeypatch):
+    """Round-15 rotation policy, pinned against regressions: tier 0 =
+    stale/never oracle-bearing (stale first), tier 1 = never-recorded
+    rows-only (one-time attestation), tier 2 = oracle-bearing oldest
+    first, tier 3 = recorded rows-only last."""
+    import filmdb_data_warehouse___power_bi_dashboard_spark.queries as q
+
+    hist = {
+        "a_stale_oracle": {"last_driver_round": 10, "changed_round": 15},
+        "b_never_oracle": {"last_driver_round": None, "changed_round": 15},
+        "c_old_oracle": {"last_driver_round": 8, "changed_round": 5},
+        "d_new_oracle": {"last_driver_round": 14, "changed_round": 5},
+        "e_never_rowsonly": {"last_driver_round": None, "changed_round": 15},
+        "f_recorded_rowsonly": {"last_driver_round": 3, "changed_round": 2},
+    }
+    monkeypatch.setattr(q, "_gate_history", lambda: hist)
+    order = q._gate_order(hist.keys(), oracle_names={
+        "a_stale_oracle", "b_never_oracle", "c_old_oracle", "d_new_oracle"
+    })
+    assert order == [
+        "a_stale_oracle",      # tier 0, stale outranks never
+        "b_never_oracle",      # tier 0, never
+        "e_never_rowsonly",    # tier 1: one-time rows/err slot
+        "c_old_oracle",        # tier 2, oldest evidence first
+        "d_new_oracle",        # tier 2
+        "f_recorded_rowsonly", # tier 3: behind everything forever
+    ]
+
+
 def test_containment_capped_plan_is_join_shaped(hot_window_docs):
     """The r15 restructure must hold in the physical plan: no
     collect_list posting arrays (ObjectHashAggregate) anywhere in the
