@@ -44,6 +44,14 @@ load after EVERY query, and the canary re-runs once after the corpus
 (canary_end_sec) so the in-corpus/post-corpus pair brackets the host
 regime over the run.
 
+Quiet-start guard (round-16 addition): PERF.md's regression rule
+defines a quiet host as load1 < cores/4, yet BENCH_r15 was committed
+from a load1-13.3 launch that made four untouched plans read >30%
+slower. The loop now checks that bound at start; a noisy launch gets
+one extra convergence attempt per query (max 5) and both the summary
+and BENCH_DETAIL carry ``quiet_start``/``quiet_start_bound`` so every
+artifact self-reports whether its floor came from a quiet host.
+
 Cold artifact-build block (round-9 addition): the corpus-versioned
 artifacts (minhash/simhash signatures, postings, IVF/PQ quantizers,
 ANN ground truth) make the corpus loop warm, so their one-time build
@@ -143,6 +151,33 @@ def main() -> None:
 
     load_start = os.getloadavg()
     steal0, ticks0 = _cpu_ticks()
+    # Quiet-start guard (round-16, closing the r15 verdict item): the
+    # r15 artifact was committed from a load1-13.3 launch and four
+    # entries regressed >30% on plans untouched since r9 — exactly the
+    # host-regime failure PERF.md's own regression rule defines quiet
+    # as load1 < cores/4. When the loop starts above that bound the
+    # run cannot be refused (the driver records whatever one run it
+    # gets), so the guard does the next-strongest thing: one extra
+    # convergence attempt per query (max 4 -> 5, more chances for a
+    # clean floor between bursts) and a self-documenting flag so the
+    # artifact says up front whether its readings came from a quiet
+    # host.
+    cores = os.cpu_count() or 32
+    quiet_bound = round(cores / 4.0, 2)
+    quiet_start = load_start[0] < quiet_bound
+    max_attempts = 4 if quiet_start else 5
+    if not quiet_start:
+        print(
+            json.dumps(
+                {
+                    "warn": "noisy_start",
+                    "load1": round(load_start[0], 2),
+                    "quiet_bound": quiet_bound,
+                    "action": "extra convergence attempt per query (max 5)",
+                }
+            )
+        )
+        sys.stdout.flush()
     load1: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     t_all = time.perf_counter()
@@ -161,7 +196,7 @@ def main() -> None:
         # rounds. All raw readings stay in BENCH_DETAIL ("runs") so the
         # spread itself documents the host regime per query.
         attempts: list[float] = []
-        for _ in range(4):
+        for _ in range(max_attempts):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # Materialize every result row JVM-side (no driver collect,
@@ -328,7 +363,8 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {"detail": "per_query_wall", "unit": "sec", "total": total,
-             "policy": "converged_best_of_n_max4", "runs": runs,
+             "policy": f"converged_best_of_n_max{max_attempts}", "runs": runs,
+             "quiet_start": quiet_start, "quiet_start_bound": quiet_bound,
              "warm_fold": warm_fold,
              "committed_from_fold": committed_from_fold,
              "loop_wall_sec": loop_wall,
@@ -376,7 +412,9 @@ def main() -> None:
                 "metric": "corpus_committed_floor_sec",
                 "value": total,
                 "unit": "sec",
-                "policy": "converged_best_of_n_max4",
+                "policy": f"converged_best_of_n_max{max_attempts}",
+                "quiet_start": quiet_start,
+                "quiet_start_bound": quiet_bound,
                 "loop_wall_sec": loop_wall,
                 "n_committed_from_fold": len(committed_from_fold),
                 "queries": {k: times[k] for k in headline if k in times},

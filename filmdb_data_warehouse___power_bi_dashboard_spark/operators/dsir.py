@@ -107,17 +107,32 @@ def log_ratio_table(
     alpha: float = _DSIR_ALPHA,
 ) -> DataFrame:
     """The DSIR model as data: (f, lf) — per-bucket integer-scaled
-    log-likelihood ratio, ≤ ``n_buckets`` rows. Split from the scoring
-    step so a STATIC model can be built once and broadcast to every
-    scoring call (the streaming twin scores arriving batches against
-    exactly this table)."""
+    log-likelihood ratio, exactly ``n_buckets`` rows. Split from the
+    scoring step so a STATIC model can be built once and broadcast to
+    every scoring call (the streaming twin scores arriving batches
+    against exactly this table).
+
+    The table is DENSE (round-16, advisor fix): buckets with zero
+    occurrences in the model corpus still get a row carrying the
+    add-α prior ratio ln((α/(n_p+αB))/(α/(n_q+αB))) — so scoring
+    FUTURE data against a static model prior-scores unseen-bucket
+    features exactly as DSIR smoothing implies, instead of silently
+    dropping them through the join. For the corpus the model was
+    built from this changes nothing (every occurring bucket already
+    had a row with the identical ratio)."""
     a, b = float(alpha), int(n_buckets)
     counts = occ.groupBy("f").agg(
         F.count(F.lit(1)).cast("long").alias("c_q"),
         F.sum(F.col("is_target").cast("long")).alias("c_p"),
     )
-    tot = counts.agg(F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p"))
-    return counts.crossJoin(F.broadcast(tot)).select(
+    spine = occ.sparkSession.range(b).select(F.col("id").cast("long").alias("f"))
+    dense = spine.join(counts, "f", "left").select(
+        "f",
+        F.coalesce("c_q", F.lit(0).cast("long")).alias("c_q"),
+        F.coalesce("c_p", F.lit(0).cast("long")).alias("c_p"),
+    )
+    tot = dense.agg(F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p"))
+    return dense.crossJoin(F.broadcast(tot)).select(
         "f",
         _scaled_long(
             F.log(
@@ -136,7 +151,9 @@ def score_against_model(occ: DataFrame, lam: DataFrame) -> DataFrame:
     """Per-document reduction of a feature stream against a (f, lf)
     model table: exact BIGINT sum of grid-scaled ratios, then the two
     rounded doubles. Unordered — callers order (batch) or append
-    (streaming)."""
+    (streaming). ``lam`` from log_ratio_table is dense over the bucket
+    space, so every feature of future/unseen data finds a row (the
+    smoothed prior ratio) and the inner join drops nothing."""
     s = F.sum("lf")
     n = F.count(F.lit(1))
     return (

@@ -52,7 +52,21 @@ def main() -> None:
     with open(HIST) as fh:
         hist = json.load(fh)
 
-    # Pass 1: fold driver evidence.
+    sys.path.insert(0, REPO)
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import (
+        definition_hashes,
+        oracles,
+    )
+
+    oracle_names = set(oracles())
+
+    # Pass 1: fold driver evidence. An oracle-bearing entry needs a
+    # fully green row (rows+schema+hash, no err). A rows-only entry
+    # (no oracle by design) is attested by its one-time rows/err slot:
+    # the driver records ``err: "no_oracle"`` with a non-null row
+    # count — that marker is the weaker check succeeding, not a
+    # failure, and must fold so the entry drops behind oracle-bearing
+    # ones in the gate rotation instead of re-claiming a slot forever.
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
@@ -60,22 +74,24 @@ def main() -> None:
         for name, rec in data.items():
             if not isinstance(rec, dict) or name not in hist:
                 continue
-            green = (
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match")
-                and not rec.get("err")
-            )
-            if green:
+            if name in oracle_names:
+                attested = (
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                    and not rec.get("err")
+                )
+            else:
+                attested = (
+                    rec.get("spark_rows") is not None
+                    and rec.get("err") in (None, "no_oracle")
+                )
+            if attested:
                 prev = hist[name].get("last_driver_round") or 0
                 hist[name]["last_driver_round"] = max(prev, rnd)
 
-    # Pass 2: sync definition hashes (imports the package — needs the
-    # repo on sys.path but no SparkSession).
-    sys.path.insert(0, REPO)
-    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import (
-        definition_hashes,
-    )
+    # Pass 2: sync definition hashes (needs the package import above
+    # but no SparkSession).
 
     current = definition_hashes()
     moved, new = [], []

@@ -87,3 +87,45 @@ def test_gate_window_is_all_oracle_bearing():
         "rows-only entries with prior driver evidence inside the "
         f"50-entry gate window: {illegitimate}"
     )
+
+
+def test_rows_only_driver_slots_are_folded():
+    """Closes the r15 advisor hole: the one-time rows/err attestation
+    (rows-only entry occupying a gate slot) only works if the fold
+    step actually records it. Any rows-only entry that appears in a
+    committed CORRECTNESS_r*.json with a non-null row count MUST read
+    a non-null last_driver_round in gate_history — otherwise it would
+    re-claim a hash-checkable slot every round and
+    scripts/update_gate_history.py was skipped."""
+    import glob
+    import json
+    import os
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.queries import (
+        _gate_history,
+    )
+
+    hist = _gate_history()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and name in hist  # retired entries linger in old artifacts
+                and name not in _ORACLES
+                and rec.get("spark_rows") is not None
+                and rec.get("err") in (None, "no_oracle")
+            ):
+                attested.add(name)
+    unfolded = [
+        n
+        for n in sorted(attested)
+        if hist.get(n, {}).get("last_driver_round") is None
+    ]
+    assert not unfolded, (
+        "rows-only entries with committed driver rows-slots but no "
+        f"folded last_driver_round (run scripts/update_gate_history.py): {unfolded}"
+    )

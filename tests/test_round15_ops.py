@@ -174,6 +174,39 @@ def test_dsir_model_is_bucket_bounded(spark, sf_small):
     assert n <= _DSIR_BUCKETS
 
 
+def test_dsir_static_model_prior_scores_unseen_buckets(spark):
+    """Round-16 advisor fix: the log_ratio_table/score_against_model
+    seam is advertised for scoring FUTURE data against a static model,
+    where features hash to buckets the model corpus never produced.
+    The model table must be dense (exactly n_buckets rows) and an
+    unseen-bucket feature must contribute the add-α prior ratio
+    ln((α/(n_p+αB))/(α/(n_q+αB))) — not be silently dropped."""
+    import math
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dsir import (
+        log_ratio_table,
+        score_against_model,
+    )
+
+    a, b = 0.5, 16
+    occ_model = spark.createDataFrame(
+        [(0, True, 5), (1, False, 7)],
+        "doc_id long, is_target boolean, f long",
+    )
+    lam = log_ratio_table(occ_model, n_buckets=b, alpha=a)
+    assert lam.count() == b  # dense over the bucket space
+    # score a future doc whose single feature hashes to unseen bucket 3
+    occ_new = spark.createDataFrame(
+        [(99, False, 3)], "doc_id long, is_target boolean, f long"
+    )
+    rows = score_against_model(occ_new, lam).collect()
+    assert len(rows) == 1 and rows[0]["n_features"] == 1
+    n_p, n_q = 1, 2  # model corpus: one target occurrence, two total
+    prior = math.log((a / (n_p + a * b)) / (a / (n_q + a * b)))
+    expected = round(math.floor(prior * 1e6 + 0.5) / 1e6, 6)
+    assert abs(rows[0]["log_weight"] - expected) < 1e-9
+
+
 def test_dsir_select_budget_and_ranking(spark, sf_med):
     """The ACT step: kept token mass must respect the greedy budget
     bound (≤ fraction·total + one doc, the knapsack relaxation), and
