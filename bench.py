@@ -273,6 +273,12 @@ def main() -> None:
         # stride-1 window-hash family — their cost should track the
         # text volume linearly (hashes, never text, shuffle); a ratio
         # drifting past the scan growth flags posting skew.
+        # corpus_dsir_select (round-16): the DSIR pair held the r15
+        # artifact's only >2.0 ratios (weights 3.42, select 3.16 —
+        # fixed-overhead-dominated small side); pinning the select
+        # half alongside the weights makes the sublinearity claim a
+        # measured trend and will show if the deliberate two-pass
+        # feature stream ever crosses toward data-linear.
         # corpus_release / corpus_importance_weights (round-15): the
         # composed release chains the heaviest detect→act stages and
         # DSIR adds a full unigram+bigram explode — pinning both makes
@@ -291,6 +297,7 @@ def main() -> None:
                 "stream_media_dedup",
                 "corpus_release",
                 "corpus_importance_weights",
+                "corpus_dsir_select",
             )
             if n in times and n not in check_names
         ]

@@ -28,6 +28,10 @@ PINNED = [
     "stream_media_dedup",
     "corpus_release",
     "corpus_importance_weights",
+    # round-16: the DSIR pair carried the r15 artifact's only >2.0
+    # ratios (3.42 / 3.16 at 10x data — documented fixed-overhead
+    # effects); pinning both turns that claim into a measured trend.
+    "corpus_dsir_select",
 ]
 
 
