@@ -1934,6 +1934,435 @@ def _oracle_stream_decon() -> str:
     return _oracle_decon_containment()
 
 
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def release_manifest_fold(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    te_hashes: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> None:
+    """ONE micro-batch of incremental release-manifest maintenance —
+    the per-batch fold of :func:`stream_release_manifest`, split out so
+    tests can drive it directly (redelivery, prefix equality).
+
+    State tables under ``state_dir`` (grain in parentheses):
+
+    - ``ledger`` (doc): enrichment computed ONCE per arriving doc —
+      quality/lang (release._enriched), scrub stats vs the STATIC
+      holdout window-hash set (decontamination_scrub's composition
+      with the holdout half precomputed), token count of the cleaned
+      text. Append-only; the raw text is never stored or re-scanned.
+    - ``postings`` (shingle occurrence): the growing inverted index.
+      Append-only. New pairs = batch postings ⨝ index on (block,
+      shingle) + within-batch pairs — the batch×index collision
+      discipline of stream_minhash_dedup, here with EXACT Jaccard
+      (shared counts from the posting join, sizes from the postings)
+      so the accumulated edge set equals the batch pair artifact's.
+    - ``edges`` (near-dup pair): append-only.
+    - ``clusters`` (clustered doc): membership labels, maintained
+      INCREMENTALLY — only clusters touched by new edges are
+      re-labelled (components run on the touched subgraph; untouched
+      clusters keep their labels). Labels are min-member ids, a pure
+      function of the final member set, so incremental maintenance
+      converges to the batch labels whatever the batch boundaries.
+    - ``survivors`` (release group): one row per dedup group carrying
+      keeper id, weight, split, keeper facts, and the quality/lang
+      verdict. Only groups whose member set changed are recomputed.
+    - ``manifest`` (split × source): maintained by DELTA — removed
+      group rows contribute negatively, recomputed ones positively;
+      no corpus-scale scan happens after ingest. ``n_sequences`` is
+      non-additive and derived at read time.
+
+    Idempotent under at-least-once redelivery: arriving docs already
+    present in the ledger are fenced out first, so a redelivered
+    batch is a no-op (pytest-asserted).
+    """
+    from ..operators.dedup import (
+        _CONTAIN_W,
+        _build_postings,
+        _jaccard_from_postings,
+        connected_components,
+    )
+    from ..operators.release import _REL_LANGS, _REL_MIN_QUALITY, _enriched
+    from ..operators.sampling import _LEAK_SALT, _LEAK_WEIGHTS, deterministic_split
+    from ..operators.segments import (
+        remove_duplicated_spans,
+        window_hashes,
+        windows_to_spans,
+    )
+    from ..sources.sinks import stage_and_swap_write
+
+    paths = {
+        k: os.path.join(state_dir, k)
+        for k in ("ledger", "postings", "edges", "clusters", "survivors", "manifest")
+    }
+    batch = batch_df.where(F.col("text").isNotNull())
+    ledger_old = _read_or_none(spark, paths["ledger"])
+    if ledger_old is not None:
+        batch = batch.join(ledger_old.select("doc_id"), "doc_id", "left_anti")
+    batch = batch.localCheckpoint(eager=True)
+    if not batch.take(1):
+        return
+
+    # 1. Per-doc enrichment, once at arrival (the only text scans).
+    hits = (
+        window_hashes(batch, _CONTAIN_W)
+        .join(te_hashes, "h")
+        .select("doc_id", "pos")
+    )
+    scrub = remove_duplicated_spans(
+        batch, spans=windows_to_spans(hits, _CONTAIN_W)
+    ).select("doc_id", "removed_chars", "cleaned_text")
+    led_new = (
+        _enriched(batch)
+        .join(scrub, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "lang_detected",
+            F.col("removed_chars").cast("long").alias("removed_chars"),
+            F.size(F.split(F.col("cleaned_text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    led_new.write.mode("append").parquet(paths["ledger"])
+
+    # 2. New near-dup pairs: within-batch + batch×index.
+    newpost = _build_postings(batch, n).localCheckpoint(eager=True)
+    pairs = _jaccard_from_postings(newpost, threshold=threshold)
+    oldpost = _read_or_none(spark, paths["postings"])
+    if oldpost is not None:
+        o = oldpost.select(
+            "block", "s", F.col("doc_id").alias("d_o"), F.col("sz").alias("sz_o")
+        )
+        nw = newpost.select(
+            "block", "s", F.col("doc_id").alias("d_n"), F.col("sz").alias("sz_n")
+        )
+        inter = (
+            o.join(nw, ["block", "s"])
+            .groupBy("d_o", "d_n", "sz_o", "sz_n")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("sz_o") + F.col("sz_n") - F.col("inter")
+        )
+        cross = (
+            inter.select(
+                F.least("d_o", "d_n").alias("doc_a"),
+                F.greatest("d_o", "d_n").alias("doc_b"),
+                round_half_up(jac, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        pairs = pairs.unionByName(cross)
+    new_edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    new_edges.write.mode("append").parquet(paths["edges"])
+    newpost.write.mode("append").parquet(paths["postings"])
+
+    # Pin pre-swap state eagerly: stage_and_swap_write REPLACES the
+    # files these lazy plans point at, so any deferred execution after
+    # the swap would silently read the NEW state (old_group / removed
+    # below are exactly such post-swap uses).
+    clusters_old = _read_or_none(spark, paths["clusters"])
+    if clusters_old is not None:
+        clusters_old = clusters_old.localCheckpoint(eager=True)
+    have_edges = bool(new_edges.take(1))
+
+    # 3. Touched-cluster incremental components.
+    if have_edges:
+        ends = (
+            new_edges.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        if clusters_old is not None:
+            touched = (
+                clusters_old.join(F.broadcast(ends), "doc_id")
+                .select("cluster_id")
+                .distinct()
+            )
+            touched_docs = (
+                clusters_old.join(F.broadcast(touched), "cluster_id")
+                .select("doc_id")
+                .unionByName(ends)
+                .distinct()
+            )
+            edges_all = _read_or_none(spark, paths["edges"])
+            sub = edges_all.join(
+                F.broadcast(touched_docs.withColumnRenamed("doc_id", "doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+        else:
+            touched = None
+            touched_docs = ends
+            sub = new_edges
+        comp = connected_components(sub, src="doc_a", dst="doc_b").select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        if clusters_old is not None:
+            clusters_new = clusters_old.join(
+                F.broadcast(touched), "cluster_id", "left_anti"
+            ).unionByName(comp)
+        else:
+            clusters_new = comp
+        stage_and_swap_write(clusters_new, paths["clusters"])
+        clusters_new = spark.read.parquet(paths["clusters"])
+        aff = touched_docs.unionByName(batch.select("doc_id")).distinct()
+    else:
+        clusters_new = clusters_old
+        aff = batch.select("doc_id")
+    aff = aff.localCheckpoint(eager=True)
+
+    # 4. Recompute survivor rows for the affected groups only.
+    ledger = spark.read.parquet(paths["ledger"])
+    surv_old = _read_or_none(spark, paths["survivors"])
+    if surv_old is not None:
+        surv_old = surv_old.localCheckpoint(eager=True)
+    if clusters_new is not None:
+        old_group = (
+            aff.join(
+                clusters_old
+                if clusters_old is not None
+                else spark.createDataFrame([], "doc_id long, cluster_id long"),
+                "doc_id",
+                "left",
+            )
+            .select(F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"))
+            .distinct()
+        )
+        aff_groups = (
+            aff.join(clusters_new, "doc_id")
+            .select("cluster_id")
+            .distinct()
+        )
+        members = (
+            clusters_new.join(F.broadcast(aff_groups), "cluster_id")
+            .join(ledger.select("doc_id", "quality_score"), "doc_id")
+        )
+        sizes = members.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("weight")
+        )
+        mx = members.groupBy("cluster_id").agg(
+            F.max("quality_score").alias("__q_max")
+        )
+        keepers = (
+            members.join(F.broadcast(mx), "cluster_id")
+            .where(F.col("quality_score") == F.col("__q_max"))
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        clustered = keepers.join(F.broadcast(sizes), "cluster_id").select(
+            "doc_id", "weight", F.col("cluster_id").alias("group_id")
+        )
+        singleton_ids = aff.join(clusters_new, "doc_id", "left_anti")
+    else:
+        old_group = aff.select(F.col("doc_id").alias("group_id"))
+        clustered = None
+        singleton_ids = aff
+    singles = singleton_ids.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("weight"),
+        F.col("doc_id").alias("group_id"),
+    )
+    new_surv = singles if clustered is None else clustered.unionByName(singles)
+    new_rows = deterministic_split(
+        new_surv.join(ledger, "doc_id"),
+        ["group_id"],
+        _LEAK_WEIGHTS,
+        salt=_LEAK_SALT,
+        portable=True,
+    ).select(
+        "group_id",
+        "doc_id",
+        "weight",
+        "split",
+        "source",
+        "n_tokens",
+        "removed_chars",
+        (
+            F.col("lang_detected").isin(list(_REL_LANGS))
+            & (F.col("quality_score") >= _REL_MIN_QUALITY)
+        ).alias("passes"),
+    ).localCheckpoint(eager=True)
+
+    removed = (
+        surv_old.join(F.broadcast(old_group), "group_id")
+        if surv_old is not None
+        else None
+    )
+    surv_kept = (
+        surv_old.join(F.broadcast(old_group), "group_id", "left_anti")
+        if surv_old is not None
+        else None
+    )
+    surv_all = (
+        new_rows if surv_kept is None else surv_kept.unionByName(new_rows)
+    )
+    stage_and_swap_write(surv_all, paths["survivors"])
+
+    # 5. Manifest delta merge (removed rows negative, new positive).
+    def _contrib(rows: DataFrame, sign: int) -> DataFrame:
+        return rows.where("passes").select(
+            "split",
+            "source",
+            F.lit(sign).cast("long").alias("n_docs"),
+            (F.lit(sign) * F.col("weight")).cast("long").alias("sum_weight"),
+            (F.lit(sign) * F.col("n_tokens")).cast("long").alias("total_tokens"),
+            (F.lit(sign) * F.col("removed_chars"))
+            .cast("long")
+            .alias("removed_chars"),
+        )
+
+    delta = _contrib(new_rows, 1)
+    if removed is not None:
+        delta = delta.unionByName(_contrib(removed, -1))
+    manifest_old = _read_or_none(spark, paths["manifest"])
+    if manifest_old is not None:
+        delta = delta.unionByName(manifest_old)
+    manifest_new = delta.groupBy("split", "source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_weight").cast("long").alias("sum_weight"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("removed_chars").cast("long").alias("removed_chars"),
+    )
+    stage_and_swap_write(manifest_new, paths["manifest"])
+
+
+def read_release_manifest(
+    spark: SparkSession, state_dir: str, seq_len: int = 512
+) -> DataFrame:
+    """The maintained manifest in the batch entry's exact shape:
+    zero-count keys (groups that drained out of a (split, source)
+    cell) are dropped, ``n_sequences`` derived from the running token
+    total — non-additive, so it is computed at read, never folded.
+    No-arrivals corpus (possible on degenerate inputs) reads as the
+    empty manifest, matching the batch entry."""
+    m = _read_or_none(spark, os.path.join(state_dir, "manifest"))
+    if m is None:
+        m = spark.createDataFrame(
+            [],
+            "split string, source string, n_docs long, sum_weight long,"
+            " total_tokens long, removed_chars long",
+        )
+    return (
+        m.where(F.col("n_docs") > 0)
+        .withColumn(
+            "n_sequences",
+            F.expr(f"(total_tokens + {seq_len - 1}) div {seq_len}"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "sum_weight",
+            "total_tokens",
+            "removed_chars",
+            "n_sequences",
+        )
+        .orderBy("split", "source")
+    )
+
+
+def stream_release_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """INCREMENTAL release-manifest maintenance — the streaming twin of
+    the composed ``corpus_release`` chain: train documents arrive as
+    micro-batches and a foreachBatch fold keeps the release manifest
+    current, instead of re-running the whole detect→act pipeline from
+    scratch per refresh (the reference's all-or-nothing refresh
+    transaction — insertion_dataware.sql:1,197 — made continuous; at
+    100 TB a pipeline re-releases incrementally or not at all).
+
+    Static-before-stream (the discipline of stream_decontamination /
+    stream_importance_weights): the benchmark holdout is known before
+    ingestion starts, so its window-hash set is built once; everything
+    train-side is incremental — see :func:`release_manifest_fold` for
+    the per-batch state story. Every stage reuses its registered
+    operator's exact spelling (shingles/postings/Jaccard rounding,
+    quality/lang exprs, scrub composition, min-label components,
+    quality-argmax keeper, portable group split), so after the last
+    batch the maintained manifest equals the batch ``corpus_release``
+    manifest bit-for-bit — attested by the SAME oracle, with per-batch
+    prefix equality and redelivery idempotency pytest-asserted
+    (tests/test_round16_ops.py).
+    """
+    from ..operators.dedup import _CONTAIN_W, _DECON_TEST_SOURCES
+    from ..operators.segments import window_hashes
+    from ..sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    test_pred = F.col("source").isin(*_DECON_TEST_SOURCES)
+    te_hashes = (
+        window_hashes(docs.where(test_pred), _CONTAIN_W)
+        .select("h")
+        .distinct()
+        .persist()
+    )
+    te_hashes.count()  # materialize the static holdout index once
+    train = docs.where(~test_pred)
+    staged = tempfile.mkdtemp(prefix="relstream-")
+    state_dir = tempfile.mkdtemp(prefix="rel-state-")
+    checkpoint = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        for b in range(n_slices):
+            train.where(
+                F.pmod(F.col("doc_id"), F.lit(n_slices)) == b
+            ).coalesce(1).write.mode("append").parquet(staged)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(staged)
+        )
+
+        def fold(batch_df: DataFrame, _batch_id: int) -> None:
+            release_manifest_fold(spark, state_dir, batch_df, te_hashes)
+
+        name = f"stream_rel_{uuid.uuid4().hex[:8]}"
+        with _sized_state(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(fold)
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return read_release_manifest(spark, state_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        te_hashes.unpersist()
+        for d in (staged, state_dir, checkpoint):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def q_stream_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_release_manifest(spark, sf_dir)
+
+
+def _oracle_stream_release() -> str:
+    # Final maintained state = release over the full corpus (static
+    # holdout, train-complete after the last batch), so the oracle IS
+    # the batch corpus_release oracle.
+    from ..operators.release import _oracle_corpus_release
+
+    return _oracle_corpus_release()
+
+
 QUERIES = {
     "stream_decontamination": q_stream_decontamination,
     "stream_importance_weights": q_stream_importance_weights,
@@ -1951,10 +2380,12 @@ QUERIES = {
     "stream_sliding_hour": q_stream_sliding_hour,
     "stream_left_attribution": q_stream_left_attribution,
     "stream_minhash_dedup": q_stream_minhash_dedup,
+    "stream_release_manifest": q_stream_release_manifest,
 }
 
 ORACLES = {
     "stream_decontamination": _oracle_stream_decon(),
+    "stream_release_manifest": _oracle_stream_release(),
     "stream_importance_weights": _oracle_stream_dsir(),
     "stream_cms_user_counts": _oracle_stream_cms(),
     "stream_hll_daily_users": _oracle_stream_hll(),

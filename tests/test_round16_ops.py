@@ -1,0 +1,144 @@
+"""Round-16 additions: incremental release-manifest maintenance.
+
+The streaming twin of the composed ``corpus_release`` chain maintains
+the release manifest under arriving train batches via per-batch state
+folds (ledger / postings index / edges / touched-cluster relabels /
+survivor deltas). These tests pin the two properties the driver's
+final-state oracle cannot see:
+
+- PREFIX equality: after EVERY batch — not just the last — the
+  maintained manifest equals the batch ``corpus_release`` manifest of
+  the documents ingested so far (holdout static + train prefix). This
+  is what makes the maintainer a continuous release, not a deferred
+  batch job.
+- Redelivery idempotency: re-folding an already-ingested batch is a
+  byte-level no-op on every state table (at-least-once delivery is
+  the only guarantee a real source gives).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def release_stream_state(spark, sf_small):
+    """Drive release_manifest_fold manually over 3 doc_id slices of
+    the sf0.001 train corpus, capturing the manifest after each fold
+    plus the batch-operator manifest of each prefix."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _CONTAIN_W,
+        _DECON_TEST_SOURCES,
+        jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        corpus_release,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.segments import (
+        window_hashes,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        read_release_manifest,
+        release_manifest_fold,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    test_pred = F.col("source").isin(*_DECON_TEST_SOURCES)
+    holdout = docs.where(test_pred).localCheckpoint(eager=True)
+    te_h = (
+        window_hashes(holdout, _CONTAIN_W).select("h").distinct().persist()
+    )
+    te_h.count()
+    train = docs.where(~test_pred).localCheckpoint(eager=True)
+    n_slices = 3
+    state_dir = tempfile.mkdtemp(prefix="rel-test-")
+    after_each = []
+    expected_each = []
+    slices = [
+        train.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).localCheckpoint(
+            eager=True
+        )
+        for b in range(n_slices)
+    ]
+    prefix = holdout
+    for b, sl in enumerate(slices):
+        release_manifest_fold(spark, state_dir, sl, te_h)
+        after_each.append(_rows(read_release_manifest(spark, state_dir)))
+        prefix = prefix.unionByName(sl)
+        pref = prefix.localCheckpoint(eager=True)
+        expected = corpus_release(
+            pref, jaccard_pairs(pref, threshold=0.6, n=3), test_pred
+        )["manifest"]
+        expected_each.append(_rows(expected))
+    yield {
+        "state_dir": state_dir,
+        "after_each": after_each,
+        "expected_each": expected_each,
+        "slices": slices,
+        "te_h": te_h,
+    }
+    te_h.unpersist()
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_release_manifest_prefix_equality(release_stream_state):
+    """After every fold the maintained manifest must equal the batch
+    corpus_release manifest of the ingested prefix — bit-for-bit,
+    including token totals, scrub chars and sequence counts."""
+    st = release_stream_state
+    for b, (got, want) in enumerate(zip(st["after_each"], st["expected_each"])):
+        assert got == want, f"batch {b}: maintained manifest != batch release"
+    assert len(st["after_each"][-1]) > 0
+
+
+def test_release_manifest_redelivery_is_noop(spark, release_stream_state):
+    """Re-folding an already-ingested slice must change nothing: the
+    ledger fence makes the whole fold exactly-once under at-least-once
+    delivery. Checked on every state table, not just the manifest."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        read_release_manifest,
+        release_manifest_fold,
+    )
+
+    st = release_stream_state
+    state_dir = st["state_dir"]
+    before = {
+        t: _rows(spark.read.parquet(os.path.join(state_dir, t)))
+        for t in ("ledger", "edges", "clusters", "survivors", "manifest")
+        if os.path.exists(os.path.join(state_dir, t))
+    }
+    release_manifest_fold(spark, state_dir, st["slices"][0], st["te_h"])
+    release_manifest_fold(spark, state_dir, st["slices"][-1], st["te_h"])
+    after = {
+        t: _rows(spark.read.parquet(os.path.join(state_dir, t)))
+        for t in before
+    }
+    assert before == after
+    assert _rows(read_release_manifest(spark, state_dir)) == st["after_each"][-1]
+
+
+def test_release_manifest_streaming_entry_equals_batch(spark, sf_small):
+    """End-to-end: the registered streaming entry (availableNow file
+    stream, 2-file triggers) returns the batch entry's manifest."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        q_corpus_release,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        q_stream_release_manifest,
+    )
+
+    got = _rows(q_stream_release_manifest(spark, sf_small))
+    want = _rows(q_corpus_release(spark, sf_small))
+    assert got == want and len(got) > 0
