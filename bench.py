@@ -273,6 +273,9 @@ def main() -> None:
         # stride-1 window-hash family — their cost should track the
         # text volume linearly (hashes, never text, shuffle); a ratio
         # drifting past the scan growth flags posting skew.
+        # stream_release_manifest (round-16): the incremental release
+        # maintainer — pinned so its per-batch fold cost reads as a
+        # trend against the batch corpus_release it must equal.
         # corpus_dsir_select (round-16): the DSIR pair held the r15
         # artifact's only >2.0 ratios (weights 3.42, select 3.16 —
         # fixed-overhead-dominated small side); pinning the select
@@ -298,6 +301,7 @@ def main() -> None:
                 "corpus_release",
                 "corpus_importance_weights",
                 "corpus_dsir_select",
+                "stream_release_manifest",
             )
             if n in times and n not in check_names
         ]

@@ -32,6 +32,10 @@ PINNED = [
     # ratios (3.42 / 3.16 at 10x data — documented fixed-overhead
     # effects); pinning both turns that claim into a measured trend.
     "corpus_dsir_select",
+    # round-16: the incremental release maintainer — its "no
+    # corpus-scale scan after ingest" claim should read as a ratio
+    # tracking the batch corpus_release's, plus trigger floors.
+    "stream_release_manifest",
 ]
 
 

@@ -129,6 +129,86 @@ def test_release_manifest_redelivery_is_noop(spark, release_stream_state):
     assert _rows(read_release_manifest(spark, state_dir)) == st["after_each"][-1]
 
 
+def test_release_manifest_cross_batch_cluster_merge(spark):
+    """The hardest incremental path, forced deliberately: clusters A
+    (batch 1) and B (batch 2) are DISJOINT near-dup clusters until a
+    bridging doc arrives in batch 3 whose text overlaps both — the
+    maintainer must merge them into one cluster labeled by the global
+    min id, absorb the old survivor rows, and still equal the batch
+    release at every prefix. Also exercises singleton absorption (doc
+    30 stays a singleton throughout) and the scrub path (doc 30
+    shares a 40+-char window with the holdout doc)."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _CONTAIN_W,
+        jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        corpus_release,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.segments import (
+        window_hashes,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        read_release_manifest,
+        release_manifest_fold,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog near the riverbank"
+    t10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t20 = "one two three four five six seven eight nine ten"
+    rows = [
+        (5, t10 + " " + t20, "en", "web", 1),      # bridge: overlaps A and B
+        (10, t10, "en", "web", 1),                 # cluster A
+        (11, t10, "en", "web", 1),
+        (20, t20, "en", "books", 1),               # cluster B
+        (21, t20, "en", "books", 1),
+        (30, "warehouse logistics report " + leak, "en", "web", 1),
+        (90, "benchmark question set " + leak, "en", "src0", 1),  # holdout
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    test_pred = F.col("source") == "src0"
+    holdout = docs.where(test_pred)
+    te_h = window_hashes(holdout, _CONTAIN_W).select("h").distinct()
+    thr = 0.4  # J(bridge, A) = 8/18 ≈ 0.444; J(A, B) = 0
+    batches = [[10, 11], [20, 21, 30], [5]]
+    state_dir = tempfile.mkdtemp(prefix="rel-merge-")
+    try:
+        seen: list[int] = []
+        for ids in batches:
+            seen += ids
+            release_manifest_fold(
+                spark,
+                state_dir,
+                docs.where(F.col("doc_id").isin(ids)),
+                te_h,
+                threshold=thr,
+            )
+            prefix = docs.where(
+                F.col("doc_id").isin(seen) | test_pred
+            ).localCheckpoint(eager=True)
+            want = _rows(
+                corpus_release(
+                    prefix, jaccard_pairs(prefix, threshold=thr, n=3), test_pred
+                )["manifest"]
+            )
+            got = _rows(read_release_manifest(spark, state_dir))
+            assert got == want, f"after batch {ids}: maintained != batch release"
+        clusters = spark.read.parquet(os.path.join(state_dir, "clusters"))
+        labels = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+        assert labels == {5: 5, 10: 5, 11: 5, 20: 5, 21: 5}  # A ∪ B merged
+        surv = spark.read.parquet(os.path.join(state_dir, "survivors"))
+        w = {r["group_id"]: r["weight"] for r in surv.collect()}
+        assert w == {5: 5, 30: 1}  # one merged group + the singleton
+        scrubbed = spark.read.parquet(os.path.join(state_dir, "ledger")).where(
+            F.col("doc_id") == 30
+        ).collect()[0]
+        assert scrubbed["removed_chars"] >= len(leak)  # holdout window cut
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def test_release_manifest_streaming_entry_equals_batch(spark, sf_small):
     """End-to-end: the registered streaming entry (availableNow file
     stream, 2-file triggers) returns the batch entry's manifest."""
