@@ -1938,6 +1938,56 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path) if os.path.exists(path) else None
 
 
+_LOCAL_CC_EDGES = 100_000
+
+
+def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-element labels — exact twin of
+    operators/dedup.connected_components for SMALL edge sets. The
+    per-batch touched subgraph of the release maintainer is usually a
+    handful of clusters; the distributed min-label loop costs ~2.5 s
+    of driver-round fixed overhead per call (measured, sf0.1), which
+    dominates the fold. Union-by-min keeps every component's root at
+    its global minimum id, so labels match the distributed routine
+    exactly (pytest-asserted on shared inputs)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _components_auto(spark: SparkSession, sub: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) labels for an edge set: driver union-find
+    under ``_LOCAL_CC_EDGES`` edges, the distributed min-label loop
+    beyond it — a size-GUARDED collect, so the fast path can never
+    become a driver-memory hazard when a pathological batch touches a
+    corpus-sized subgraph."""
+    from ..operators.dedup import connected_components
+
+    if sub.limit(_LOCAL_CC_EDGES + 1).count() <= _LOCAL_CC_EDGES:
+        labels = _local_components(
+            [(r["doc_a"], r["doc_b"]) for r in sub.collect()]
+        )
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(labels.items())],
+            "doc_id long, cluster_id long",
+        )
+    return connected_components(sub, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def release_manifest_fold(
     spark: SparkSession,
     state_dir: str,
@@ -1986,7 +2036,6 @@ def release_manifest_fold(
         _CONTAIN_W,
         _build_postings,
         _jaccard_from_postings,
-        connected_components,
     )
     from ..operators.release import _REL_LANGS, _REL_MIN_QUALITY, _enriched
     from ..operators.sampling import _LEAK_SALT, _LEAK_WEIGHTS, deterministic_split
@@ -2104,9 +2153,7 @@ def release_manifest_fold(
             touched = None
             touched_docs = ends
             sub = new_edges
-        comp = connected_components(sub, src="doc_a", dst="doc_b").select(
-            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
+        comp = _components_auto(spark, sub)
         if clusters_old is not None:
             clusters_new = clusters_old.join(
                 F.broadcast(touched), "cluster_id", "left_anti"

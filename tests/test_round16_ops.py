@@ -129,6 +129,41 @@ def test_release_manifest_redelivery_is_noop(spark, release_stream_state):
     assert _rows(read_release_manifest(spark, state_dir)) == st["after_each"][-1]
 
 
+def test_local_components_equals_distributed(spark, sf_small):
+    """The fold's size-guarded driver union-find must label exactly
+    like the distributed min-label loop — checked on the real sf0.001
+    near-dup pair graph plus a chain (worst diameter) and a
+    star-with-bridge synthetic."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.sources.catalog import (
+        read_table,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        _local_components,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    real = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.6, n=3).collect()
+    ]
+    synth = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (5, 10)]
+    for pairs in (real, synth):
+        if not pairs:
+            continue
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        want = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                edges, src="doc_a", dst="doc_b"
+            ).collect()
+        }
+        assert _local_components(pairs) == want
+
+
 def test_release_manifest_cross_batch_cluster_merge(spark):
     """The hardest incremental path, forced deliberately: clusters A
     (batch 1) and B (batch 2) are DISJOINT near-dup clusters until a
