@@ -244,6 +244,71 @@ def test_release_manifest_cross_batch_cluster_merge(spark):
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def test_release_manifest_giant_cluster_across_batches(spark):
+    """Skew worst case: EVERY doc is a near-dup of every other, so
+    each batch touches the one giant cluster and the fold must relabel
+    and re-derive its survivor row every time (maximal churn). Pins:
+    single final cluster labeled by the global min id, weight = corpus
+    size, manifest equality with the batch release at every prefix —
+    the incremental path degrades to full-cluster recompute without
+    ever being wrong."""
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
+        _CONTAIN_W,
+        jaccard_pairs,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.release import (
+        corpus_release,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators.segments import (
+        window_hashes,
+    )
+    from filmdb_data_warehouse___power_bi_dashboard_spark.streaming.jobs import (
+        read_release_manifest,
+        release_manifest_fold,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    n = 24
+    rows = [(i, base, "en", f"src{2 + i % 3}", 1) for i in range(3, 3 + n)]
+    rows.append((1, "totally unrelated benchmark text", "en", "src0", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    test_pred = F.col("source") == "src0"
+    te_h = (
+        window_hashes(docs.where(test_pred), _CONTAIN_W).select("h").distinct()
+    )
+    state_dir = tempfile.mkdtemp(prefix="rel-giant-")
+    try:
+        seen: list[int] = []
+        for b in range(3):
+            ids = [i for i in range(3, 3 + n) if i % 3 == b]
+            seen += ids
+            release_manifest_fold(
+                spark,
+                state_dir,
+                docs.where(F.col("doc_id").isin(ids)),
+                te_h,
+            )
+            prefix = docs.where(
+                F.col("doc_id").isin(seen) | test_pred
+            ).localCheckpoint(eager=True)
+            want = _rows(
+                corpus_release(
+                    prefix, jaccard_pairs(prefix, threshold=0.6, n=3), test_pred
+                )["manifest"]
+            )
+            got = _rows(read_release_manifest(spark, state_dir))
+            assert got == want, f"after batch {b}: maintained != batch release"
+        clusters = spark.read.parquet(os.path.join(state_dir, "clusters"))
+        labels = {r["cluster_id"] for r in clusters.collect()}
+        assert labels == {3} and clusters.count() == n  # one giant cluster
+        surv = spark.read.parquet(os.path.join(state_dir, "survivors"))
+        assert _rows(surv.select("group_id", "weight")) == [(3, n)]
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def test_release_manifest_streaming_entry_equals_batch(spark, sf_small):
     """End-to-end: the registered streaming entry (availableNow file
     stream, 2-file triggers) returns the batch entry's manifest."""
