@@ -115,6 +115,63 @@ def global_row_number(
     )
 
 
+def _pick_boundaries(
+    sample_keys: list[tuple], n_pairs: int, n_parts: int
+) -> tuple[int, list[tuple]]:
+    """Boundary selection from a collected key sample (tuples of key
+    values, full order width ``n_pairs``).
+
+    Bucketing only needs a PREFIX of the sort key: rows tied on the
+    prefix compare equal against every boundary, so they land in the
+    same bucket together, and the within-bucket window still sorts
+    by the FULL order — ranks are exact regardless of prefix length.
+    A short prefix matters: the bucket expression is evaluated per
+    row per boundary, and 31 boundaries x 7-column lexicographic
+    chains measured 3.2x the scan cost of 31 single-column
+    comparisons. Pick the shortest prefix whose sampled distinct
+    count supports n_parts balanced buckets.
+
+    Python-side sort order need not match Spark's: boundary PICKING
+    only affects bucket balance, never correctness (the bucket
+    expression compares in Spark's semantics)."""
+    prefix_len = n_pairs
+    for p in range(1, n_pairs + 1):
+        if len({t[:p] for t in sample_keys}) >= 4 * n_parts:
+            prefix_len = p
+            break
+    keys = sorted({t[:prefix_len] for t in sample_keys}, key=lambda t: tuple(map(str, t)))
+    n_buckets = min(n_parts, max(1, len(keys)))
+    boundaries = [
+        keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)
+    ] if keys else []
+    return prefix_len, boundaries
+
+
+def _bucket_expr(
+    pairs: list[tuple[Column, bool]], prefix_len: int, boundaries: list[tuple]
+) -> Column:
+    """bucket = count of boundaries <= key-prefix, compared
+    lexicographically in SPARK's semantics with per-column direction.
+    Monotonic in the sort order whatever order the boundaries were
+    picked in, so bucket ranges partition the total order into
+    contiguous runs. Pure codegen expressions — no join, no extra
+    shuffle."""
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(_ge_boundary(pairs[:prefix_len], b), 1).otherwise(0)
+    return bucket.cast("int")
+
+
+def _sample_predicate(cols: list[Column], n: int, target: int) -> Column | None:
+    """The deterministic hash predicate selecting boundary-sample rows
+    (None = collect every key): a pure row predicate, so the sample
+    set is a function of the data alone."""
+    if n <= target:
+        return None
+    threshold = max(1, int(_HASH_MOD * target / n))
+    return F.pmod(F.xxhash64(*cols), F.lit(_HASH_MOD)) < threshold
+
+
 def _assign_range_buckets(
     df: DataFrame,
     pairs: list[tuple[Column, bool]],
@@ -130,53 +187,126 @@ def _assign_range_buckets(
     cols = [c for c, _ in pairs]
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # 1. Deterministic boundary sample: filter on a hash of the key —
-    #    a pure row predicate, so the sample set is a function of the
-    #    data alone. Two cheap jobs (count + sample collect) touch only
-    #    the key columns (column-pruned scans).
+    # 1. Deterministic boundary sample. Two cheap jobs (count + sample
+    #    collect) touch only the key columns (column-pruned scans).
     n = n_rows if n_rows is not None else df.count()
     target = n_parts * _SAMPLES_PER_BUCKET
     keyed = df.select(*[c.alias(f"f{i}") for i, c in enumerate(cols)])
-    if n > target:
-        threshold = max(1, int(_HASH_MOD * target / n))
-        sample = keyed.where(
-            F.pmod(F.xxhash64(*[F.col(f"f{i}") for i in range(len(cols))]), F.lit(_HASH_MOD))
-            < threshold
-        ).collect()
-    else:
-        sample = keyed.collect()
-    # Bucketing only needs a PREFIX of the sort key: rows tied on the
-    # prefix compare equal against every boundary, so they land in the
-    # same bucket together, and the within-bucket window still sorts
-    # by the FULL order — ranks are exact regardless of prefix length.
-    # A short prefix matters: the bucket expression is evaluated per
-    # row per boundary, and 31 boundaries x 7-column lexicographic
-    # chains measured 3.2x the scan cost of 31 single-column
-    # comparisons. Pick the shortest prefix whose sampled distinct
-    # count supports n_parts balanced buckets.
-    prefix_len = len(pairs)
-    for p in range(1, len(pairs) + 1):
-        if len({tuple(r)[:p] for r in sample}) >= 4 * n_parts:
-            prefix_len = p
-            break
-    # Python-side sort order need not match Spark's: boundary PICKING
-    # only affects bucket balance, never correctness (see below).
-    keys = sorted({tuple(r)[:prefix_len] for r in sample}, key=lambda t: tuple(map(str, t)))
-    n_buckets = min(n_parts, max(1, len(keys)))
-    boundaries = [
-        keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)
-    ] if keys else []
+    pred = _sample_predicate([F.col(f"f{i}") for i in range(len(cols))], n, target)
+    sample = (keyed.where(pred) if pred is not None else keyed).collect()
+    prefix_len, boundaries = _pick_boundaries(
+        [tuple(r) for r in sample], len(pairs), n_parts
+    )
+    return df.withColumn(_PID, _bucket_expr(pairs, prefix_len, boundaries)), n
 
-    # 2. bucket = count of boundaries <= key-prefix, compared
-    #    lexicographically in SPARK's semantics with per-column
-    #    direction. Monotonic in the sort order whatever order the
-    #    boundaries were picked in, so bucket ranges partition the
-    #    total order into contiguous runs. Pure codegen expressions —
-    #    no join, no extra shuffle.
-    bucket = F.lit(0)
-    for b in boundaries:
-        bucket = bucket + F.when(_ge_boundary(pairs[:prefix_len], b), 1).otherwise(0)
-    return df.withColumn(_PID, bucket.cast("int")), n
+
+def global_row_numbers(
+    df: DataFrame,
+    specs: dict[str, list],
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Several global row_number columns over the SAME frame in one
+    fused pass (round-16 optimization, guide §1.2 step 1 / §2.4).
+
+    ``specs`` maps each output column name to its order spec (same
+    entries :func:`global_row_number` takes). Each alias's ranks are
+    bit-identical to ``global_row_number(df, specs[alias], alias)`` —
+    same deterministic hash sample, same boundary picking, same
+    within-bucket window — but the driver pays ONE boundary-sample job
+    and ONE per-bucket-count job for all specs instead of two per
+    spec, and the ranks land as window columns chained in a single
+    plan, so callers that previously ranked k times and joined the
+    results back (k joins, k redundant scans) get one join-free plan.
+    """
+    spark = df.sparkSession
+    pairs_by = {alias: _normalize_order(order) for alias, order in specs.items()}
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n = n_rows if n_rows is not None else df.count()
+    target = n_parts * _SAMPLES_PER_BUCKET
+
+    # 1. ONE fused boundary-sample job: every spec's key columns ride
+    #    the same collect, each spec keeping exactly the rows its own
+    #    hash predicate selects — the per-spec sample multiset is
+    #    identical to the single-spec spelling's.
+    sel: list[Column] = []
+    for alias, pairs in pairs_by.items():
+        cols = [c for c, _ in pairs]
+        pred = _sample_predicate(cols, n, target)
+        sel.append(
+            F.struct(
+                (F.lit(True) if pred is None else pred).alias("keep"),
+                *[c.alias(f"f{i}") for i, c in enumerate(cols)],
+            ).alias(alias)
+        )
+    collected = df.select(*sel)
+    # Keep rows where ANY spec sampled them; each struct's "keep"
+    # field is that spec's own predicate.
+    keep = None
+    for alias in pairs_by:
+        flag = F.col(alias).getField("keep")
+        keep = flag if keep is None else (keep | flag)
+    sample_rows = collected.where(keep).collect()
+
+    buckets: dict[str, tuple[int, list[tuple]]] = {}
+    for alias, pairs in pairs_by.items():
+        keys = [tuple(r[alias])[1:] for r in sample_rows if r[alias][0]]
+        buckets[alias] = _pick_boundaries(keys, len(pairs), n_parts)
+
+    bucket_cols = {alias: f"{_PID}_{alias}" for alias in pairs_by}
+    out = df
+    for alias, pairs in pairs_by.items():
+        prefix_len, boundaries = buckets[alias]
+        out = out.withColumn(
+            bucket_cols[alias], _bucket_expr(pairs, prefix_len, boundaries)
+        )
+
+    # 2. ONE fused per-bucket-count job: explode (spec, bucket) pairs,
+    #    count each cell — <= n_parts cells per spec, trivially
+    #    collectable at any scale.
+    cells = (
+        out.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(alias).alias("a"),
+                            F.col(bucket_cols[alias]).alias("b"),
+                        )
+                        for alias in pairs_by
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    offs: dict[str, Column] = {}
+    for alias in pairs_by:
+        acc = 0
+        offset_map: list[Column] = []
+        for row in sorted((r for r in cells if r["a"] == alias), key=lambda r: r["b"]):
+            offset_map.extend([F.lit(row["b"]), F.lit(acc)])
+            acc += row["c"]
+        offs[alias] = F.create_map(*offset_map) if offset_map else F.create_map()
+
+    # 3. Per-spec windows chained in one plan (each partitions by its
+    #    own bucket id — same exchanges the single-spec spelling pays,
+    #    minus the k result-joins).
+    for alias, pairs in pairs_by.items():
+        sort_cols = [c if asc else c.desc() for c, asc in pairs]
+        w = Window.partitionBy(bucket_cols[alias]).orderBy(*sort_cols)
+        out = out.withColumn(
+            alias,
+            (
+                F.row_number().over(w)
+                + F.element_at(offs[alias], F.col(bucket_cols[alias]))
+            ).cast("long"),
+        )
+    return out.drop(*bucket_cols.values())
 
 
 def global_running_sum(

@@ -209,21 +209,34 @@ def build_fact_paiement(
     dims = dims or {}
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
-    dim_client = dims.get("dim_client")
-    if dim_client is None:
-        dim_client = build_dim_client(spark, sf_dir)
-    dim_magasin = dims.get("dim_magasin")
-    if dim_magasin is None:
-        dim_magasin = build_dim_magasin(spark, sf_dir)
-    dim_film = dims.get("dim_film")
-    if dim_film is None:
-        dim_film = build_dim_film(spark, sf_dir)
+    # Round-16 optimization (guide §2.6 — overlap independent jobs):
+    # the three dim builds and the lineitem surrogate ranking are
+    # independent, and each pays 2-3 small sequential driver jobs
+    # (boundary sample + bucket counts inside global_row_number).
+    # Built serially they serialized ~12 tiny jobs (~4.3 s of the
+    # entry's 4.34 s committed time was DataFrame CONSTRUCTION, exec
+    # was 0.08 s); a small thread pool lets Spark backfill them.
+    from concurrent.futures import ThreadPoolExecutor
 
-    keyed = global_row_number(
-        lineitem,
-        _FACT_ORDER,
-        alias="source_paiement_id",
-    )
+    tasks: dict[str, object] = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        if dims.get("dim_client") is None:
+            tasks["dim_client"] = pool.submit(build_dim_client, spark, sf_dir)
+        if dims.get("dim_magasin") is None:
+            tasks["dim_magasin"] = pool.submit(build_dim_magasin, spark, sf_dir)
+        if dims.get("dim_film") is None:
+            tasks["dim_film"] = pool.submit(build_dim_film, spark, sf_dir)
+        tasks["keyed"] = pool.submit(
+            global_row_number, lineitem, _FACT_ORDER, alias="source_paiement_id"
+        )
+    def _dim(name: str) -> DataFrame:
+        got = dims.get(name)
+        return got if got is not None else tasks[name].result()
+
+    dim_client = _dim("dim_client")
+    dim_magasin = _dim("dim_magasin")
+    dim_film = _dim("dim_film")
+    keyed = tasks["keyed"].result()
     base = keyed.join(
         orders.select("o_orderkey", "o_custkey"),
         keyed.l_orderkey == orders.o_orderkey,
@@ -292,15 +305,41 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
-    dim_categorie = build_dim_categorie(spark, sf_dir)
-    dim_film = build_dim_film(spark, sf_dir, dim_categorie)
+    # Round-16 optimization (guide §2.6): the dim builds are mutually
+    # independent (film depends only on categorie); build them from a
+    # small thread pool so their tiny driver jobs (boundary sample +
+    # bucket counts) overlap instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cat_and_film(sp, sd):
+        cat = build_dim_categorie(sp, sd)
+        return cat, build_dim_film(sp, sd, cat)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            "dim_date": pool.submit(build_dim_date, spark, sf_dir),
+            "dim_client": pool.submit(build_dim_client, spark, sf_dir),
+            "dim_magasin": pool.submit(build_dim_magasin, spark, sf_dir),
+            "cat_film": pool.submit(_cat_and_film, spark, sf_dir),
+        }
+    dim_categorie, dim_film = futs["cat_film"].result()
     dims = {
-        "dim_date": build_dim_date(spark, sf_dir),
-        "dim_client": build_dim_client(spark, sf_dir),
-        "dim_magasin": build_dim_magasin(spark, sf_dir),
+        "dim_date": futs["dim_date"].result(),
+        "dim_client": futs["dim_client"].result(),
+        "dim_magasin": futs["dim_magasin"].result(),
         "dim_categorie": dim_categorie,
         "dim_film": dim_film,
     }
+    # Persist the DIMS as well as the fact (round-16 optimization,
+    # guide §5 caching rule: reused AND expensive to recompute): each
+    # dim's plan carries a range-bucketed global_row_number window, and
+    # with only the fact persisted every view/metrics query re-executed
+    # all five dim subplans — view_kpi_magasin_mois' physical plan held
+    # 100 Exchange nodes before this change, 4 after (plans/r16/).
+    # Dims are dim-sized (broadcastable by design) at any SF, so the
+    # pinned footprint is negligible next to the fact's.
+    for name in dims:
+        dims[name] = dims[name].persist(StorageLevel.MEMORY_AND_DISK)
     # Persist the assembled fact (SURVEY §4 X10 — the VertiPaq
     # in-memory-model analog): every metrics/view evaluation starts
     # from this frame, and without the persist each one re-executes

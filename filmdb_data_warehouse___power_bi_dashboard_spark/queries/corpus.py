@@ -398,7 +398,7 @@ ORDER BY 1, 2
 
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.ranking import global_row_number, ntile_from_rank
+    from ..functions.ranking import global_row_numbers, ntile_from_rank
     from ..runtime import track_persist
 
     orders = _t(spark, sf_dir, "orders")
@@ -415,22 +415,22 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = track_persist(base)
     n = base.count()
+    # Round-16 optimization (guide §1.2 step 1, §2.4): the three
+    # metric ranks ride ONE fused global_row_numbers pass — one
+    # boundary-sample job + one count job for all three (was two jobs
+    # per metric) and three chained window stages in a single plan
+    # (was three windows each joined back to base). Rank assignment is
+    # bit-identical (pytest test_round16_ops asserts multi ≡ single).
     metrics = {
-        "score_r": [("recence_jours", False), ("o_custkey", True)],
-        "score_f": [("frequence", True), ("o_custkey", True)],
-        "score_m": [("monetaire", True), ("o_custkey", True)],
+        "__rn_r": [("recence_jours", False), ("o_custkey", True)],
+        "__rn_f": [("frequence", True), ("o_custkey", True)],
+        "__rn_m": [("monetaire", True), ("o_custkey", True)],
     }
-    out = base
-    for score, order in metrics.items():
-        ranked = global_row_number(
-            base.select("o_custkey", "recence_jours", "frequence", "monetaire"),
-            order,
-            alias="__rn",
-            n_rows=n,
-        ).select(
-            "o_custkey", ntile_from_rank(F.col("__rn"), n, 5).alias(score)
-        )
-        out = out.join(ranked, "o_custkey")
+    out = global_row_numbers(base, metrics, n_rows=n)
+    for score, rn in (
+        ("score_r", "__rn_r"), ("score_f", "__rn_f"), ("score_m", "__rn_m")
+    ):
+        out = out.withColumn(score, ntile_from_rank(F.col(rn), n, 5))
     return out.select(
         "o_custkey",
         "recence_jours",

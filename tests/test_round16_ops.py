@@ -322,3 +322,42 @@ def test_release_manifest_streaming_entry_equals_batch(spark, sf_small):
     got = _rows(q_stream_release_manifest(spark, sf_small))
     want = _rows(q_corpus_release(spark, sf_small))
     assert got == want and len(got) > 0
+
+
+def test_global_row_numbers_fused_equals_single_spec(spark):
+    """Round-16 optimization guard: the fused multi-spec
+    global_row_numbers assigns each alias EXACTLY the ranks the
+    single-spec global_row_number assigns for the same order spec —
+    same hash-sampled boundaries, same within-bucket window — on data
+    with prefix ties, mixed asc/desc directions, and more rows than
+    the boundary-sample target."""
+    import random
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.functions.ranking import (
+        global_row_number,
+        global_row_numbers,
+    )
+
+    rng = random.Random(16)
+    rows = [
+        (i, rng.randint(0, 40), rng.randint(0, 7), rng.choice("abcde"))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x int, y int, s string").repartition(5)
+    specs = {
+        "rn_a": [("x", True), ("id", True)],
+        "rn_b": [("y", False), ("s", True), ("id", True)],
+        "rn_c": [("s", False), ("id", False)],
+    }
+    fused = global_row_numbers(df, specs, num_partitions=4)
+    got = {
+        alias: {r["id"]: r[alias] for r in fused.collect()} for alias in specs
+    }
+    for alias, order in specs.items():
+        want = {
+            r["id"]: r["__rn"]
+            for r in global_row_number(
+                df, order, alias="__rn", num_partitions=4
+            ).collect()
+        }
+        assert got[alias] == want, f"fused ranks diverge for {alias}"
