@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.scalar import round_half_up, sql_round_half_up
 from ..runtime import track_persist
@@ -2484,6 +2485,34 @@ ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+_CC_LOCAL_EDGES = 100_000
+
+
+def local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-element labels — exact twin of
+    the distributed min-label loop below for SMALL edge sets.
+    Union-by-min keeps every component's root at its global minimum
+    id, so labels match the distributed routine exactly
+    (pytest-asserted on shared inputs). Shared by
+    :func:`connected_components`'s fast path and the streaming release
+    maintainer's touched-subgraph relabel (streaming/jobs.py)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -2497,10 +2526,36 @@ def connected_components(
     converges in a handful of rounds — the same regime GraphX/GraphFrames
     target with the large-star/small-star algorithm. Per round the
     shuffle is O(|E|), never all-pairs.
+
+    Fast path (round-16 optimization, guide §1.2 step 1): dedup pair
+    graphs are tiny next to the corpus that produced them — bounded by
+    near-dup density, not corpus size — and the driver loop costs
+    ~2.5 s of fixed per-round job overhead per call (measured sf0.1)
+    even for a 100-edge graph. Under ``_CC_LOCAL_EDGES`` edges the
+    labels come from ONE size-guarded collect + union-find on the
+    driver (the same size-guarded discipline the streaming release
+    maintainer has used since its introduction); the guard keeps the
+    collect bounded at ~1.6 MB of longs, so a pathological
+    corpus-sized edge set still takes the distributed loop.
+    Label assignment is identical on both paths (pytest
+    test_round16_ops::test_cc_fast_path_equals_distributed +
+    the existing local-vs-distributed equivalence test).
     """
     spark = edges.sparkSession
     n_conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if isinstance(
+        e.schema["a"].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ) and isinstance(
+        e.schema["b"].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        head = e.limit(_CC_LOCAL_EDGES + 1).collect()
+        if len(head) <= _CC_LOCAL_EDGES:
+            labels = local_components([(r["a"], r["b"]) for r in head])
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in sorted(labels.items())],
+                "node long, label long",
+            )
     # Persist the symmetrized edge set: every round joins against it,
     # and without the pin each round would RE-EXECUTE the upstream
     # pair-generation lineage (measured: 33 s instead of ~4 s for the

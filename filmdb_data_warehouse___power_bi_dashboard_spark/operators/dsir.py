@@ -121,27 +121,45 @@ def log_ratio_table(
     built from this changes nothing (every occurring bucket already
     had a row with the identical ratio)."""
     a, b = float(alpha), int(n_buckets)
-    counts = occ.groupBy("f").agg(
-        F.count(F.lit(1)).cast("long").alias("c_q"),
-        F.sum(F.col("is_target").cast("long")).alias("c_p"),
+    # Round-16 optimization (guide §1.2 step 1 — don't compute things
+    # twice): the feature explode used to run THREE times per entry —
+    # once under the bucket counts, once more because ``tot``
+    # re-derived those counts from scratch (Catalyst planned two
+    # independent subtrees; exchange reuse never fired because the two
+    # prune different columns), and once under scoring. The counts
+    # table is bounded by ``n_buckets`` (4096 rows), so checkpoint it
+    # — one explode pass — and read the grand totals off it as exact
+    # BIGINT literals (the ln math itself stays in Spark, so the
+    # engine/oracle bit-parity of the smoothed ratios is untouched).
+    # The scoring explode remains the one deliberate second pass
+    # (module docstring: the corpus-scale token stream is what must
+    # NOT persist at 100 TB; 4096 rows is what may).
+    counts = (
+        occ.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_q"),
+            F.sum(F.col("is_target").cast("long")).alias("c_p"),
+        )
+        .localCheckpoint(eager=True)
     )
+    n_q, n_p = counts.agg(F.sum("c_q"), F.sum("c_p")).first()
+    n_q, n_p = int(n_q or 0), int(n_p or 0)
     spine = occ.sparkSession.range(b).select(F.col("id").cast("long").alias("f"))
     dense = spine.join(counts, "f", "left").select(
         "f",
         F.coalesce("c_q", F.lit(0).cast("long")).alias("c_q"),
         F.coalesce("c_p", F.lit(0).cast("long")).alias("c_p"),
     )
-    tot = dense.agg(F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p"))
-    return dense.crossJoin(F.broadcast(tot)).select(
+    return dense.select(
         "f",
         _scaled_long(
             F.log(
                 (F.col("c_p").cast("double") + F.lit(a))
-                / (F.col("n_p").cast("double") + F.lit(a * b))
+                / (F.lit(n_p).cast("double") + F.lit(a * b))
             )
             - F.log(
                 (F.col("c_q").cast("double") + F.lit(a))
-                / (F.col("n_q").cast("double") + F.lit(a * b))
+                / (F.lit(n_q).cast("double") + F.lit(a * b))
             )
         ).alias("lf"),
     )

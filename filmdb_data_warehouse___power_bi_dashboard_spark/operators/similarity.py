@@ -173,38 +173,63 @@ def _nan_first_desc_key(c):
     return np.where(np.isnan(c), np.inf, c)
 
 
-def _pair_score_kernel(q_ids, q_mat, q_norms, k: int):
-    """mapInPandas kernel for candidate (query_id, vec_id, embedding)
-    rows: strict-order fold cosine (bit-identical to the JVM
-    ``aggregate(zip_with)`` expression — see _fold_gram), rounded at
-    6, then BATCH-LOCAL top-k per query so only ~blocks·k rows per
-    query reach the final window. Batch-local selection by the same
-    total order (cosine desc NANS FIRST, vec_id asc) keeps two-stage
-    top-k exact."""
-    qindex = {int(q): i for i, q in enumerate(q_ids)}
+def _probed_score_kernel(q_ids, q_mat, q_norms, k: int, probe_map, exclude_self):
+    """mapInPandas kernel over BASE rows (cluster, vec_id, embedding):
+    each block scores its vectors against exactly the queries probing
+    each vector's cluster (``probe_map``: cluster -> query indices,
+    driver-built from the probe sets), with the strict-order fold
+    cosine (bit-identical to the JVM ``aggregate(zip_with)``
+    expression — see _fold_gram), rounded at 6, then BATCH-LOCAL
+    top-k per query so only ~blocks·k rows per query reach the final
+    window. Batch-local selection by the same total order (cosine
+    desc NANS FIRST, vec_id asc) keeps two-stage top-k exact.
+
+    Round-16 optimization (guide §8 — move heavy bytes once): the
+    previous kernel consumed the (base x probing-query) JOIN output,
+    so every base vector crossed the JVM->Python Arrow boundary once
+    PER PROBING QUERY (~queries-per-cluster times, ~600 MB/run at
+    sf0.1); base rows now cross exactly once and the pair expansion
+    happens as a numpy score matrix inside the worker. The scored
+    pair SET is unchanged (query probes base's cluster, minus self),
+    and block-local top-k keeps every global top-k row for ANY block
+    partitioning, so the final ranked rows are identical
+    (pytest-asserted against ivf_topk_shuffle on both k regimes)."""
 
     def score(it):
         for pdf in it:
             if pdf.empty:
                 continue
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            qi = np.array([qindex[int(q)] for q in pdf["query_id"]], dtype=np.int64)
-            mat = np.vstack(
-                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
-            ).astype(np.float64)
-            acc = np.zeros(len(ids))
-            for d in range(mat.shape[1]):
-                acc += mat[:, d] * q_mat[qi, d]
-            cos = acc / (q_norms[qi] * _fold_norms(mat))
-            c6 = np.floor(cos * 1e6 + 0.5) / 1e6
-            out = pd.DataFrame(
-                {
-                    "query_id": q_ids[qi],
-                    "vec_id": ids,
-                    "cosine": c6,
-                    "__key": _nan_first_desc_key(c6),
-                }
-            )
+            frames = []
+            for c, grp in pdf.groupby("cluster", sort=False):
+                qidx = probe_map.get(int(c))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                ids = grp["vec_id"].to_numpy().astype(np.int64)
+                mat = np.vstack(
+                    [np.asarray(v, dtype=np.float32) for v in grp["embedding"]]
+                ).astype(np.float64)
+                # cosine = fold_dot / (bnorm * qnorm); multiplication
+                # is commutative bitwise, so bn*qn == the pair
+                # kernel's qnorm*norm.
+                cos = _fold_gram(mat, q_mat[qidx]) / np.multiply.outer(
+                    _fold_norms(mat), q_norms[qidx]
+                )
+                c6 = np.floor(cos * 1e6 + 0.5) / 1e6
+                qcols = q_ids[qidx]
+                m, nq = c6.shape
+                qq = np.repeat(qcols[None, :], m, axis=0).ravel()
+                vv = np.repeat(ids[:, None], nq, axis=1).ravel()
+                cc = c6.ravel()
+                if exclude_self:
+                    keep = ~np.equal.outer(ids, qcols).ravel()
+                    qq, vv, cc = qq[keep], vv[keep], cc[keep]
+                frames.append(
+                    pd.DataFrame({"query_id": qq, "vec_id": vv, "cosine": cc})
+                )
+            if not frames:
+                continue
+            out = pd.concat(frames, ignore_index=True)
+            out["__key"] = _nan_first_desc_key(out["cosine"].to_numpy())
             yield (
                 out.sort_values(
                     ["query_id", "__key", "vec_id"],
@@ -967,18 +992,28 @@ def ivf_topk(
         # through the Arrow kernel; probe sets come from the driver
         # (queries are a training batch by contract).
         probe_sets = _probe_sets_driver(queries, centroids, nprobe)
-    pairs = base_assigned.join(F.broadcast(probe_sets), "cluster")
-    if exclude_self:
-        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
     q_ids, q_mat, q_norms = _collect_query_matrix(queries)
     if q_ids is None:
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
-    # Probed-list candidates score in the Arrow fold kernel (no extra
-    # shuffle); only block-local top-k rows reach the rank window.
-    cand = pairs.select("query_id", "vec_id", "embedding").mapInPandas(
-        _pair_score_kernel(q_ids, q_mat, q_norms, k),
+    # Probe sets to the driver (bounded by the SAME smallness contract
+    # as the query matrix just collected: <= |queries| * nprobe rows)
+    # as a cluster -> query-index map; base vectors then cross the
+    # Python boundary ONCE each instead of once per probing query
+    # (guide §8 — see _probed_score_kernel), and the probed-list
+    # expansion happens as a numpy score matrix inside the worker.
+    qindex = {int(q): i for i, q in enumerate(q_ids)}
+    by_cluster: dict[int, list[int]] = {}
+    for r in probe_sets.collect():
+        qi = qindex.get(int(r["query_id"]))
+        if qi is not None:
+            by_cluster.setdefault(int(r["cluster"]), []).append(qi)
+    probe_map = {
+        c: np.array(sorted(v), dtype=np.int64) for c, v in by_cluster.items()
+    }
+    cand = base_assigned.select("cluster", "vec_id", "embedding").mapInPandas(
+        _probed_score_kernel(q_ids, q_mat, q_norms, k, probe_map, exclude_self),
         "query_id long, vec_id long, cosine double",
     )
     return _rank_topk(cand, k)

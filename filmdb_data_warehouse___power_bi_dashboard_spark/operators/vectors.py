@@ -523,19 +523,26 @@ def pca_report(emb: DataFrame, dim: int = _PCA_DIM) -> DataFrame:
     Arrow work this report gates."""
     import numpy as np
 
-    clean = emb.filter(
+    clean_pred = (
         F.col("embedding").isNotNull()
         & (F.size("embedding") == dim)
         & ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
     )
+    clean = emb.filter(clean_pred)
     spark = emb.sparkSession
-    n_total = emb.count()
+    # Round-16 (guide §1.2 step 1): total and clean counts fused into
+    # ONE aggregate job (was two sequential counts; false AND NULL is
+    # false under Kleene logic, so summing the predicate counts
+    # exactly the rows `clean` keeps).
+    n_total, n = emb.agg(
+        F.count(F.lit(1)), F.sum(clean_pred.cast("long"))
+    ).first()
+    n_total, n = int(n_total), int(n or 0)
     sc = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
     )
     base = clean.select(sc.alias("__sc"))
-    n = base.count()
     if n == 0:
         rows = [(0, n_total, dim, 0.0, True, True)]
     else:
@@ -556,19 +563,27 @@ def pca_report(emb: DataFrame, dim: int = _PCA_DIM) -> DataFrame:
                 ),
             )
         )
-        prods = (
-            base.select(F.explode(pairs).alias("t"))
-            .select("t.i", "t.j", "t.p")
-            .groupBy("i", "j")
-            .agg(F.sum("p").alias("p"))
-            .collect()
-        )
-        s1 = (
-            base.select(F.posexplode("__sc").alias("i", "s"))
-            .groupBy("i")
-            .agg(F.sum("s").alias("s1"))
-            .collect()
-        )
+        # Round-16 (guide §2.6): the two model collects — the O(N·d²)
+        # upper-triangle product sums and the O(N·d) per-dim sums —
+        # are independent jobs; overlap them from a 2-thread pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_prods = _pool.submit(
+                lambda: base.select(F.explode(pairs).alias("t"))
+                .select("t.i", "t.j", "t.p")
+                .groupBy("i", "j")
+                .agg(F.sum("p").alias("p"))
+                .collect()
+            )
+            _f_s1 = _pool.submit(
+                lambda: base.select(F.posexplode("__sc").alias("i", "s"))
+                .groupBy("i")
+                .agg(F.sum("s").alias("s1"))
+                .collect()
+            )
+        prods = _f_prods.result()
+        s1 = _f_s1.result()
         P = np.zeros((dim, dim), dtype=np.int64)
         for r in prods:
             P[r["i"], r["j"]] = r["p"]

@@ -304,21 +304,34 @@ _VIEW_SQL: dict[str, str] = {
     # level — no correlated subquery, both levels partial-aggregate
     # map-side. actor → supplier, film → part, category → brand
     # (the same bridge mapping as v_liste_films_noms_formates).
+    # Round-16 rewrite (guide §2.3): both aggregation levels run on
+    # narrow integer keys from the lineitem×part side only; the
+    # supplier attributes attach LAST via a left join from supplier,
+    # which also restores the original outer semantics — a supplier
+    # with no rentals (or whose groups all carry a NULL brand) reads
+    # NULL films_par_categorie, exactly what the old
+    # supplier-LEFT-lineitem spelling produced (NULL-brand groups
+    # vanish inside collect_set at level 2 in both spellings).
     "v_infos_acteurs": """
         WITH par_categorie AS (
-          SELECT s.s_suppkey, s.s_name, p.p_brand,
+          SELECT l.l_suppkey AS s_suppkey, p.p_brand,
                  array_join(sort_array(collect_set(p.p_name)), ', ') AS films
-          FROM supplier s
-          LEFT JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-          LEFT JOIN part p ON l.l_partkey = p.p_partkey
-          GROUP BY s.s_suppkey, s.s_name, p.p_brand
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT s_suppkey,
+                 NULLIF(array_join(sort_array(collect_set(p_brand || ': ' || films)), ' | '), '')
+                   AS films_par_categorie
+          FROM par_categorie
+          GROUP BY s_suppkey
         )
-        SELECT s_suppkey AS acteur_id,
-               s_name AS nom,
-               NULLIF(array_join(sort_array(collect_set(p_brand || ': ' || films)), ' | '), '')
-                 AS films_par_categorie
-        FROM par_categorie
-        GROUP BY s_suppkey, s_name
+        SELECT s.s_suppkey AS acteur_id,
+               s.s_name AS nom,
+               a.films_par_categorie
+        FROM supplier s
+        LEFT JOIN agg a ON s.s_suppkey = a.s_suppkey
     """,
     # v_liste_films_noms_formates (vues.sql:23-59, reference name kept
     # verbatim): film catalog with a formatted, INITCAP'd,
@@ -326,20 +339,34 @@ _VIEW_SQL: dict[str, str] = {
     # supplier, the corpus's film_actor bridge) + ordered DISTINCT
     # STRING_AGG, the one A8 composition not otherwise exercised as a
     # view.
+    # Round-16 rewrite (guide §2.3 — shuffle fewer bytes): the actor
+    # set aggregates on the narrow l_partkey key alone (p_partkey is
+    # part's PK, so the five part attributes are functionally
+    # dependent — attaching them AFTER the aggregate to ~20k group
+    # rows is equivalent to carrying them as group keys through the
+    # 600k-row aggregation), and the INITCAP formatting runs once per
+    # SUPPLIER (1k rows) instead of once per lineitem (600k). Same
+    # inner-join semantics, same sets, same rows (oracle-checked).
     "v_liste_films_noms_formates": """
+        WITH acteurs AS (
+          SELECT l.l_partkey,
+                 array_join(sort_array(collect_set(s.fmt)), ', ') AS acteurs
+          FROM lineitem l
+          JOIN (SELECT s_suppkey,
+                       upper(substr(lower(s_name), 1, 1)) || substr(lower(s_name), 2) AS fmt
+                FROM supplier) s
+            ON l.l_suppkey = s.s_suppkey
+          GROUP BY l.l_partkey
+        )
         SELECT p.p_partkey AS film_id,
                p.p_name AS titre,
                p.p_brand AS categorie,
                p.p_type AS classification,
                CAST(p.p_retailprice AS DECIMAL(18,2)) AS prix_location,
                p.p_size AS duree_minutes,
-               array_join(sort_array(collect_set(
-                   upper(substr(lower(s.s_name), 1, 1)) || substr(lower(s.s_name), 2)
-               )), ', ') AS acteurs
+               a.acteurs
         FROM part p
-        JOIN lineitem l ON p.p_partkey = l.l_partkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        GROUP BY 1, 2, 3, 4, 5, 6
+        JOIN acteurs a ON p.p_partkey = a.l_partkey
     """,
 }
 

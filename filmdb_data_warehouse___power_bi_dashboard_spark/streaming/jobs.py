@@ -72,6 +72,52 @@ def _sized_state(spark: SparkSession, n: int | None = _STATE_PARTITIONS):
 
 
 
+def _stage_slices(
+    df: DataFrame, key: str, staged: str, n_slices: int
+) -> None:
+    """Stage ``df`` as ``n_slices`` single-file parquets under
+    ``staged`` (the arriving-files directory stand-in every file-source
+    streaming entry consumes), slice b = rows with ``key % n == b``.
+
+    Round-16 optimization (guide §2.6 — overlap independent jobs): the
+    slice writes are independent filtered scans of the same source and
+    used to run as n sequential Spark jobs (n full scans end to end);
+    they now run from a thread pool. Each job writes to its own
+    private subdirectory — concurrent writes into ONE directory race
+    on the shared ``_temporary`` committer staging — and the part
+    files are then renamed into ``staged`` with the slice index in the
+    name and strictly increasing mtimes, so the file stream source
+    sees exactly the arrival order (slice 0 first) the sequential
+    writes produced: identical micro-batch composition, identical
+    folds."""
+    import glob as _glob
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(b: int) -> str:
+        d = os.path.join(staged, f".slice-{b}")
+        df.where(F.pmod(F.col(key), F.lit(n_slices)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        return d
+
+    with ThreadPoolExecutor(max_workers=min(4, n_slices)) as pool:
+        dirs = list(pool.map(_write, range(n_slices)))
+    base = _time.time()
+    for b, d in enumerate(dirs):
+        parts = [
+            p
+            for p in _glob.glob(os.path.join(d, "part-*"))
+            if not p.endswith(".crc")
+        ]
+        if len(parts) != 1:  # coalesce(1) guarantees one part file
+            raise RuntimeError(f"expected 1 part file in {d}, got {parts}")
+        dst = os.path.join(staged, f"slice-{b:05d}.parquet")
+        os.rename(parts[0], dst)
+        os.utime(dst, (base + b, base + b))
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-source stream over the events parquet; schema pinned
     # (streams never infer), one file per micro-batch at most. The
@@ -1111,10 +1157,7 @@ def stream_minhash_dedup(
     index_path = os.path.join(work, "index")
     pairs_path = os.path.join(work, "pairs")
     try:
-        for b in range(n_slices):
-            docs.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(staged)
+        _stage_slices(docs, "doc_id", staged, n_slices)
 
         doc_schema = docs.schema
         stream = (
@@ -1317,10 +1360,7 @@ def stream_media_dedup(
         ).cast("int")
 
     try:
-        for b in range(n_slices):
-            media.where(F.pmod(F.col("media_id"), F.lit(n_slices)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(staged)
+        _stage_slices(media, "media_id", staged, n_slices)
 
         stream = (
             spark.readStream.schema(media.schema)
@@ -1766,10 +1806,7 @@ def stream_decontamination(
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     pairs_path = os.path.join(work, "pairs")
     try:
-        for b in range(n_slices):
-            train.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(staged)
+        _stage_slices(train, "doc_id", staged, n_slices)
 
         stream = (
             spark.readStream.schema(train.schema)
@@ -1872,10 +1909,7 @@ def stream_importance_weights(
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     scored_path = os.path.join(work, "scored")
     try:
-        for b in range(n_slices):
-            docs.where(F.pmod(F.col("doc_id"), F.lit(n_slices)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(staged)
+        _stage_slices(docs, "doc_id", staged, n_slices)
 
         stream = (
             spark.readStream.schema(docs.schema)
@@ -1938,51 +1972,22 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path) if os.path.exists(path) else None
 
 
-_LOCAL_CC_EDGES = 100_000
-
-
-def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find with min-element labels — exact twin of
-    operators/dedup.connected_components for SMALL edge sets. The
-    per-batch touched subgraph of the release maintainer is usually a
-    handful of clusters; the distributed min-label loop costs ~2.5 s
-    of driver-round fixed overhead per call (measured, sf0.1), which
-    dominates the fold. Union-by-min keeps every component's root at
-    its global minimum id, so labels match the distributed routine
-    exactly (pytest-asserted on shared inputs)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
+# Round-16: the size-guarded driver union-find moved into
+# operators/dedup.connected_components itself (shared by every batch
+# clustering entry, not just this maintainer); the old jobs-local
+# names stay as aliases for the equivalence tests.
+from ..operators.dedup import _CC_LOCAL_EDGES as _LOCAL_CC_EDGES  # noqa: E402
+from ..operators.dedup import local_components as _local_components  # noqa: E402
 
 
 def _components_auto(spark: SparkSession, sub: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) labels for an edge set: driver union-find
-    under ``_LOCAL_CC_EDGES`` edges, the distributed min-label loop
-    beyond it — a size-GUARDED collect, so the fast path can never
-    become a driver-memory hazard when a pathological batch touches a
-    corpus-sized subgraph."""
+    under ``_LOCAL_CC_EDGES`` edges (one size-guarded limit+collect —
+    fused, round-16, from the earlier count-then-collect pair), the
+    distributed min-label loop beyond it; both paths now live inside
+    connected_components."""
     from ..operators.dedup import connected_components
 
-    if sub.limit(_LOCAL_CC_EDGES + 1).count() <= _LOCAL_CC_EDGES:
-        labels = _local_components(
-            [(r["doc_a"], r["doc_b"]) for r in sub.collect()]
-        )
-        return spark.createDataFrame(
-            [(int(k), int(v)) for k, v in sorted(labels.items())],
-            "doc_id long, cluster_id long",
-        )
     return connected_components(sub, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -2059,29 +2064,40 @@ def release_manifest_fold(
         return
 
     # 1. Per-doc enrichment, once at arrival (the only text scans).
-    hits = (
-        window_hashes(batch, _CONTAIN_W)
-        .join(te_hashes, "h")
-        .select("doc_id", "pos")
-    )
-    scrub = remove_duplicated_spans(
-        batch, spans=windows_to_spans(hits, _CONTAIN_W)
-    ).select("doc_id", "removed_chars", "cleaned_text")
-    led_new = (
-        _enriched(batch)
-        .join(scrub, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "quality_score",
-            "lang_detected",
-            F.col("removed_chars").cast("long").alias("removed_chars"),
-            F.size(F.split(F.col("cleaned_text"), " "))
-            .cast("long")
-            .alias("n_tokens"),
+    def _write_ledger() -> None:
+        hits = (
+            window_hashes(batch, _CONTAIN_W)
+            .join(te_hashes, "h")
+            .select("doc_id", "pos")
         )
-    )
-    led_new.write.mode("append").parquet(paths["ledger"])
+        scrub = remove_duplicated_spans(
+            batch, spans=windows_to_spans(hits, _CONTAIN_W)
+        ).select("doc_id", "removed_chars", "cleaned_text")
+        led_new = (
+            _enriched(batch)
+            .join(scrub, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "quality_score",
+                "lang_detected",
+                F.col("removed_chars").cast("long").alias("removed_chars"),
+                F.size(F.split(F.col("cleaned_text"), " "))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+        )
+        led_new.write.mode("append").parquet(paths["ledger"])
+
+    # Round-16 (guide §2.6): the ledger write (step 1) and the
+    # postings/pair path (step 2) both read only the CHECKPOINTED
+    # batch plus static state — independent jobs, so the ledger write
+    # runs from a single worker thread while step 2 proceeds; joined
+    # (.result()) before step 4 reads the ledger back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    led_fut = pool.submit(_write_ledger)
 
     # 2. New near-dup pairs: within-batch + batch×index.
     newpost = _build_postings(batch, n).localCheckpoint(eager=True)
@@ -2169,6 +2185,8 @@ def release_manifest_fold(
     aff = aff.localCheckpoint(eager=True)
 
     # 4. Recompute survivor rows for the affected groups only.
+    led_fut.result()  # ledger append must be visible before the read
+    pool.shutdown()
     ledger = spark.read.parquet(paths["ledger"])
     surv_old = _read_or_none(spark, paths["survivors"])
     if surv_old is not None:
@@ -2363,10 +2381,7 @@ def stream_release_manifest(
     state_dir = tempfile.mkdtemp(prefix="rel-state-")
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     try:
-        for b in range(n_slices):
-            train.where(
-                F.pmod(F.col("doc_id"), F.lit(n_slices)) == b
-            ).coalesce(1).write.mode("append").parquet(staged)
+        _stage_slices(train, "doc_id", staged, n_slices)
 
         stream = (
             spark.readStream.schema(docs.schema)

@@ -95,17 +95,22 @@ def test_no_cartesian_products_in_star_queries(spark, sf_small):
         assert "CartesianProduct" not in plan, name
 
 
-def test_ann_ivf_probe_join_is_broadcast_hash(spark, sf_small):
-    """IVF candidate generation must be a hash equi-join on
-    cluster_id with the probe side broadcast — never a nested-loop
-    or cartesian shape."""
+def test_ann_ivf_probe_scoring_is_joinless_block_kernel(spark, sf_small):
+    """IVF candidate generation (round-16 shape): base vectors cross
+    the Python boundary ONCE each through the probed block kernel —
+    no join operator anywhere (the old base×probe broadcast join
+    shipped every base vector once per probing query), and certainly
+    never a nested-loop or cartesian shape."""
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.similarity import (
         q_ann_topk_ivf,
     )
 
     plan = _plan(q_ann_topk_ivf(spark, sf_small))
-    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
-    for bad in ("BroadcastNestedLoopJoin", "SortMergeJoin", "CartesianProduct"):
+    assert "MapInPandas" in plan, plan[:2000]
+    for bad in (
+        "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+    ):
         assert bad not in plan, bad
 
 

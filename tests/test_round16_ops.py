@@ -361,3 +361,33 @@ def test_global_row_numbers_fused_equals_single_spec(spark):
             ).collect()
         }
         assert got[alias] == want, f"fused ranks diverge for {alias}"
+
+
+def test_cc_fast_path_equals_distributed(spark, monkeypatch):
+    """Round-16 optimization guard: connected_components' size-guarded
+    driver union-find fast path labels a graph EXACTLY like the
+    distributed min-label loop (forced by shrinking the guard to 0),
+    including multi-cluster graphs, chains, and isolated edges."""
+    import random
+
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import dedup
+
+    rng = random.Random(1616)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    edges += [(1000 + i, 1001 + i) for i in range(0, 40, 2)]  # isolated pairs
+    # chain of diameter 20 — under the distributed loop's max_iter
+    # budget (the fast path has no such budget; union-find is exact at
+    # any diameter)
+    edges += [(2000 + i, 2000 + i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+
+    fast = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(df).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGES", 0)
+    slow = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(df).collect()
+    }
+    assert fast == slow and len(fast) > 0

@@ -61,9 +61,15 @@ def test_scd2_null_involving_changes_detected(spark):
     assert len(rows) == 7
 
 
-def test_connected_components_raises_on_non_convergence(spark):
+def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
     # A path graph 0-1-2-...-9 has diameter 9; min-label propagation
     # moves the 0 label one hop per round, so max_iter=3 cannot finish.
+    # Force the DISTRIBUTED loop (round-16: small graphs now take the
+    # size-guarded driver union-find, which has no iteration budget
+    # and simply answers correctly) so the guard is still exercised.
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "src long, dst long"
     )

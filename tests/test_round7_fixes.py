@@ -219,14 +219,19 @@ def test_scd2_in_order_update_still_applies(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
+    from filmdb_data_warehouse___power_bi_dashboard_spark.operators import dedup
     from filmdb_data_warehouse___power_bi_dashboard_spark.operators.dedup import (
         connected_components,
     )
 
     # Path graph 0-1-2-...-9: min-label 0 moves one hop per round, so
     # 3 rounds cannot finish and the guard must reject rather than
-    # return partial (wrong) cluster ids.
+    # return partial (wrong) cluster ids. Force the DISTRIBUTED loop
+    # (round-16: small graphs now take the size-guarded driver
+    # union-find, which has no iteration budget) so the guard is
+    # still exercised.
+    monkeypatch.setattr(dedup, "_CC_LOCAL_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "src long, dst long"
     )
