@@ -2128,16 +2128,32 @@ def release_manifest_fold(
         )
         pairs = pairs.unionByName(cross)
     new_edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    new_edges.write.mode("append").parquet(paths["edges"])
-    newpost.write.mode("append").parquet(paths["postings"])
 
     # Pin pre-swap state eagerly: stage_and_swap_write REPLACES the
     # files these lazy plans point at, so any deferred execution after
     # the swap would silently read the NEW state (old_group / removed
     # below are exactly such post-swap uses).
+    # Round-16 (guide §2.6): the two state appends and the
+    # clusters_old pin are three independent jobs over CHECKPOINTED
+    # (or on-disk) inputs — run them together; joined before step 3,
+    # which reads the edges table back.
     clusters_old = _read_or_none(spark, paths["clusters"])
-    if clusters_old is not None:
-        clusters_old = clusters_old.localCheckpoint(eager=True)
+    with ThreadPoolExecutor(max_workers=3) as spool:
+        f_e = spool.submit(
+            lambda: new_edges.write.mode("append").parquet(paths["edges"])
+        )
+        f_p = spool.submit(
+            lambda: newpost.write.mode("append").parquet(paths["postings"])
+        )
+        f_c = (
+            spool.submit(lambda: clusters_old.localCheckpoint(eager=True))
+            if clusters_old is not None
+            else None
+        )
+    f_e.result()
+    f_p.result()
+    if f_c is not None:
+        clusters_old = f_c.result()
     have_edges = bool(new_edges.take(1))
 
     # 3. Touched-cluster incremental components.
@@ -2182,15 +2198,25 @@ def release_manifest_fold(
     else:
         clusters_new = clusters_old
         aff = batch.select("doc_id")
-    aff = aff.localCheckpoint(eager=True)
+    # Round-16 (guide §2.6): the aff pin and the surv_old pin are
+    # independent actions (surv_old reads the survivors table, which
+    # this fold has not swapped yet) — overlap them.
+    surv_old = _read_or_none(spark, paths["survivors"])
+    with ThreadPoolExecutor(max_workers=2) as spool:
+        f_aff = spool.submit(lambda: aff.localCheckpoint(eager=True))
+        f_so = (
+            spool.submit(lambda: surv_old.localCheckpoint(eager=True))
+            if surv_old is not None
+            else None
+        )
+    aff = f_aff.result()
+    if f_so is not None:
+        surv_old = f_so.result()
 
     # 4. Recompute survivor rows for the affected groups only.
     led_fut.result()  # ledger append must be visible before the read
     pool.shutdown()
     ledger = spark.read.parquet(paths["ledger"])
-    surv_old = _read_or_none(spark, paths["survivors"])
-    if surv_old is not None:
-        surv_old = surv_old.localCheckpoint(eager=True)
     if clusters_new is not None:
         old_group = (
             aff.join(
@@ -2271,8 +2297,6 @@ def release_manifest_fold(
     surv_all = (
         new_rows if surv_kept is None else surv_kept.unionByName(new_rows)
     )
-    stage_and_swap_write(surv_all, paths["survivors"])
-
     # 5. Manifest delta merge (removed rows negative, new positive).
     def _contrib(rows: DataFrame, sign: int) -> DataFrame:
         return rows.where("passes").select(
@@ -2298,7 +2322,16 @@ def release_manifest_fold(
         F.sum("total_tokens").cast("long").alias("total_tokens"),
         F.sum("removed_chars").cast("long").alias("removed_chars"),
     )
-    stage_and_swap_write(manifest_new, paths["manifest"])
+    # Round-16 (guide §2.6): the survivors swap and the manifest swap
+    # target different paths, and every input of the manifest delta
+    # (new_rows, surv_old, aff, clusters_old) is CHECKPOINTED — the
+    # manifest plan never reads the survivors table — so the two
+    # stage-and-swap writes run together.
+    with ThreadPoolExecutor(max_workers=2) as spool:
+        f_s = spool.submit(stage_and_swap_write, surv_all, paths["survivors"])
+        f_m = spool.submit(stage_and_swap_write, manifest_new, paths["manifest"])
+    f_s.result()
+    f_m.result()
 
 
 def read_release_manifest(
