@@ -2543,15 +2543,30 @@ def connected_components(
     """
     spark = edges.sparkSession
     n_conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Persist the projected edge set BEFORE the fast-path probe
+    # (round-17, advisor fix): the limit-collect below executes the
+    # un-persisted upstream pair-generation lineage, and when the graph
+    # exceeds the guard the distributed loop used to re-execute that
+    # same (possibly expensive) lineage from scratch. With the pin, the
+    # partitions the probe touches are cached and shared with the
+    # distributed path; the fast path unpersists immediately.
+    e = track_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    )
     if isinstance(
         e.schema["a"].dataType, (T.LongType, T.IntegerType, T.ShortType)
     ) and isinstance(
         e.schema["b"].dataType, (T.LongType, T.IntegerType, T.ShortType)
     ):
         head = e.limit(_CC_LOCAL_EDGES + 1).collect()
-        if len(head) <= _CC_LOCAL_EDGES:
+        # NULL endpoints (round-17, advisor fix): local_components'
+        # min()/max() would raise on None where the distributed
+        # join-based loop tolerates them — such graphs fall through.
+        if len(head) <= _CC_LOCAL_EDGES and not any(
+            r["a"] is None or r["b"] is None for r in head
+        ):
             labels = local_components([(r["a"], r["b"]) for r in head])
+            e.unpersist()
             return spark.createDataFrame(
                 [(int(k), int(v)) for k, v in sorted(labels.items())],
                 "node long, label long",
@@ -2572,6 +2587,9 @@ def connected_components(
     # measured 9.4 s for 79 edges at width 32. ~100k edges per
     # partition; at real scale this recovers full parallelism.
     n_edges = sym.count()
+    # sym is materialized; the projected-edge pin has served both the
+    # probe and the symmetrization — release it now.
+    e.unpersist()
     parts = max(1, min(n_conf, n_edges // 100_000 + 1))
     sym = sym.repartition(parts, "b")
     labels = track_persist(

@@ -134,6 +134,12 @@ def log_ratio_table(
     # The scoring explode remains the one deliberate second pass
     # (module docstring: the corpus-scale token stream is what must
     # NOT persist at 100 TB; 4096 rows is what may).
+    # Reliability note (round-17, verdict item): localCheckpoint
+    # stores blocks on executors and is NON-recoverable on executor
+    # loss — fine here because the frame is bounded (≤ n_buckets
+    # rows) and a loss fails the job visibly (retry recomputes);
+    # a cluster deployment that wants lineage-free recovery should
+    # set a checkpoint dir and switch to .checkpoint().
     counts = (
         occ.groupBy("f")
         .agg(
@@ -143,8 +149,18 @@ def log_ratio_table(
         .localCheckpoint(eager=True)
     )
     n_q, n_p = counts.agg(F.sum("c_q"), F.sum("c_p")).first()
-    n_q, n_p = int(n_q or 0), int(n_p or 0)
     spine = occ.sparkSession.range(b).select(F.col("id").cast("long").alias("f"))
+    if n_q is None:
+        # Degenerate empty-occurrence model (round-17, advisor fix):
+        # before the round-16 totals inlining, NULL grand totals made
+        # every lf NULL; `int(None or 0)` silently turned that into a
+        # finite all-equal score of 0. Short-circuit to the original
+        # all-NULL table so the degenerate case stays bit-compatible
+        # with the pre-change spelling (and the oracle's NULL math).
+        return spine.select(
+            "f", F.lit(None).cast("long").alias("lf")
+        )
+    n_q, n_p = int(n_q), int(n_p or 0)
     dense = spine.join(counts, "f", "left").select(
         "f",
         F.coalesce("c_q", F.lit(0).cast("long")).alias("c_q"),
@@ -219,19 +235,30 @@ def dsir_budget_selection(
     functions/ranking.global_running_sum (range-bucketed exact BIGINT
     prefix sums) — never a single-partition ORDER BY window.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions.ranking import global_running_sum
     from ..runtime import track_persist
     from .text import text_profile
 
-    wts = importance_weights(docs, target_pred).select(
-        "doc_id", "avg_log_weight"
-    )
-    prof = (
+    # Round-17 (guide §2.6): the BPE token profile and the DSIR model
+    # build are independent full-text passes — the profile side fills
+    # its own pin from a worker thread while the main thread
+    # checkpoints the model counts (inside importance_weights), so the
+    # two scans overlap instead of running as sequential driver jobs.
+    prof0 = track_persist(
         text_profile(docs.where(F.col("text").isNotNull()))
         .select("doc_id", "n_tokens_bpe")
         .join(docs.select("doc_id", "source"), "doc_id")
-        .join(wts, "doc_id")
+        .persist()
     )
+    with ThreadPoolExecutor(max_workers=1) as tpool:
+        prof0_fut = tpool.submit(prof0.count)
+        wts = importance_weights(docs, target_pred).select(
+            "doc_id", "avg_log_weight"
+        )
+    prof0_fut.result()
+    prof = prof0.join(wts, "doc_id")
     prof = track_persist(
         prof.select(
             "doc_id",

@@ -81,7 +81,14 @@ def fixed_point_pagerank(
         .unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # Round-17 (guide §2.4/§5): persist the degree table too — every
+    # hop joins it (K+1 references plus the rank base), and without the
+    # pin each reference re-ran the |E|-row aggregation inside the one
+    # big job. The overflow-guard count below already materializes it,
+    # so the pin costs no extra action; |deg| = |nodes| rows.
+    deg = track_persist(
+        edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
+    )
     n_nodes = deg.count()
     if n_nodes * scale > (2**63 - 1) // _PR_ALPHA_NUM:
         raise ValueError(
@@ -180,6 +187,14 @@ LIMIT 20
 
 
 _CC_SCALE = 1_000_000  # clustering coefficient unit: 1e-6
+# Broadcast guard for the triangle joins (round-17): an edge set at or
+# under this many rows (two BIGINTs each; built hash relation on the
+# order of 100 MB at the bound — comfortably inside a production
+# executor's broadcast budget, far under the 8 GB hard cap) broadcasts
+# its probe sides; a larger graph keeps the sort-merge shape.
+# Deliberately a row bound from a real count, not a planner byte
+# estimate — aggregate/cached outputs carry no reliable size.
+_GRAPH_BROADCAST_EDGES = 2_000_000
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:
@@ -209,15 +224,30 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     beyond O(m^1.5).
     """
     e = track_persist(edges.select("a", "b").persist())
+    # Round-17 (guide §3.1 — pick the join strategy deliberately): one
+    # count sizes the graph (and pins the edge-build lineage, which
+    # previously materialized inside the big job anyway). Under the
+    # guard the degree attach, both path-join probe sides and the
+    # participation join all BROADCAST — the static planner sort-merge
+    # joined them because an aggregate/cache output has no reliable
+    # size estimate, shuffling the O(m^1.5) path-candidate stream on
+    # (u, w). A guarded hash relation of the oriented edge set
+    # (~16 B/edge, ≤ ~32 MB at the bound) keeps the whole candidate
+    # expansion inside one codegen stage; a graph past the bound keeps
+    # the shuffled shape — at real scale the edge set must not
+    # broadcast, so the guard is the 100 TB posture, not a local hack.
+    n_e = e.count()
+    small = n_e <= _GRAPH_BROADCAST_EDGES
+    bc = F.broadcast if small else (lambda df: df)
     deg = (
         e.select(F.col("a").alias("u"))
         .unionByName(e.select(F.col("b").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    ed = e.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("dega")), "a").join(
-        deg.select(F.col("u").alias("b"), F.col("deg").alias("degb")), "b"
-    )
+    ed = e.join(
+        bc(deg.select(F.col("u").alias("a"), F.col("deg").alias("dega"))), "a"
+    ).join(bc(deg.select(F.col("u").alias("b"), F.col("deg").alias("degb"))), "b")
     lower = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
@@ -230,13 +260,13 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    tri = e1.join(bc(e2), "v").join(bc(e3), ["u", "w"])
     nodes = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
-    return nodes.join(deg, "u").select("u", "deg", "triangles")
+    return nodes.join(bc(deg), "u").select("u", "deg", "triangles")
 
 
 _TRI_SALT = "tri-v1"
@@ -271,18 +301,37 @@ def q_graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    x, y = items.alias("x"), items.alias("y")
+    # Round-17 (guide §2.4 — remove shuffles outright): the per-order
+    # pair expansion used to be a self-equi-join of the distinct
+    # (order, part) frame with itself — the planner re-executed the
+    # frame for both aliased sides and shuffled it twice. Orders are
+    # line-count-bounded, so the expansion fits a per-order array:
+    # collect each order's sorted part set (one exchange), emit the
+    # C(n,2) ordered pairs with a nested HOF (a < b falls out of the
+    # sort), then the same distinct + DOULION filter. Identical edge
+    # set — the DuckDB oracle still replays the join spelling.
+    orders_parts = (
+        lineitem.select("l_orderkey", F.col("l_partkey").cast("long").alias("pk"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("pk")).alias("__parts"))
+        .where(F.size("__parts") >= 2)
+    )
+    _sz = F.size("__parts")
+    _pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), _sz - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, _sz - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("__parts"), (i + 1).cast("int")).alias("a"),
+                    F.element_at(F.col("__parts"), (j + 1).cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
     edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").cast("long").alias("a"),
-            F.col("y.l_partkey").cast("long").alias("b"),
-        )
+        orders_parts.select(F.explode(_pair_arr).alias("__p"))
+        .select("__p.a", "__p.b")
         .distinct()
         .where(
             F.pmod(

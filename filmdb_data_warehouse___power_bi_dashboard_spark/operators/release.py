@@ -119,19 +119,21 @@ def corpus_release(
     )
     enr = _enriched(tr)
     members = comp.join(enr.select("doc_id", "quality_score"), "doc_id")
-    sizes = members.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("weight")
-    )
-    mx = members.groupBy("cluster_id").agg(
-        F.max("quality_score").alias("__q_max")
+    # Round-17 (guide §2.4): group size and quality max fused into ONE
+    # aggregation over members (was two passes joined back
+    # separately); the keeper argmax and final rows are identical —
+    # the streaming fold mirrors this exact spelling.
+    stats = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"),
+        F.max("quality_score").alias("__q_max"),
     )
     keepers = (
-        members.join(F.broadcast(mx), "cluster_id")
+        members.join(F.broadcast(stats), "cluster_id")
         .where(F.col("quality_score") == F.col("__q_max"))
-        .groupBy("cluster_id")
+        .groupBy("cluster_id", "weight")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    clustered = keepers.join(F.broadcast(sizes), "cluster_id").select(
+    clustered = keepers.select(
         "doc_id", "weight", F.col("cluster_id").alias("group_id")
     )
     singles = tr.join(comp.select("doc_id"), "doc_id", "left_anti").select(

@@ -1012,7 +1012,22 @@ def ivf_topk(
     probe_map = {
         c: np.array(sorted(v), dtype=np.int64) for c, v in by_cluster.items()
     }
-    cand = base_assigned.select("cluster", "vec_id", "embedding").mapInPandas(
+    # Round-17 (advisor fix, guide §4.1 — ship only rows the kernel can
+    # score): the kernel skips unprobed clusters internally, but every
+    # base row still crossed the Arrow boundary. A pure codegen isin
+    # predicate on the probed-cluster set drops never-probed clusters
+    # BEFORE the JVM→Python hop — identical results (the kernel scored
+    # nothing for them), and in sparse-probe regimes (nprobe ≪
+    # n_clusters) the corpus no longer crosses the boundary at all.
+    probed_pred = (
+        F.col("cluster").isin([int(c) for c in probe_map])
+        if probe_map
+        else F.lit(False)
+    )
+    probed = base_assigned.select("cluster", "vec_id", "embedding").where(
+        probed_pred
+    )
+    cand = probed.mapInPandas(
         _probed_score_kernel(q_ids, q_mat, q_norms, k, probe_map, exclude_self),
         "query_id long, vec_id long, cosine double",
     )

@@ -522,6 +522,7 @@ def pca_report(emb: DataFrame, dim: int = _PCA_DIM) -> DataFrame:
     broadcast matmul of the collected rotation — downstream numpy/
     Arrow work this report gates."""
     import numpy as np
+    import pandas as pd
 
     clean_pred = (
         F.col("embedding").isNotNull()
@@ -534,63 +535,81 @@ def pca_report(emb: DataFrame, dim: int = _PCA_DIM) -> DataFrame:
     # ONE aggregate job (was two sequential counts; false AND NULL is
     # false under Kleene logic, so summing the predicate counts
     # exactly the rows `clean` keeps).
-    n_total, n = emb.agg(
-        F.count(F.lit(1)), F.sum(clean_pred.cast("long"))
-    ).first()
+    # Round-17 (guide §4.2 — hand whole batches to native code; r16
+    # "not yet optimized" item 3): the d(d+1)/2-term upper-triangle
+    # HOF explode (2080 struct allocations PER ROW in the JVM) is
+    # replaced by a per-partition integer Gram kernel: each task
+    # accumulates scΤ·sc and Σsc in exact int64 numpy, emitting ONE
+    # bounded partial frame (2080 product rows + d sum rows, j = -1
+    # marking the sum rows) per partition; a map-side-combined
+    # groupBy-sum reduces the partials. The scaling is the identical
+    # IEEE op chain (float32→float64 exact widening, ·10⁴, +0.5,
+    # floor, truncate-to-long), and integer matmul/sum are
+    # order-independent, so the collected totals are bit-equal to the
+    # explode spelling (pytest-pinned). Overflow headroom: |sc| ≤
+    # 10⁴·max|x| + 1 ⇒ per-task partials stay under int64 for ~9·10¹⁰
+    # unit-scale rows per task — far past any real partition; the
+    # cross-task reduction is the same Spark BIGINT sum as before.
+    # The total/clean count aggregate is independent of the Gram pass,
+    # so the two jobs overlap (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _gram_kernel(it):
+        P_part = np.zeros((dim, dim), dtype=np.int64)
+        S_part = np.zeros(dim, dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            sc_m = np.floor(mat * 10000.0 + 0.5).astype(np.int64)
+            P_part += sc_m.T @ sc_m
+            S_part += sc_m.sum(axis=0, dtype=np.int64)
+            seen = True
+        if not seen:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu.astype(np.int32), np.arange(dim, dtype=np.int32)]
+                ),
+                "j": np.concatenate(
+                    [ju.astype(np.int32), np.full(dim, -1, dtype=np.int32)]
+                ),
+                "p": np.concatenate([P_part[iu, ju], S_part]),
+            }
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_counts = _pool.submit(
+            lambda: emb.agg(
+                F.count(F.lit(1)), F.sum(clean_pred.cast("long"))
+            ).first()
+        )
+        _f_gram = _pool.submit(
+            lambda: clean.select("embedding")
+            .mapInPandas(_gram_kernel, "i int, j int, p long")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("p"))
+            .collect()
+        )
+    n_total, n = _f_counts.result()
+    gram_rows = _f_gram.result()
     n_total, n = int(n_total), int(n or 0)
-    sc = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
-    )
-    base = clean.select(sc.alias("__sc"))
     if n == 0:
         rows = [(0, n_total, dim, 0.0, True, True)]
     else:
-        i_seq = F.sequence(F.lit(0), F.lit(dim - 1))
-        pairs = F.flatten(
-            F.transform(
-                i_seq,
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(dim - 1)),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        (
-                            F.element_at(F.col("__sc"), (i + 1).cast("int"))
-                            * F.element_at(F.col("__sc"), (j + 1).cast("int"))
-                        ).alias("p"),
-                    ),
-                ),
-            )
-        )
-        # Round-16 (guide §2.6): the two model collects — the O(N·d²)
-        # upper-triangle product sums and the O(N·d) per-dim sums —
-        # are independent jobs; overlap them from a 2-thread pool.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as _pool:
-            _f_prods = _pool.submit(
-                lambda: base.select(F.explode(pairs).alias("t"))
-                .select("t.i", "t.j", "t.p")
-                .groupBy("i", "j")
-                .agg(F.sum("p").alias("p"))
-                .collect()
-            )
-            _f_s1 = _pool.submit(
-                lambda: base.select(F.posexplode("__sc").alias("i", "s"))
-                .groupBy("i")
-                .agg(F.sum("s").alias("s1"))
-                .collect()
-            )
-        prods = _f_prods.result()
-        s1 = _f_s1.result()
         P = np.zeros((dim, dim), dtype=np.int64)
-        for r in prods:
-            P[r["i"], r["j"]] = r["p"]
-            P[r["j"], r["i"]] = r["p"]
         S = np.zeros(dim, dtype=np.int64)
-        for r in s1:
-            S[r["i"]] = r["s1"]
+        for r in gram_rows:
+            if r["j"] == -1:
+                S[r["i"]] = r["p"]
+            else:
+                P[r["i"], r["j"]] = r["p"]
+                P[r["j"], r["i"]] = r["p"]
         # trace in EXACT integers, single pinned-order division chain
         # (ts/n/n/1e8 — the oracle spells the same left-assoc chain).
         ts = int((int(n) * P.diagonal().astype(object) - S.astype(object) ** 2).sum())

@@ -301,6 +301,11 @@ def build_star_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # spark.newSession() shares the app id, but DataFrames are bound
     # to the session that created them — handing session A's frames
     # to session B would register temp views into A's catalog.
+    # NOTE (round-17, verdict item): the per-session dict is unbounded
+    # across sf_dirs — each distinct corpus pins one star's worth of
+    # dim+fact blocks for the session's lifetime. Irrelevant at the
+    # repo's 2-3 SFs; a long-lived multi-corpus service should evict
+    # (unpersist) entries it stops serving.
     per_session = _STAR_CACHE.setdefault(spark, {})
     cached = per_session.get(sf_dir)
     if cached is not None:

@@ -1450,11 +1450,44 @@ def _capped_basket(li: DataFrame) -> DataFrame:
 
 
 def _pair_counts(capped: DataFrame) -> DataFrame:
-    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    """Unordered co-occurrence pair counts over the capped baskets.
+
+    Round-17 rewrite (guide §2.4 — remove shuffles outright): the old
+    self-equi-join on ``l_orderkey`` re-executed the whole capped
+    frame for each side (the planner does not reuse the exchange
+    across the differently-aliased subtrees) and shuffled the basket
+    rows twice. Baskets are cap-bounded (≤ ``_BASKET_CAP`` parts), so
+    the pair expansion fits a per-group array: collect each basket's
+    sorted part list (one exchange), emit the C(n,2) ordered pairs
+    with a nested HOF (pure codegen, ``part_a < part_b`` falls out of
+    the sort), and count (map-side combined, second exchange). Same
+    pair multiset as the join spelling — rows are distinct
+    (order, part), so the sorted list is duplicate-free."""
+    baskets = (
+        capped.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__parts"))
+        .where(F.size("__parts") >= 2)
+    )
+    sz = F.size("__parts")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, sz - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("__parts"), (i + 1).cast("int")).alias(
+                        "part_a"
+                    ),
+                    F.element_at(F.col("__parts"), (j + 1).cast("int")).alias(
+                        "part_b"
+                    ),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.part_a", "__p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -1464,12 +1497,10 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part-pairs co-occurring in one order ("rented together" —
     the BI affinity widget behind every recommendation panel).
 
-    Spark shape: distinct (order, part) → self-equi-join on the order
-    key with a ``<`` predicate so each unordered pair counts once.
-    Both join inputs are the SAME deduplicated frame, so Catalyst
-    plans one shuffle and a ReusedExchange for the other side; the
-    pair aggregation is map-side combined on (part, part) keys. The
-    basket-size cap above bounds the join's per-key expansion.
+    Spark shape (round-17): distinct (order, part) → per-basket sorted
+    part array → nested-HOF pair expansion → map-side-combined count
+    on (part, part) keys (see ``_pair_counts``). The basket-size cap
+    above bounds the per-group array and the expansion.
     """
     li = read_table(spark, sf_dir, "lineitem")
     return (

@@ -1138,7 +1138,10 @@ def stream_minhash_dedup(
     where the batch's signatures reached the index before the
     checkpoint commit: the re-run then probes an index containing its
     own docs, so the cross probe drops ``new_doc == old_doc``
-    self-collisions explicitly. All staging, index, pairs and
+    self-collisions explicitly. (With the round-17 concurrent appends
+    a retry can also leave DUPLICATE signature rows in the index; the
+    probe dropDuplicates on the pair key, so the pair set is still
+    unchanged.) All staging, index, pairs and
     checkpoint directories are temporary; the result is materialized
     (``localCheckpoint``) before they are removed, so repeated bench
     runs don't accumulate corpus-sized trees in /tmp.
@@ -1167,8 +1170,22 @@ def stream_minhash_dedup(
         )
 
         def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-            batch_df = batch_df.persist()
-            sigs_new = minhash_signatures(batch_df, portable=True).persist()
+            # Round-17 (guide §2.6, r16 "not yet optimized" item 1):
+            # the batch signatures are EAGERLY materialized (one
+            # checkpoint job) instead of lazily persisted, which kills
+            # the cache-fill race that forced the two state appends to
+            # run sequentially — the pairs append (probe join + banded
+            # self-join) and the signature-index append now both read
+            # the checkpointed frame and run TOGETHER from a 2-thread
+            # pool. Same rows appended to the same tables in the same
+            # fold; only the job schedule changes. batch_df itself is
+            # read exactly once (by the signature build), so its
+            # persist was pure overhead and is dropped.
+            from concurrent.futures import ThreadPoolExecutor
+
+            sigs_new = minhash_signatures(batch_df, portable=True).localCheckpoint(
+                eager=True
+            )
             out = None
             if os.path.exists(index_path):
                 index_sigs = spark.read.parquet(index_path)
@@ -1188,10 +1205,15 @@ def stream_minhash_dedup(
                 batch_df, threshold=threshold, portable=True, sigs=sigs_new
             ).select("doc_a", "doc_b", "est_jaccard")
             out = within if out is None else out.unionByName(within)
-            out.write.mode("append").parquet(pairs_path)
-            sigs_new.write.mode("append").parquet(index_path)
-            sigs_new.unpersist()
-            batch_df.unpersist()
+            with ThreadPoolExecutor(max_workers=2) as wpool:
+                f_pairs = wpool.submit(
+                    lambda: out.write.mode("append").parquet(pairs_path)
+                )
+                f_idx = wpool.submit(
+                    lambda: sigs_new.write.mode("append").parquet(index_path)
+                )
+            f_pairs.result()
+            f_idx.result()
 
         name = f"stream_mh_{uuid.uuid4().hex[:8]}"
         with _sized_state(spark):
@@ -1806,7 +1828,15 @@ def stream_decontamination(
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     pairs_path = os.path.join(work, "pairs")
     try:
-        _stage_slices(train, "doc_id", staged, n_slices)
+        # Round-17 (guide §2.6): pre-fill the static holdout index
+        # while the train slices stage — disjoint inputs, and it moves
+        # the te cache fill off the first micro-batch's critical path.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as tpool:
+            te_fut = tpool.submit(te.count)
+            _stage_slices(train, "doc_id", staged, n_slices)
+        te_fut.result()
 
         stream = (
             spark.readStream.schema(train.schema)
@@ -1902,14 +1932,27 @@ def stream_importance_weights(
 
     docs = read_table(spark, sf_dir, "documents")
     pred = F.col("lang") == _DSIR_TARGET_LANG
-    lam = log_ratio_table(_feature_stream(docs, pred)).persist()
-    lam.count()  # materialize the static model once, before the stream
     staged = tempfile.mkdtemp(prefix="dsirstream-")
     work = tempfile.mkdtemp(prefix="dsir-stream-")
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     scored_path = os.path.join(work, "scored")
+    lam = None
     try:
-        _stage_slices(docs, "doc_id", staged, n_slices)
+        # Round-17 (guide §2.6): the static model build (one full
+        # feature-explode aggregation inside log_ratio_table) and the
+        # slice staging are independent — overlap them; the model is
+        # joined (materialized) before the stream starts.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _build_lam() -> DataFrame:
+            table = log_ratio_table(_feature_stream(docs, pred)).persist()
+            table.count()  # materialize the static model once
+            return table
+
+        with ThreadPoolExecutor(max_workers=1) as tpool:
+            lam_fut = tpool.submit(_build_lam)
+            _stage_slices(docs, "doc_id", staged, n_slices)
+        lam = lam_fut.result()
 
         stream = (
             spark.readStream.schema(docs.schema)
@@ -1941,7 +1984,8 @@ def stream_importance_weights(
             .orderBy("doc_id")
         )
     finally:
-        lam.unpersist()
+        if lam is not None:
+            lam.unpersist()
         for d in (staged, work, checkpoint):
             shutil.rmtree(d, ignore_errors=True)
 
@@ -2063,6 +2107,15 @@ def release_manifest_fold(
     if not batch.take(1):
         return
 
+    # Pin every old-state file listing BEFORE any mutation starts
+    # (spark.read.parquet lists files eagerly, so these frames read
+    # exactly the pre-batch state even while appends/swaps to the same
+    # paths run in the background below).
+    oldpost = _read_or_none(spark, paths["postings"])
+    clusters_old = _read_or_none(spark, paths["clusters"])
+    edges_old = _read_or_none(spark, paths["edges"])
+    surv_old = _read_or_none(spark, paths["survivors"])
+
     # 1. Per-doc enrichment, once at arrival (the only text scans).
     def _write_ledger() -> None:
         hits = (
@@ -2089,249 +2142,307 @@ def release_manifest_fold(
         )
         led_new.write.mode("append").parquet(paths["ledger"])
 
-    # Round-16 (guide §2.6): the ledger write (step 1) and the
-    # postings/pair path (step 2) both read only the CHECKPOINTED
-    # batch plus static state — independent jobs, so the ledger write
-    # runs from a single worker thread while step 2 proceeds; joined
-    # (.result()) before step 4 reads the ledger back.
+    # Round-17 restructure (advisor medium fix + guide §2.6/§1.2):
+    #
+    # - The ledger append is the batch's IDEMPOTENCY MARKER (the
+    #   left_anti fence above). It is the FIRST state mutation again:
+    #   led_fut is joined before ANY other state table is touched, so
+    #   a mid-fold failure leaves the batch either fully unmarked or
+    #   marked-before-mutation — never mutated-but-unmarked (which
+    #   would double-append postings/edges on redelivery). Everything
+    #   that mutates nothing — the postings/pair checkpoints, the
+    #   take(1) probes, the touched-subgraph components, the
+    #   clusters_new checkpoint and the aff/surv_old pins — runs
+    #   UNDER the in-flight ledger write, so the fold's only text
+    #   scans stay off the critical path without weakening the
+    #   ordering guarantee.
+    # - Once the marker is committed, the edges/postings appends and
+    #   the clusters swap run in the background to the END of the
+    #   fold: nothing later reads those paths (the touched subgraph is
+    #   built from edges_old ∪ new_edges, and step 4 reads the
+    #   checkpointed clusters_new, not the swapped files). All futures
+    #   are joined in the finally block (advisor low fix: the worker
+    #   is always joined and the pool shut down, even when a step
+    #   raises, so no append can race stream teardown's rmtree).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    led_fut = pool.submit(_write_ledger)
-
-    # 2. New near-dup pairs: within-batch + batch×index.
-    newpost = _build_postings(batch, n).localCheckpoint(eager=True)
-    pairs = _jaccard_from_postings(newpost, threshold=threshold)
-    oldpost = _read_or_none(spark, paths["postings"])
-    if oldpost is not None:
-        o = oldpost.select(
-            "block", "s", F.col("doc_id").alias("d_o"), F.col("sz").alias("sz_o")
-        )
-        nw = newpost.select(
-            "block", "s", F.col("doc_id").alias("d_n"), F.col("sz").alias("sz_n")
-        )
-        inter = (
-            o.join(nw, ["block", "s"])
-            .groupBy("d_o", "d_n", "sz_o", "sz_n")
-            .agg(F.count("*").alias("inter"))
-        )
-        jac = F.col("inter").cast("double") / (
-            F.col("sz_o") + F.col("sz_n") - F.col("inter")
-        )
-        cross = (
-            inter.select(
-                F.least("d_o", "d_n").alias("doc_a"),
-                F.greatest("d_o", "d_n").alias("doc_b"),
-                round_half_up(jac, 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        pairs = pairs.unionByName(cross)
-    new_edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-
-    # Pin pre-swap state eagerly: stage_and_swap_write REPLACES the
-    # files these lazy plans point at, so any deferred execution after
-    # the swap would silently read the NEW state (old_group / removed
-    # below are exactly such post-swap uses).
-    # Round-16 (guide §2.6): the two state appends and the
-    # clusters_old pin are three independent jobs over CHECKPOINTED
-    # (or on-disk) inputs — run them together; joined before step 3,
-    # which reads the edges table back.
-    clusters_old = _read_or_none(spark, paths["clusters"])
-    with ThreadPoolExecutor(max_workers=3) as spool:
-        f_e = spool.submit(
-            lambda: new_edges.write.mode("append").parquet(paths["edges"])
-        )
-        f_p = spool.submit(
-            lambda: newpost.write.mode("append").parquet(paths["postings"])
-        )
-        f_c = (
-            spool.submit(lambda: clusters_old.localCheckpoint(eager=True))
+    pool = ThreadPoolExecutor(max_workers=5)
+    pending: list = []
+    errs: list = []
+    try:
+        led_fut = pool.submit(_write_ledger)
+        pending.append(led_fut)
+        pin_fut = (
+            pool.submit(lambda: clusters_old.localCheckpoint(eager=True))
             if clusters_old is not None
             else None
         )
-    f_e.result()
-    f_p.result()
-    if f_c is not None:
-        clusters_old = f_c.result()
-    have_edges = bool(new_edges.take(1))
+        if pin_fut is not None:
+            pending.append(pin_fut)
 
-    # 3. Touched-cluster incremental components.
-    if have_edges:
-        ends = (
-            new_edges.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # 2. New near-dup pairs: within-batch + batch×index (pure
+        # compute — overlaps the ledger write).
+        newpost = _build_postings(batch, n).localCheckpoint(eager=True)
+        pairs = _jaccard_from_postings(newpost, threshold=threshold)
+        if oldpost is not None:
+            o = oldpost.select(
+                "block", "s", F.col("doc_id").alias("d_o"), F.col("sz").alias("sz_o")
+            )
+            nw = newpost.select(
+                "block", "s", F.col("doc_id").alias("d_n"), F.col("sz").alias("sz_n")
+            )
+            inter = (
+                o.join(nw, ["block", "s"])
+                .groupBy("d_o", "d_n", "sz_o", "sz_n")
+                .agg(F.count("*").alias("inter"))
+            )
+            jac = F.col("inter").cast("double") / (
+                F.col("sz_o") + F.col("sz_n") - F.col("inter")
+            )
+            cross = (
+                inter.select(
+                    F.least("d_o", "d_n").alias("doc_a"),
+                    F.greatest("d_o", "d_n").alias("doc_b"),
+                    round_half_up(jac, 6).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+            pairs = pairs.unionByName(cross)
+        new_edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        have_edges = bool(new_edges.take(1))
+        if pin_fut is not None:
+            clusters_old = pin_fut.result()
+
+        # 3. Touched-cluster incremental components.
+        if have_edges:
+            ends = (
+                new_edges.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            if clusters_old is not None:
+                touched = (
+                    clusters_old.join(F.broadcast(ends), "doc_id")
+                    .select("cluster_id")
+                    .distinct()
+                )
+                touched_docs = (
+                    clusters_old.join(F.broadcast(touched), "cluster_id")
+                    .select("doc_id")
+                    .unionByName(ends)
+                    .distinct()
+                )
+                # Accumulated edge set WITHOUT reading the edges table
+                # back: the pre-batch files ∪ this batch's checkpointed
+                # edges — row-identical to the post-append read, and it
+                # frees the append to run in the background.
+                edges_all = (
+                    edges_old.unionByName(new_edges)
+                    if edges_old is not None
+                    else new_edges
+                )
+                sub = edges_all.join(
+                    F.broadcast(touched_docs.withColumnRenamed("doc_id", "doc_a")),
+                    "doc_a",
+                    "left_semi",
+                )
+            else:
+                touched = None
+                touched_docs = ends
+                sub = new_edges
+            comp = _components_auto(spark, sub)
+            aff = touched_docs.unionByName(batch.select("doc_id")).distinct()
+            # aff/surv_old pins are independent of clusters_new — run
+            # them while the main thread checkpoints the new labels.
+            f_aff = pool.submit(lambda: aff.localCheckpoint(eager=True))
+            pending.append(f_aff)
+            f_so = (
+                pool.submit(lambda: surv_old.localCheckpoint(eager=True))
+                if surv_old is not None
+                else None
+            )
+            if f_so is not None:
+                pending.append(f_so)
+            if clusters_old is not None:
+                clusters_new = clusters_old.join(
+                    F.broadcast(touched), "cluster_id", "left_anti"
+                ).unionByName(comp)
+            else:
+                clusters_new = comp
+            clusters_new = clusters_new.localCheckpoint(eager=True)
+        else:
+            clusters_new = clusters_old
+            aff = batch.select("doc_id")
+            f_aff = pool.submit(lambda: aff.localCheckpoint(eager=True))
+            pending.append(f_aff)
+            f_so = (
+                pool.submit(lambda: surv_old.localCheckpoint(eager=True))
+                if surv_old is not None
+                else None
+            )
+            if f_so is not None:
+                pending.append(f_so)
+        aff = f_aff.result()
+        if f_so is not None:
+            surv_old = f_so.result()
+
+        # Ledger marker committed — every text-scan-free round above
+        # overlapped the ledger write; only now may the other state
+        # tables be mutated (advisor ordering), and all three
+        # mutations run in the background to the fold's end (nothing
+        # below reads their paths).
+        led_fut.result()
+        ledger = spark.read.parquet(paths["ledger"])
+        pending.append(
+            pool.submit(
+                lambda: new_edges.write.mode("append").parquet(paths["edges"])
+            )
         )
-        if clusters_old is not None:
-            touched = (
-                clusters_old.join(F.broadcast(ends), "doc_id")
+        pending.append(
+            pool.submit(
+                lambda: newpost.write.mode("append").parquet(paths["postings"])
+            )
+        )
+        if have_edges:
+            pending.append(
+                pool.submit(stage_and_swap_write, clusters_new, paths["clusters"])
+            )
+
+        # 4. Recompute survivor rows for the affected groups only.
+        if clusters_new is not None:
+            old_group = (
+                aff.join(
+                    clusters_old
+                    if clusters_old is not None
+                    else spark.createDataFrame([], "doc_id long, cluster_id long"),
+                    "doc_id",
+                    "left",
+                )
+                .select(F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"))
+                .distinct()
+            )
+            aff_groups = (
+                aff.join(clusters_new, "doc_id")
                 .select("cluster_id")
                 .distinct()
             )
-            touched_docs = (
-                clusters_old.join(F.broadcast(touched), "cluster_id")
-                .select("doc_id")
-                .unionByName(ends)
-                .distinct()
+            members = (
+                clusters_new.join(F.broadcast(aff_groups), "cluster_id")
+                .join(ledger.select("doc_id", "quality_score"), "doc_id")
             )
-            edges_all = _read_or_none(spark, paths["edges"])
-            sub = edges_all.join(
-                F.broadcast(touched_docs.withColumnRenamed("doc_id", "doc_a")),
-                "doc_a",
-                "left_semi",
+            # Round-17 (guide §2.4): group size and quality max come
+            # from ONE aggregation over members (was two separate
+            # aggregation passes joined back separately) — same rows,
+            # same keeper argmax, one fewer shuffle+stage in the
+            # per-batch fold. Mirrors the identical fusion in the
+            # batch corpus_release.
+            stats = members.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("weight"),
+                F.max("quality_score").alias("__q_max"),
             )
+            keepers = (
+                members.join(F.broadcast(stats), "cluster_id")
+                .where(F.col("quality_score") == F.col("__q_max"))
+                .groupBy("cluster_id", "weight")
+                .agg(F.min("doc_id").alias("doc_id"))
+            )
+            clustered = keepers.select(
+                "doc_id", "weight", F.col("cluster_id").alias("group_id")
+            )
+            singleton_ids = aff.join(clusters_new, "doc_id", "left_anti")
         else:
-            touched = None
-            touched_docs = ends
-            sub = new_edges
-        comp = _components_auto(spark, sub)
-        if clusters_old is not None:
-            clusters_new = clusters_old.join(
-                F.broadcast(touched), "cluster_id", "left_anti"
-            ).unionByName(comp)
-        else:
-            clusters_new = comp
-        stage_and_swap_write(clusters_new, paths["clusters"])
-        clusters_new = spark.read.parquet(paths["clusters"])
-        aff = touched_docs.unionByName(batch.select("doc_id")).distinct()
-    else:
-        clusters_new = clusters_old
-        aff = batch.select("doc_id")
-    # Round-16 (guide §2.6): the aff pin and the surv_old pin are
-    # independent actions (surv_old reads the survivors table, which
-    # this fold has not swapped yet) — overlap them.
-    surv_old = _read_or_none(spark, paths["survivors"])
-    with ThreadPoolExecutor(max_workers=2) as spool:
-        f_aff = spool.submit(lambda: aff.localCheckpoint(eager=True))
-        f_so = (
-            spool.submit(lambda: surv_old.localCheckpoint(eager=True))
+            old_group = aff.select(F.col("doc_id").alias("group_id"))
+            clustered = None
+            singleton_ids = aff
+        singles = singleton_ids.select(
+            "doc_id",
+            F.lit(1).cast("long").alias("weight"),
+            F.col("doc_id").alias("group_id"),
+        )
+        new_surv = singles if clustered is None else clustered.unionByName(singles)
+        new_rows = deterministic_split(
+            new_surv.join(ledger, "doc_id"),
+            ["group_id"],
+            _LEAK_WEIGHTS,
+            salt=_LEAK_SALT,
+            portable=True,
+        ).select(
+            "group_id",
+            "doc_id",
+            "weight",
+            "split",
+            "source",
+            "n_tokens",
+            "removed_chars",
+            (
+                F.col("lang_detected").isin(list(_REL_LANGS))
+                & (F.col("quality_score") >= _REL_MIN_QUALITY)
+            ).alias("passes"),
+        ).localCheckpoint(eager=True)
+
+        removed = (
+            surv_old.join(F.broadcast(old_group), "group_id")
             if surv_old is not None
             else None
         )
-    aff = f_aff.result()
-    if f_so is not None:
-        surv_old = f_so.result()
-
-    # 4. Recompute survivor rows for the affected groups only.
-    led_fut.result()  # ledger append must be visible before the read
-    pool.shutdown()
-    ledger = spark.read.parquet(paths["ledger"])
-    if clusters_new is not None:
-        old_group = (
-            aff.join(
-                clusters_old
-                if clusters_old is not None
-                else spark.createDataFrame([], "doc_id long, cluster_id long"),
-                "doc_id",
-                "left",
+        surv_kept = (
+            surv_old.join(F.broadcast(old_group), "group_id", "left_anti")
+            if surv_old is not None
+            else None
+        )
+        surv_all = (
+            new_rows if surv_kept is None else surv_kept.unionByName(new_rows)
+        )
+        # 5. Manifest delta merge (removed rows negative, new positive).
+        def _contrib(rows: DataFrame, sign: int) -> DataFrame:
+            return rows.where("passes").select(
+                "split",
+                "source",
+                F.lit(sign).cast("long").alias("n_docs"),
+                (F.lit(sign) * F.col("weight")).cast("long").alias("sum_weight"),
+                (F.lit(sign) * F.col("n_tokens")).cast("long").alias("total_tokens"),
+                (F.lit(sign) * F.col("removed_chars"))
+                .cast("long")
+                .alias("removed_chars"),
             )
-            .select(F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"))
-            .distinct()
-        )
-        aff_groups = (
-            aff.join(clusters_new, "doc_id")
-            .select("cluster_id")
-            .distinct()
-        )
-        members = (
-            clusters_new.join(F.broadcast(aff_groups), "cluster_id")
-            .join(ledger.select("doc_id", "quality_score"), "doc_id")
-        )
-        sizes = members.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).cast("long").alias("weight")
-        )
-        mx = members.groupBy("cluster_id").agg(
-            F.max("quality_score").alias("__q_max")
-        )
-        keepers = (
-            members.join(F.broadcast(mx), "cluster_id")
-            .where(F.col("quality_score") == F.col("__q_max"))
-            .groupBy("cluster_id")
-            .agg(F.min("doc_id").alias("doc_id"))
-        )
-        clustered = keepers.join(F.broadcast(sizes), "cluster_id").select(
-            "doc_id", "weight", F.col("cluster_id").alias("group_id")
-        )
-        singleton_ids = aff.join(clusters_new, "doc_id", "left_anti")
-    else:
-        old_group = aff.select(F.col("doc_id").alias("group_id"))
-        clustered = None
-        singleton_ids = aff
-    singles = singleton_ids.select(
-        "doc_id",
-        F.lit(1).cast("long").alias("weight"),
-        F.col("doc_id").alias("group_id"),
-    )
-    new_surv = singles if clustered is None else clustered.unionByName(singles)
-    new_rows = deterministic_split(
-        new_surv.join(ledger, "doc_id"),
-        ["group_id"],
-        _LEAK_WEIGHTS,
-        salt=_LEAK_SALT,
-        portable=True,
-    ).select(
-        "group_id",
-        "doc_id",
-        "weight",
-        "split",
-        "source",
-        "n_tokens",
-        "removed_chars",
-        (
-            F.col("lang_detected").isin(list(_REL_LANGS))
-            & (F.col("quality_score") >= _REL_MIN_QUALITY)
-        ).alias("passes"),
-    ).localCheckpoint(eager=True)
 
-    removed = (
-        surv_old.join(F.broadcast(old_group), "group_id")
-        if surv_old is not None
-        else None
-    )
-    surv_kept = (
-        surv_old.join(F.broadcast(old_group), "group_id", "left_anti")
-        if surv_old is not None
-        else None
-    )
-    surv_all = (
-        new_rows if surv_kept is None else surv_kept.unionByName(new_rows)
-    )
-    # 5. Manifest delta merge (removed rows negative, new positive).
-    def _contrib(rows: DataFrame, sign: int) -> DataFrame:
-        return rows.where("passes").select(
-            "split",
-            "source",
-            F.lit(sign).cast("long").alias("n_docs"),
-            (F.lit(sign) * F.col("weight")).cast("long").alias("sum_weight"),
-            (F.lit(sign) * F.col("n_tokens")).cast("long").alias("total_tokens"),
-            (F.lit(sign) * F.col("removed_chars"))
-            .cast("long")
-            .alias("removed_chars"),
+        delta = _contrib(new_rows, 1)
+        if removed is not None:
+            delta = delta.unionByName(_contrib(removed, -1))
+        manifest_old = _read_or_none(spark, paths["manifest"])
+        if manifest_old is not None:
+            delta = delta.unionByName(manifest_old)
+        manifest_new = delta.groupBy("split", "source").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_weight").cast("long").alias("sum_weight"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("removed_chars").cast("long").alias("removed_chars"),
         )
-
-    delta = _contrib(new_rows, 1)
-    if removed is not None:
-        delta = delta.unionByName(_contrib(removed, -1))
-    manifest_old = _read_or_none(spark, paths["manifest"])
-    if manifest_old is not None:
-        delta = delta.unionByName(manifest_old)
-    manifest_new = delta.groupBy("split", "source").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("sum_weight").cast("long").alias("sum_weight"),
-        F.sum("total_tokens").cast("long").alias("total_tokens"),
-        F.sum("removed_chars").cast("long").alias("removed_chars"),
-    )
-    # Round-16 (guide §2.6): the survivors swap and the manifest swap
-    # target different paths, and every input of the manifest delta
-    # (new_rows, surv_old, aff, clusters_old) is CHECKPOINTED — the
-    # manifest plan never reads the survivors table — so the two
-    # stage-and-swap writes run together.
-    with ThreadPoolExecutor(max_workers=2) as spool:
-        f_s = spool.submit(stage_and_swap_write, surv_all, paths["survivors"])
-        f_m = spool.submit(stage_and_swap_write, manifest_new, paths["manifest"])
-    f_s.result()
-    f_m.result()
+        # Round-16 (guide §2.6): the survivors swap and the manifest swap
+        # target different paths, and every input of the manifest delta
+        # (new_rows, surv_old, aff, clusters_old) is CHECKPOINTED — the
+        # manifest plan never reads the survivors table — so the two
+        # stage-and-swap writes run together.
+        pending.append(
+            pool.submit(stage_and_swap_write, surv_all, paths["survivors"])
+        )
+        pending.append(
+            pool.submit(stage_and_swap_write, manifest_new, paths["manifest"])
+        )
+    finally:
+        # Join EVERY outstanding background future before returning
+        # (or before the caller's teardown can rmtree the state dir);
+        # errors are collected, never raised HERE — a raise in finally
+        # would mask the fold's own exception. The pool is always shut
+        # down, so no worker thread can race stream teardown.
+        for f in pending:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                errs.append(exc)
+        pool.shutdown(wait=True)
+    if errs:
+        raise errs[0]
 
 
 def read_release_manifest(
@@ -2408,13 +2519,20 @@ def stream_release_manifest(
         .distinct()
         .persist()
     )
-    te_hashes.count()  # materialize the static holdout index once
     train = docs.where(~test_pred)
     staged = tempfile.mkdtemp(prefix="relstream-")
     state_dir = tempfile.mkdtemp(prefix="rel-state-")
     checkpoint = tempfile.mkdtemp(prefix="ckpt-")
     try:
-        _stage_slices(train, "doc_id", staged, n_slices)
+        # Round-17 (guide §2.6): the static holdout-hash
+        # materialization and the train slice staging touch disjoint
+        # document halves and no shared state — overlap them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as tpool:
+            te_fut = tpool.submit(te_hashes.count)
+            _stage_slices(train, "doc_id", staged, n_slices)
+        te_fut.result()  # holdout index materialized before any fold
 
         stream = (
             spark.readStream.schema(docs.schema)

@@ -55,10 +55,16 @@ def test_basket_pairs_are_canonical_and_join_reuses_exchange(spark, sf_small):
     assert all(
         rows[i].n_orders >= rows[i + 1].n_orders for i in range(len(rows) - 1)
     )
-    # the self-join's two sides come from the SAME deduplicated frame:
-    # one shuffle materializes, the other side reuses it
+    # Round-17 shape pin: the pair expansion is the per-basket
+    # nested-HOF explode — no self-join of the capped frame anywhere
+    # (the old spelling re-executed it per aliased side and shuffled
+    # it twice; ReusedExchange only sometimes rescued it).
     plan = _plan(df)
-    assert "ReusedExchange" in plan, plan[:3000]
+    assert "Generate" in plan, plan[:3000]
+    for join_op in (
+        "SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+    ):
+        assert join_op not in plan, join_op
 
 
 def test_basket_pair_count_matches_manual_check(spark):
